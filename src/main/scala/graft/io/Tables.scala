@@ -1,0 +1,26 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Reads go through
+  * `spark.read.parquet` so Catalyst gets the full scan: column
+  * pruning and predicate pushdown reach the parquet reader
+  * (verify with `.explain("formatted")` → `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so the SQL surface
+    * (`spark.sql`) mirrors what the DuckDB oracle sees.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables.table
+
+/** Relational query surface: scans, projections, predicates, joins,
+  * aggregations (SURVEY.md §2.1–§2.4). Each query maps a reference
+  * idiom to the idiomatic Spark primitive; the oracle SQL states the
+  * same computation for DuckDB.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** Exact distributed sum of a money-like double column: cast to
+    * decimal so the sum is associative (order-independent) across
+    * partitions, then back to double for a stable comparable value.
+    * A raw double sum differs run-to-run with partitioning — at
+    * 1000 executors that's a correctness bug, not noise.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary (SURVEY A1/F12; ref TFIDF.scala-era
+    // groupBy aggregates). Filter is pushed to the parquet scan.
+    "q01_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Projection + rename + cast + pushed filter (P1/P5).
+    "q02_select_cast" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 1000.0)
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_custkey").cast("int").as("ckey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("o_orderpriority").as("prio"))
+        .orderBy(col("okey"))
+    }),
+
+    // LIKE predicates (P7) + group-count (A1).
+    "q03_like_count" -> ((s, dir) => {
+      table(s, dir, "part")
+        .filter(col("p_type").like("%M%") && !col("p_name").like("%bolt%"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Conditional projection when/otherwise (P8) + constants (P9).
+    "q04_conditional" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") > 300000.0, lit("big"))
+            .when(col("o_totalprice") > 100000.0, lit("mid"))
+            .otherwise(lit("small")))
+        .withColumn("flag", lit(1))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          sum(col("flag")).as("nflags"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Multi-way star join (J1) with a broadcast dimension chain
+    // (J8): nation/region are tiny → broadcast-hash-join, no shuffle
+    // of the fact side for those joins.
+    "q05_star_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Left outer join + null counting (J2).
+    "q06_left_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .as("n_no_order"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Left-anti join (J3) — first-class replacement for the
+    // reference's left-join + filter("mark is null") idiom
+    // (NewsMarchMarkPreProcess.scala:46-54).
+    "q07_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      graft.ops.Relational.antiJoin(c,
+        o.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-semi join (J4) — replacement for left-join +
+    // filter("if_entity is not null") (ReadAppPortrait.scala:110).
+    "q08_semi_join" -> ((s, dir) => {
+      val su = table(s, dir, "supplier")
+      val li = table(s, dir, "lineitem")
+      graft.ops.Relational.semiJoin(su,
+        li.filter(col("l_quantity") > 45.0)
+          .select(col("l_suppkey").as("s_suppkey")), Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Full outer join + key coalesce (J5/J6; ref LabelCombine).
+    "q09_full_outer" -> ((s, dir) => {
+      val cn = table(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = table(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Union + distinct (U1) across two inputs.
+    "q10_union_distinct" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val su = table(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      c.unionByName(su).distinct().orderBy(col("nationkey"))
+    }),
+
+    // Grouped distinct-count + approx sketch lives in q-extensions;
+    // exact percentile / median (A5/W7; ref TFIDF.scala:177).
+    "q11_percentile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // distinct projection (A6 dropDuplicates, deterministic form).
+    "q12_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Rollup (beyond-reference relational coverage; Spark gives it
+    // free — SURVEY §2.4 note).
+    "q13_rollup" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // collect_list regrouping (A2) — deterministic via sorted,
+    // distinct, stringified list (ref UserSearchWordTagDriver:48).
+    "q14_collect_sorted" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws(",",
+          array_sort(collect_set(col("c_mktsegment")))).as("segments"))
+        .orderBy(col("n_name"))
+    }),
+
+    // count_distinct exact (scale path pairs it with
+    // approx_count_distinct — bench-only, see q15 plan note).
+    "q15_count_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_linestatus"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | cast(count(*) as bigint) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_select_cast" ->
+      """SELECT o_orderkey AS okey, cast(o_custkey as int) AS ckey,
+        | round(o_totalprice, 2) AS price, o_orderpriority AS prio
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+        |ORDER BY okey""".stripMargin,
+    "q03_like_count" ->
+      """SELECT p_brand, cast(count(*) as bigint) AS n
+        |FROM part
+        |WHERE p_type LIKE '%M%' AND p_name NOT LIKE '%bolt%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q04_conditional" ->
+      """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        | cast(count(*) as bigint) AS n,
+        | cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total,
+        | cast(count(*) as bigint) AS nflags
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q05_star_join" ->
+      """SELECT r_name, n_name,
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS revenue,
+        | cast(count(*) as bigint) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_left_join" ->
+      """SELECT c_mktsegment,
+        | cast(count(o_orderkey) as bigint) AS n_orders,
+        | cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_order
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q09_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey, cast(count(*) as bigint) AS n_cust
+        |            FROM customer GROUP BY c_nationkey),
+        |     sn AS (SELECT s_nationkey, cast(count(*) as bigint) AS n_supp
+        |            FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q10_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT cast(c_nationkey as int) AS nationkey FROM customer
+        | UNION ALL
+        | SELECT cast(s_nationkey as int) AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(cast(l_quantity as double), 0.5), 4) AS median_qty,
+        | round(quantile_cont(cast(l_quantity as double), 0.9), 4) AS p90_qty,
+        | round(quantile_cont(cast(l_extendedprice as double), 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | cast(count(*) as bigint) AS n,
+        | cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q14_collect_sorted" ->
+      """SELECT n_name,
+        | string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q15_count_distinct" ->
+      """SELECT l_linestatus,
+        | cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+        | cast(count(DISTINCT l_suppkey) as bigint) AS n_supps,
+        | cast(count(*) as bigint) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  )
+}
