@@ -9,7 +9,9 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    FunctionQueries,
+    WindowQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

@@ -15,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects. Read nanos as long and truncate to microsecond
+    // TimestampType — the same truncation DuckDB applies — so both
+    // engines see identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every table as a temp view so the SQL surface
     * (`spark.sql`) mirrors what the DuckDB oracle sees.
