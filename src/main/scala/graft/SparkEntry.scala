@@ -11,7 +11,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     FunctionQueries,
-    WindowQueries)
+    WindowQueries,
+    TextQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

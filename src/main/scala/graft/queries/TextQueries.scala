@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+import graft.text.{Rake, TextFunctions => T, Tfidf}
+
+/** Text-analysis surface over the documents table: tokenization,
+  * n-grams, TF-IDF, RAKE, language ID, quality scoring, token
+  * counting, fingerprinting (SURVEY.md §2.9 + LLM-pipeline
+  * extensions). All per-row kernels are map-side column expressions;
+  * corpus-level ops (tfidf, top tokens) shuffle once on their
+  * aggregation key.
+  */
+object TextQueries extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus token histogram (A3's word-count, NewsLDA.scala:77-81 —
+    // reduceByKey → groupBy.count with map-side partial agg).
+    "q32_top_tokens" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Bigram histogram via the higher-order ngram kernel (M1).
+    "q33_top_bigrams" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(T.ngrams(T.tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Exact TF-IDF with the reference's smoothing (M3), top-5 terms
+    // per doc for a fixed doc slice; df/idf computed corpus-wide.
+    "q34_doc_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      Tfidf.topTerms(docs, "doc_id", "toks", 5)
+        .filter(col("doc_id") < 10)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Quality metrics + gate (training-data extension).
+    "q35_quality" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          T.avgTokenLen(col("toks")).as("avg_token_len"),
+          T.punctRatio(col("text")).as("punct_ratio"),
+          T.stopwordRatio(col("toks")).as("stopword_ratio"),
+          T.qualityOk(col("text"), col("toks")).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish token counting (regex extraction, codegen'd).
+    "q36_token_count" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(T.tokens(col("text"))).as("ws_tokens"),
+          T.tokenCountBpe(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Order-independent bag-of-words fingerprint (dedup key).
+    "q37_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          T.fingerprint(T.tokens(col("text"))).as("fp"),
+          T.contentHash(col("text")).as("exact_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heuristic language ID (marker-word argmax).
+    "q38_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          T.langId(T.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RAKE keywords (M6) — kernel not SQL-expressible; driver does a
+    // rows-only check, golden values covered by RakeSpec.
+    "q39_rake" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(Rake.rakeUdf(topK = 5)(col("text"))).as("kw"))
+        .select(col("doc_id"), col("kw.phrase").as("phrase"),
+          col("kw.score").as("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("phrase"))
+    }),
+
+    // Corpus n-gram statistics for n=1..3 (occurrences + distinct),
+    // the shape of the reference's ngram corpus jobs (M1/M14).
+    "q40_ngram_stats" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(T.tokens(col("text")).as("toks"))
+      val perN = (1 to 3).map { n =>
+        docs.select(explode(T.ngrams(col("toks"), n)).as("gram"))
+          .agg(count(lit(1)).as("occurrences"),
+            countDistinct(col("gram")).as("n_distinct"))
+          .select(lit(n).as("n"), col("occurrences"), col("n_distinct"))
+      }
+      perN.reduce(_ unionByName _).orderBy(col("n"))
+    })
+  )
+
+  private val splitToks = "string_split(text, ' ')"
+
+  def oracles: Map[String, String] = Map(
+    "q32_top_tokens" ->
+      s"""SELECT token, cast(count(*) as bigint) AS n
+         |FROM (SELECT unnest($splitToks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q33_top_bigrams" ->
+      s"""WITH t AS (SELECT $splitToks AS toks FROM documents)
+         |SELECT array_to_string(toks[i:i+1], ' ') AS bigram,
+         |       cast(count(*) as bigint) AS n
+         |FROM t, range(1, 200) r(i)
+         |WHERE i + 1 <= len(toks)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q34_doc_tfidf" ->
+      s"""WITH tfc AS (
+         |  SELECT doc_id, term, cast(count(*) as bigint) AS tf
+         |  FROM (SELECT doc_id, unnest($splitToks) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfc AS (SELECT term, cast(count(*) as bigint) AS df
+         |        FROM tfc GROUP BY term),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, tfc.term AS term, tf, df,
+         |         round(ln((n + 1.0) / (df + 1.0)), 4) AS idf,
+         |         round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+         |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN nn),
+         |rk AS (
+         |  SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) as int) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, idf, tfidf, rank
+         |FROM rk WHERE rank <= 5 AND doc_id < 10
+         |ORDER BY doc_id, rank""".stripMargin,
+    "q35_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $splitToks AS toks FROM documents)
+         |SELECT doc_id,
+         | cast(length(text) as int) AS n_chars,
+         | cast(len(toks) as int) AS n_tokens,
+         | round(length(replace(text, ' ', '')) * 1.0 / len(toks), 4) AS avg_token_len,
+         | round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+         | round(len(list_filter(toks, x -> list_contains(
+         |   ['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by','this','that'], x))) * 1.0 / len(toks), 4) AS stopword_ratio,
+         | (length(text) >= 100
+         |  AND round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) <= 0.1
+         |  AND round(len(list_filter(toks, x -> list_contains(
+         |   ['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by','this','that'], x))) * 1.0 / len(toks), 4) >= 0.01) AS quality_ok
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q36_token_count" ->
+      s"""SELECT doc_id,
+         | cast(len($splitToks) as int) AS ws_tokens,
+         | cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) as int) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string(list_sort(list_distinct($splitToks)), ' ')) AS fp,
+         | md5(text) AS exact_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_langid" ->
+      s"""WITH t AS (SELECT doc_id, $splitToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         | len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+         | len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS es,
+         | len(list_filter(toks, x -> list_contains(['le','les','de','et','une','est','dans'], x))) AS fr,
+         | len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de
+         |FROM t)
+         |SELECT doc_id,
+         | CASE WHEN en=0 AND es=0 AND fr=0 AND de=0 THEN 'und'
+         |      WHEN en>=es AND en>=fr AND en>=de THEN 'en'
+         |      WHEN es>=fr AND es>=de THEN 'es'
+         |      WHEN fr>=de THEN 'fr'
+         |      ELSE 'de' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q40_ngram_stats" ->
+      s"""WITH t AS (SELECT $splitToks AS toks FROM documents),
+         |grams AS (
+         |  SELECT n.n AS n, array_to_string(toks[i:i+n.n-1], ' ') AS gram
+         |  FROM t, range(1, 4) n(n), range(1, 200) r(i)
+         |  WHERE i + n.n - 1 <= len(toks))
+         |SELECT cast(n as int) AS n,
+         | cast(count(*) as bigint) AS occurrences,
+         | cast(count(DISTINCT gram) as bigint) AS n_distinct
+         |FROM grams GROUP BY n ORDER BY n""".stripMargin
+  )
+}

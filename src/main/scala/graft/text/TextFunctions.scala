@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text kernels (SURVEY.md §2.9 M1/M9/M10 + the
+  * training-data-pipeline extensions: language ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * Everything here is built from codegen'd built-in functions and
+  * higher-order array functions — no Scala UDFs — so the kernels
+  * stay inside whole-stage codegen and distribute trivially: each is
+  * a narrow per-row transform, no shuffle, no driver state. That is
+  * the property that lets the same expression run unchanged over
+  * 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the documents table is pre-normalized
+    * space-separated text). For raw corpora use [[tokensRegex]].
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization: alphanumeric runs, lowercased. */
+  def tokensRegex(text: Column): Column =
+    split(lower(trim(regexp_replace(text, "[^A-Za-z0-9]+", " "))), " ")
+
+  /** BPE-ish token counting (reference counts tokens for corpus
+    * stats; an LLM pipeline needs a cheap token estimate): words,
+    * digit runs, and individual punctuation each count as one token.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** n-grams over a token array as space-joined strings
+    * (M1, NewsNgrams.scala:17-32 sliding windows — rebuilt as a
+    * higher-order function instead of an RDD map).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** All n-grams for n in [minN, maxN] (reference extracts 1..4). */
+  def ngramsRange(toks: Column, minN: Int, maxN: Int): Column =
+    flatten(array((minN to maxN).map(n => ngrams(toks, n)): _*))
+
+  /** Keep only n-grams whose token lengths fit the reference's
+    * bounds (NewsNgrams.scala:145-146: 3..40 chars per gram).
+    */
+  def boundedNgrams(toks: Column, minN: Int, maxN: Int,
+      minLen: Int, maxLen: Int): Column =
+    filter(ngramsRange(toks, minN, maxN),
+      g => length(g) >= minLen && length(g) <= maxLen)
+
+  /** Dictionary match (M9 wiki/entity membership,
+    * PrepProcess.scala:84-105): tokens present in a small dict —
+    * the dict travels as a literal array (broadcast-equivalent).
+    */
+  def dictMatch(toks: Column, dict: Seq[String]): Column =
+    array_sort(array_intersect(toks, array(dict.map(lit): _*)))
+
+  /** Sensitive-word hits (M10, SensitiveWordsStatic.scala:26-39). */
+  def sensitiveHits(toks: Column, words: Seq[String]): Column =
+    dictMatch(toks, words)
+
+  /** Order-independent document fingerprint: md5 of the sorted
+    * distinct token set. Stable under token reordering — the cheap
+    * "same bag of words" dedup key.
+    */
+  def fingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Content hash for exact dedup (M11 exact stage). */
+  def contentHash(text: Column): Column = md5(text)
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "les", "de", "et", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+
+  private def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks,
+      t => array_contains(array(langMarkers(lang).map(lit): _*), t)))
+
+  /** Heuristic language label: argmax of marker-word hits with a
+    * deterministic tie order (en > es > fr > de), 'und' when no
+    * marker appears. At 100 TB this is a pure map-side expression.
+    */
+  def langId(toks: Column): Column = {
+    val en = markerHits(toks, "en")
+    val es = markerHits(toks, "es")
+    val fr = markerHits(toks, "fr")
+    val de = markerHits(toks, "de")
+    when(en === 0 && es === 0 && fr === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  // ---- quality scoring ----
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "this", "that")
+
+  /** Ratio of characters outside [a-z0-9 ] — punctuation/noise. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-z0-9 ]", "")) /
+      length(text).cast("double"), 4)
+
+  /** Ratio of stopword tokens — a floor on "natural" text. */
+  def stopwordRatio(toks: Column): Column =
+    round(size(filter(toks,
+      t => array_contains(array(stopwordsEn.map(lit): _*), t))) /
+      size(toks).cast("double"), 4)
+
+  /** Mean token length. */
+  def avgTokenLen(toks: Column): Column =
+    round(aggregate(toks, lit(0),
+      (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double"), 4)
+
+  /** Composite quality gate in the spirit of the reference's
+    * length-floor filters (ArticleInfoProcess.scala:70: content>100
+    * chars) extended with ratio checks for pre-training data.
+    */
+  def qualityOk(text: Column, toks: Column,
+      minChars: Int = 100, maxPunct: Double = 0.1,
+      minStop: Double = 0.01): Column =
+    (length(text) >= minChars) &&
+      (punctRatio(text) <= maxPunct) &&
+      (stopwordRatio(toks) >= minStop)
+}
