@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries,
     FunctionQueries,
     WindowQueries,
-    TextQueries)
+    TextQueries,
+    DedupQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

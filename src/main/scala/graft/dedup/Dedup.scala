@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for large text corpora (SURVEY.md M11 +
+  * the training-data-pipeline extensions).
+  *
+  * Scale design:
+  *  - exact dedup is one hash-aggregate on a fixed-width digest
+  *    (never shuffles raw text as the key);
+  *  - MinHash/LSH turns all-pairs similarity (O(N²) — impossible at
+  *    100 TB) into an equi-join on band keys: only documents sharing
+  *    a band collide, and the band join is a plain shuffle join that
+  *    AQE can handle skew on;
+  *  - SimHash gives a 64-bit near-dup key that clusters by Hamming
+  *    distance; bucketing on bit-prefixes is again an equi-join.
+  *
+  * All hash math is expressed with md5 (hex) column functions so the
+  * exact same signatures are computable by any engine — which is how
+  * the oracle validates them.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: digest → representative (min id) +
+    * member count. Shuffles 16-byte digests, not documents.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.contentHash(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one representative row per exact text hash. */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** w-shingles (word n-grams) as the near-dup unit. */
+  def shingles(textCol: Column, w: Int = 3): Column =
+    array_distinct(TextFunctions.ngrams(TextFunctions.tokens(textCol), w))
+
+  /** One MinHash value: the lexicographic min of md5("seed:shingle")
+    * over the doc's shingle set. Deterministic, engine-independent,
+    * and a valid min-wise hash family (md5 is uniform on inputs).
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles,
+      sh => md5(concat(lit(s"$seed:"), sh))))
+
+  /** k-value MinHash signature as array<string>. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(seed => minhash(shingles, seed)): _*)
+
+  /** LSH banding: signature of k values split into `bands` bands of
+    * `rowsPerBand` values; each band key is the md5 of its joined
+    * values plus the band index.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat(lit(s"band$b:"),
+        array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")))
+    }: _*)
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band.
+    * The self-join is an equi-join on the exploded band key —
+    * at scale this is the only join shape that works.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val keyed = docs
+      .select(col(idCol),
+        bandKeys(minhashSignature(shingles(col(textCol), w), k),
+          bands, rowsPerBand).as("bands"))
+      .select(col(idCol), explode(col("bands")).as("band"))
+    val a = keyed.select(col("band"), col(idCol).as("id_a"))
+    val b = keyed.select(col("band"), col(idCol).as("id_b"))
+    a.join(b, "band")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity on shingle sets for candidate pairs —
+    * the verification stage after LSH (run on candidates only, never
+    * all pairs).
+    */
+  def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), w).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter") / col("uni").cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        col("jaccard"))
+  }
+
+  /** SimHash over tokens, 60 bits derived from md5 nibbles (15 hex
+    * chars → 60 bits, keeping the value positive in a 64-bit long).
+    * Each token occurrence votes ±1 per bit; bit i of the result is
+    * 1 iff the vote sum is positive. bit i of a token = bit (i%4) of
+    * hex nibble (i/4) of md5(token).
+    *
+    * Scala kernel (one md5 per token) — the semantics are
+    * hex-arithmetic on md5, so any engine can recompute it; a pure
+    * column-expression form would need 60 aggregates per row and
+    * breaks codegen limits. Map-side only, no state.
+    */
+  def simhash60(toks: Column): Column = simhashUdf(toks)
+
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) 0L
+    else {
+      val votes = new Array[Int](60)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      toks.foreach { t =>
+        val hex = digest.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        var i = 0
+        while (i < 60) {
+          val nib = Character.digit(hex.charAt(i / 4), 16)
+          val bit = (nib >> (i % 4)) & 1
+          votes(i) += (if (bit == 1) 1 else -1)
+          i += 1
+        }
+      }
+      (0 until 60).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+    }
+  }
+
+  /** Hamming distance between two simhash values — the near-dup
+    * distance for clustering/bucketing simhashes.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

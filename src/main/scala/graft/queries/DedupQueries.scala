@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.io.Tables.table
+import graft.similarity.Ann
+
+/** Deduplication + similarity-search surface (SURVEY.md M11 and the
+  * LLM-pipeline extensions): exact dedup, MinHash+LSH, Jaccard
+  * verification, SimHash, brute-force and LSH-bucketed ANN.
+  *
+  * The sf tables contain no exact duplicates, so the dedup queries
+  * deterministically inject them (re-adding low-id docs under
+  * shifted ids) — the oracle does the same, so the check is real.
+  */
+object DedupQueries extends QueryPack {
+
+  /** documents ∪ copies of doc_id<50 shifted by +100000. */
+  private def withInjectedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("lang"))
+    d.unionByName(
+      d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-dup groups over a 16-byte digest (never shuffles text).
+    "q41_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(withInjectedDups(s, dir), "doc_id", "text")
+        .filter(col("n_dups") > 1)
+        .orderBy(col("keep_id"))
+    }),
+
+    // Drop dups keeping min-id representative; distribution returns
+    // to the original table's.
+    "q42_dedup_drop" -> ((s, dir) => {
+      Dedup.dropExactDups(withInjectedDups(s, dir), "doc_id", "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // MinHash signatures (k=8 md5 min-hashes over 3-shingles).
+    "q43_minhash_sig" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_join(
+            Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 8), "|")
+            .as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidate pairs (4 bands × 2 rows) — equi-join on band key.
+    "q44_lsh_pairs" -> ((s, dir) => {
+      Dedup.lshCandidates(table(s, dir, "documents")
+        .filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact Jaccard verification on the LSH candidates only.
+    "q45_jaccard_cands" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      Dedup.jaccardOnCandidates(docs, cands, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash (60-bit, md5-nibble votes).
+    "q46_simhash" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
+            .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-pairs: bucket by 16-bit prefix (equi-join), then
+    // Hamming-distance filter inside buckets.
+    "q47_simhash_pairs" -> ((s, dir) => {
+      val sims = table(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
+            .as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 44))
+      val a = sims.select(col("bucket"), col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      val b = sims.select(col("bucket"), col("doc_id").as("id_b"),
+        col("simhash").as("sim_b"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hammingDist(col("sim_a"), col("sim_b")))
+        .filter(col("hamming") <= 20)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-5 (correctness baseline for ANN).
+    "q48_ann_cosine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (scale path; recall < 1 by design) — the
+    // hyperplanes are deterministic integer hashes, so the oracle
+    // reproduces them exactly.
+    "q49_ann_lsh" -> ((s, dir) => {
+      Ann.lshTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // ---- oracle SQL builders (shared fragments) ----
+
+  private val toks = "string_split(text, ' ')"
+  /** 3-shingles as a distinct list. */
+  private val shingles =
+    s"list_distinct(list_transform(range(1, len($toks) - 1), " +
+      s"i -> array_to_string($toks[i:i+2], ' ')))"
+
+  private def minhashSql(seed: Int, sh: String = "sh"): String =
+    s"list_min(list_transform($sh, x -> md5('$seed:' || x)))"
+
+  private def bandSql(b: Int): String =
+    s"md5('band$b:' || mh${2 * b} || '|' || mh${2 * b + 1})"
+
+  private val sigCte = {
+    val mhs = (0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
+    s"""sh AS (SELECT doc_id, $shingles AS sh FROM documents),
+       |mh AS (SELECT doc_id, $mhs FROM sh)""".stripMargin
+  }
+
+  private val bandsCte = {
+    val bandList = (0 until 4).map(bandSql).mkString("[", ", ", "]")
+    s"""$sigCte,
+       |bands AS (SELECT doc_id, unnest($bandList) AS band FROM mh)""".stripMargin
+  }
+
+  private val simhashCte =
+    s"""tok AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN ((strpos('0123456789abcdef',
+       |          substr(md5(tk), (i // 4) + 1, 1)) - 1) >> (i % 4)) & 1 = 1
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM tok, range(60) r(i) GROUP BY doc_id, i),
+       |sims AS (
+       |  SELECT doc_id, cast(sum(CASE WHEN vote > 0
+       |    THEN 1::BIGINT << i ELSE 0::BIGINT END) as bigint) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val cosineCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |      FROM embeddings)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q41_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS h, min(doc_id) AS keep_id,
+        |       cast(count(*) as bigint) AS n_dups
+        |FROM u GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "q42_dedup_drop" ->
+      """SELECT lang, cast(count(*) as bigint) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q43_minhash_sig" -> {
+      val sigJoin = (0 until 8).map(i => s"mh$i").mkString(" || '|' || ")
+      s"""WITH $sigCte
+         |SELECT doc_id, $sigJoin AS sig
+         |FROM mh WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    },
+    "q44_lsh_pairs" -> {
+      s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT doc_id, $shingles AS sh FROM docs0),
+         |mh AS (SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")} FROM sh),
+         |bands AS (SELECT doc_id, unnest(${(0 until 4).map(bandSql).mkString("[", ", ", "]")}) AS band FROM mh)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q45_jaccard_cands" -> {
+      s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT doc_id, $shingles AS sh FROM docs0),
+         |mh AS (SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")} FROM sh),
+         |bands AS (SELECT doc_id, unnest(${(0 until 4).map(bandSql).mkString("[", ", ", "]")}) AS band FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  cast(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) as int) AS inter,
+         |  cast(len(sa.sh) + len(sb.sh)
+         |       - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) as int) AS uni,
+         |  round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+         |    (len(sa.sh) + len(sb.sh)
+         |     - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 4) AS jaccard
+         |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+         |          JOIN sh sb ON cand.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q46_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sims
+         |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q47_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bk AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sims)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 20
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q48_ann_cosine" ->
+      s"""WITH $cosineCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, e.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q49_ann_lsh" -> {
+      val sigExpr = (0 until 8).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(range(0, 64), d ->
+           |  v[d+1] * ((((d * 2654435761 + ${j.toLong * 40503L + 17L}) % 1000 + 1000) % 1000)
+           |            / 500.0 - 1.0))) > 0
+           | THEN 1::BIGINT << $j ELSE 0::BIGINT END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH $cosineCte,
+         |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  )
+}
