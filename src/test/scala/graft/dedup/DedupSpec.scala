@@ -1,0 +1,84 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a sleepy dog"), // near dup
+    (4L, "completely different text about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the duplicate pair with min-id representative") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"n_dups" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    assert(groups(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("dropExactDups keeps one representative and is idempotent") {
+    val once = Dedup.dropExactDups(docs, "doc_id", "text")
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    val twice = Dedup.dropExactDups(once, "doc_id", "text")
+    assert(twice.count() == once.count())
+  }
+
+  test("identical docs have identical minhash signatures") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 8)
+  }
+
+  test("minhash signature agreement tracks jaccard similarity") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    def agree(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).count { case (x, y) => x == y }
+    // near dup (1,3) must agree on more components than unrelated (1,4)
+    assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)))
+  }
+
+  test("lshCandidates surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccardOnCandidates computes exact jaccard") {
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardOnCandidates(docs, cands, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: identical text → distance 0; near dup closer than unrelated") {
+    val sims = docs.select($"doc_id",
+      Dedup.simhash60(graft.text.TextFunctions.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) == 0)
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)))
+    // 60-bit: no simhash uses the top 4 bits
+    assert(sims.values.forall(s => s >= 0 && (s >> 60) == 0))
+  }
+
+  test("hammingDist column matches JVM bitCount") {
+    val out = Seq((0xF0L, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hammingDist($"a", $"b").as("h")).as[Int].head()
+    assert(out == 8)
+  }
+}
