@@ -13,7 +13,8 @@ object SparkEntry {
     FunctionQueries,
     WindowQueries,
     TextQueries,
-    DedupQueries)
+    DedupQueries,
+    NlpQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML cleaning and entity tagging (SURVEY.md F13; reference
+  * ArticleInfoProcess.scala:61 `Jsoup.parse(html).text()` and
+  * NewsMarkProcess.scala:153-203 DOM-walking entity tagger).
+  *
+  * The reference shells out to jsoup per row. Here both kernels are
+  * regexp chains over built-in functions — fully codegen'd, no UDF,
+  * no per-row parser allocation — which is what lets them run as a
+  * map-side-only pass over 100 TB of html. The contract is the
+  * reference's observable behavior (tags stripped, entities
+  * unescaped, whitespace squashed; keywords wrapped word-boundary
+  * safely), not jsoup's DOM model.
+  */
+object Html {
+
+  /** html → visible text: drop script/style subtrees, strip tags,
+    * unescape the common entities, squash whitespace.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  val entityOpen = "<i class=\"graft-entity-words\">"
+  val entityClose = "</i>"
+
+  /** Wrap every word-boundary occurrence of a dictionary keyword in
+    * the entity marker (the reference's `apus-entity-words` idiom).
+    * The dictionary travels inside the compiled regex — effectively
+    * broadcast once per executor, zero per-row cost beyond the match.
+    * Keywords are alternated longest-first so multi-word entities win
+    * over their prefixes.
+    */
+  def tagEntities(text: Column, keywords: Seq[String]): Column = {
+    require(keywords.nonEmpty, "empty entity dictionary")
+    val alternation = keywords.distinct
+      .sortBy(k => (-k.length, k))
+      .map(java.util.regex.Pattern.quote)
+      .mkString("|")
+    regexp_replace(text, s"\\b($alternation)\\b", s"$entityOpen$$1$entityClose")
+  }
+
+  /** Count of tagged entities in already-tagged text. */
+  def entityCount(tagged: Column): Column =
+    size(regexp_extract_all(tagged,
+      lit(java.util.regex.Pattern.quote(entityOpen)), lit(0)))
+}
