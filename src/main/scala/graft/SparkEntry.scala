@@ -14,7 +14,8 @@ object SparkEntry {
     WindowQueries,
     TextQueries,
     DedupQueries,
-    NlpQueries)
+    NlpQueries,
+    MlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

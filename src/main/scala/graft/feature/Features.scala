@@ -1,0 +1,109 @@
+package graft.feature
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Feature-engineering operators (SURVEY.md M4/M14; reference
+  * UserTextLabelCalc.scala:20-159, PrepData.scala:99-251,
+  * LightldaPreProcess.scala:111-280).
+  *
+  * The reference hashes terms through `HashingTF` (80M buckets) so
+  * scores depend on murmur bucketing; we keep exact terms — no
+  * collisions, every number independently recomputable — and express
+  * the pipelines as aggregations + window functions that Catalyst
+  * plans with map-side partial aggregation. The (entity,term)
+  * aggregate is the dominant shuffle at 100 TB and is unavoidable
+  * for exact TF; everything downstream reuses that reduced
+  * intermediate instead of rescanning raw tokens.
+  */
+object Features {
+
+  /** Term frequencies per entity: (entity, term, tf). */
+  def termFreq(df: DataFrame, entityCol: String, tokensCol: String): DataFrame =
+    df.select(col(entityCol), explode(col(tokensCol)).as("term"))
+      .groupBy(col(entityCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed IDF over entities: ln((N+1)/(df+1)) — the reference's
+    * formula (TFIDF.scala:110, and what `ml.feature.IDF` computes).
+    */
+  def idf(tf: DataFrame, entityCol: String, nEntities: Long): DataFrame =
+    tf.groupBy(col("term"))
+      .agg(countDistinct(col(entityCol)).as("df"))
+      .withColumn("idf", log((lit(nEntities) + 1.0) / (col("df") + 1.0)))
+
+  /** Normalized TF-IDF tagging (M4): min-max normalize TF within
+    * each entity and IDF across the corpus, multiply, keep top-k
+    * labels per entity. Degenerate ranges (max == min) normalize
+    * to 1 so single-term entities still score.
+    *
+    * Both normalizations are window/aggregate expressions over the
+    * already-reduced tf table — no second pass over raw tokens.
+    */
+  def normalizedTfidfTags(df: DataFrame, entityCol: String,
+      tokensCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val n = df.select(countDistinct(col(entityCol))).first().getLong(0)
+    val tf = termFreq(df, entityCol, tokensCol)
+    val idfDf = idf(tf, entityCol, n)
+
+    val perEntity = Window.partitionBy(col(entityCol))
+    val ntf = {
+      val mn = min(col("tf")).over(perEntity)
+      val mx = max(col("tf")).over(perEntity)
+      when(mx === mn, lit(1.0))
+        .otherwise((col("tf") - mn).cast("double") / (mx - mn).cast("double"))
+    }
+    val scoredTf = tf.withColumn("ntf", ntf)
+
+    val idfStats = idfDf.agg(min("idf").as("mn"), max("idf").as("mx")).first()
+    val (mnIdf, mxIdf) = (idfStats.getDouble(0), idfStats.getDouble(1))
+    val nidf =
+      if (mxIdf == mnIdf) lit(1.0)
+      else (col("idf") - mnIdf) / (mxIdf - mnIdf)
+
+    val scored = scoredTf
+      .join(idfDf.select(col("term"), nidf.as("nidf")), "term")
+      .withColumn("score", round(col("ntf") * col("nidf"), roundTo))
+      .select(col(entityCol), col("term"), col("score"))
+    Relational.topKPerGroup(scored, Seq(col(entityCol)),
+      Seq(col("score").desc, col("term")), k)
+  }
+
+  /** Stable vocabulary: distinct terms sorted, 1-based contiguous
+    * ids (M14's `wid` dictionary; reference builds it with RDD
+    * zipWithIndex over an unspecified order — we fix the order so
+    * ids are reproducible).
+    */
+  def vocabulary(tf: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("term"))
+    tf.select(col("term")).distinct()
+      .withColumn("wid", row_number().over(w).cast("long"))
+  }
+
+  /** UCI docword triples (M14): (did, wid, tf) sorted. */
+  def uciDocword(df: DataFrame, entityCol: String,
+      tokensCol: String): DataFrame = {
+    val tf = termFreq(df, entityCol, tokensCol)
+    tf.join(vocabulary(tf), "term")
+      .select(col(entityCol).as("did"), col("wid"), col("tf"))
+  }
+
+  /** libsvm-style lines (M14): `did wid:tf wid:tf ...` with features
+    * ordered by wid — built with an array sort inside the group, not
+    * a driver-side collect.
+    */
+  def libsvmLines(df: DataFrame, entityCol: String,
+      tokensCol: String): DataFrame =
+    uciDocword(df, entityCol, tokensCol)
+      .groupBy(col("did"))
+      .agg(collect_list(struct(col("wid"), col("tf"))).as("feats"))
+      .select(col("did"),
+        concat(col("did").cast("string"), lit(" "),
+          array_join(
+            transform(array_sort(col("feats")),
+              s => concat(s.getField("wid"), lit(":"), s.getField("tf"))),
+            " ")).as("line"))
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.feature.Features
+import graft.io.Tables.table
+import graft.text.TextFunctions
+import graft.topic.Topics
+
+/** Feature/topic-model surface (SURVEY.md M4/M12-M15): normalized
+  * TF-IDF tagging, UCI/libsvm corpus exports, LDA, Word2Vec. Export
+  * and tagging queries are exact and oracle-verified; model queries
+  * (LDA/W2V) are seeded-deterministic but not reproducible by a SQL
+  * engine, so they carry rows-only checks.
+  */
+object MlQueries extends QueryPack {
+
+  private def toks = TextFunctions.tokens(col("text"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M4: per-source label tags, min-max normalized tf × idf, top-10.
+    "q60_user_tfidf" -> ((s, dir) => {
+      Features.normalizedTfidfTags(
+        table(s, dir, "documents").select(col("source"), toks.as("toks")),
+        "source", "toks", k = 10)
+        .orderBy(col("source"), col("score").desc, col("term"))
+    }),
+
+    // M14: UCI docword triples with a stable sorted vocabulary.
+    "q61_uci_docword" -> ((s, dir) => {
+      Features.uciDocword(
+        table(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), toks.as("toks")),
+        "doc_id", "toks")
+        .orderBy(col("did"), col("wid"))
+    }),
+
+    // M14: libsvm line assembly (wid:tf features ordered by wid).
+    "q62_libsvm_lines" -> ((s, dir) => {
+      Features.libsvmLines(
+        table(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), toks.as("toks")),
+        "doc_id", "toks")
+        .orderBy(col("did"))
+    }),
+
+    // M12/M13: LDA topic descriptions (rows-only: seeded model).
+    "q63_lda_topics" -> ((s, dir) => {
+      Topics.ldaTopics(
+        table(s, dir, "documents").select(toks.as("toks")),
+        "toks", k = 5)
+    }),
+
+    // M13: per-document dominant topic histogram (rows-only).
+    "q64_lda_doc_topics" -> ((s, dir) => {
+      Topics.ldaDominantTopic(
+        table(s, dir, "documents").select(col("doc_id"), toks.as("toks")),
+        "doc_id", "toks", k = 5)
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"))
+    }),
+
+    // M15: Word2Vec vocabulary embedding norms (rows-only).
+    "q65_word2vec" -> ((s, dir) => {
+      val norm = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        math.rint(math.sqrt(v.toArray.map(x => x * x).sum) * 1000) / 1000)
+      Topics.word2vec(
+        table(s, dir, "documents").select(toks.as("toks")), "toks")
+        .select(col("word"), norm(col("vector")).as("vnorm"))
+        .orderBy(col("word"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_user_tfidf" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT source, term, count(*) AS tf FROM tk GROUP BY source, term),
+        |idf AS (
+        |  SELECT term, ln(((SELECT count(DISTINCT source) FROM documents) + 1.0)
+        |                  / (count(DISTINCT source) + 1.0)) AS idf
+        |  FROM tf GROUP BY term),
+        |ntf AS (
+        |  SELECT source, term, tf,
+        |    CASE WHEN max(tf) OVER (PARTITION BY source)
+        |              = min(tf) OVER (PARTITION BY source) THEN 1.0
+        |         ELSE (tf - min(tf) OVER (PARTITION BY source))
+        |              / cast(max(tf) OVER (PARTITION BY source)
+        |                     - min(tf) OVER (PARTITION BY source) as double)
+        |    END AS ntf
+        |  FROM tf),
+        |nidf AS (
+        |  SELECT term,
+        |    CASE WHEN max(idf) OVER () = min(idf) OVER () THEN 1.0
+        |         ELSE (idf - min(idf) OVER ())
+        |              / (max(idf) OVER () - min(idf) OVER ())
+        |    END AS nidf
+        |  FROM idf),
+        |scored AS (
+        |  SELECT ntf.source, ntf.term, round(ntf.ntf * nidf.nidf, 4) AS score
+        |  FROM ntf JOIN nidf ON ntf.term = nidf.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT source, term, score FROM ranked WHERE rn <= 10
+        |ORDER BY source, score DESC, term""".stripMargin,
+    "q61_uci_docword" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        |vocab AS (
+        |  SELECT term, row_number() OVER (ORDER BY term) AS wid
+        |  FROM (SELECT DISTINCT term FROM tf))
+        |SELECT tf.doc_id AS did, vocab.wid, tf.tf
+        |FROM tf JOIN vocab ON tf.term = vocab.term
+        |ORDER BY did, wid""".stripMargin,
+    "q62_libsvm_lines" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        |vocab AS (
+        |  SELECT term, row_number() OVER (ORDER BY term) AS wid
+        |  FROM (SELECT DISTINCT term FROM tf)),
+        |dw AS (
+        |  SELECT tf.doc_id AS did, vocab.wid, tf.tf
+        |  FROM tf JOIN vocab ON tf.term = vocab.term)
+        |SELECT did,
+        |  did || ' ' || string_agg(wid || ':' || tf, ' ' ORDER BY wid) AS line
+        |FROM dw GROUP BY did ORDER BY did""".stripMargin
+  )
+}

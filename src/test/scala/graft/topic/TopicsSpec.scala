@@ -1,0 +1,43 @@
+package graft.topic
+
+import graft.SparkSpec
+
+class TopicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two clearly separable "topics": fruit docs and engine docs.
+  private def docs = Seq(
+    (1L, Seq("apple", "banana", "apple", "cherry")),
+    (2L, Seq("banana", "apple", "banana")),
+    (3L, Seq("shuffle", "join", "shuffle", "scan")),
+    (4L, Seq("join", "scan", "shuffle"))
+  ).toDF("id", "toks")
+
+  test("ldaTopics returns k seeded topics over the vocabulary") {
+    val topics = Topics.ldaTopics(docs, "toks", k = 2, maxIter = 20)
+      .as[(Int, String, Double)].collect()
+    assert(topics.length == 2)
+    assert(topics.map(_._1).toSeq == Seq(0, 1))
+    assert(topics.forall(_._3 > 0.0))
+    val vocab = Set("apple", "banana", "cherry", "shuffle", "join", "scan")
+    assert(topics.forall(_._2.split(",").forall(vocab.contains)))
+  }
+
+  test("ldaDominantTopic assigns every doc a topic in range") {
+    val out = Topics.ldaDominantTopic(docs, "id", "toks", k = 2, maxIter = 20)
+      .as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.values.forall(t => t >= 0 && t < 2))
+    // same-topic docs cluster together
+    assert(out(1L) == out(2L))
+    assert(out(3L) == out(4L))
+  }
+
+  test("word2vec embeds every above-threshold word at the set dim") {
+    val vecs = Topics.word2vec(docs, "toks", dim = 4, minCount = 2)
+      .as[(String, org.apache.spark.ml.linalg.Vector)].collect().toMap
+    // words with count >= 2: apple(3) banana(3) shuffle(3) join(2) scan(2)
+    assert(vecs.keySet == Set("apple", "banana", "shuffle", "join", "scan"))
+    assert(vecs.values.forall(_.size == 4))
+  }
+}
