@@ -15,7 +15,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     NlpQueries,
-    MlQueries)
+    MlQueries,
+    GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

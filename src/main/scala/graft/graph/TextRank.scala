@@ -1,0 +1,101 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.Relational
+import graft.text.TextFunctions
+
+/** TextRank keyword scoring (SURVEY.md M5; reference
+  * TextRank.scala:20-125 builds a GraphX graph and calls
+  * `pageRank(0.0001)`).
+  *
+  * Here the co-occurrence graph is a DataFrame of edges and PageRank
+  * is a fixed-iteration power loop of join+aggregate — the same
+  * shuffle pattern GraphX's Pregel produces, but visible to Catalyst
+  * (AQE sizes each iteration's shuffle) and exactly reproducible by
+  * any engine, which makes the scores oracle-verifiable. Fixed
+  * iteration count (not a convergence tolerance) keeps the result
+  * deterministic across cluster sizes.
+  *
+  * Scale notes: edges/out-degrees are computed once and persisted;
+  * each iteration shuffles only (word, score) pairs — the graph
+  * stays partitioned by source word. For web-scale graphs swap in
+  * GraphX's pageRank; for vocabulary graphs (≤ millions of nodes)
+  * this loop is simpler and plans better.
+  */
+object TextRank {
+
+  /** Undirected co-occurrence edges from consecutive tokens
+    * (window=2, the reference's window): both directions, distinct,
+    * self-loops dropped.
+    */
+  def coocEdges(docs: DataFrame, tokensCol: String): DataFrame = {
+    val bg = docs
+      .select(explode(TextFunctions.ngrams(col(tokensCol), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+    bg.select(col("a"), col("b"))
+      .unionByName(bg.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+  }
+
+  /** Fixed-iteration PageRank over an edge list. Returns
+    * (word, score) with scores rounded to `roundTo`.
+    */
+  def pagerank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, roundTo: Int = 4): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = outdeg.count()
+    var scores = outdeg.select(col("a").as("word"),
+      lit(1.0 / n).as("score"))
+    for (_ <- 1 to iterations) {
+      scores = e
+        .join(scores, e("a") === scores("word"))
+        .join(outdeg, "a")
+        .select(col("b"), (col("score") / col("deg")).as("contrib"))
+        .groupBy(col("b"))
+        .agg(sum(col("contrib")).as("mass"))
+        .select(col("b").as("word"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("score"))
+    }
+    // Persist the converged scores: downstream consumers (phrase
+    // scoring joins both sides against them, broadcasts recompute
+    // their subplan) would otherwise re-run all `iterations` rounds
+    // per reference. Same pattern as GraphX's per-superstep persist.
+    scores.select(col("word"), round(col("score"), roundTo).as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Corpus-level word scores for a tokenized document table. */
+  def wordScores(docs: DataFrame, tokensCol: String,
+      iterations: Int = 10): DataFrame =
+    pagerank(coocEdges(docs, tokensCol), iterations)
+
+  /** Top-k 2-gram phrases per document scored by summed node scores
+    * (reference TextRank.scala:90-95 scores 2-grams the same way).
+    */
+  def topPhrases(docs: DataFrame, idCol: String, tokensCol: String,
+      scores: DataFrame, k: Int): DataFrame = {
+    val phrases = docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.ngrams(col(tokensCol), 2)))
+          .as("phrase"))
+      .select(col(idCol), col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("a"),
+        split(col("phrase"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sa = scores.select(col("word").as("a"), col("score").as("score_a"))
+    val sb = scores.select(col("word").as("b"), col("score").as("score_b"))
+    val scored = phrases
+      .join(broadcast(sa), "a").join(broadcast(sb), "b")
+      .select(col(idCol), col("phrase"),
+        round(col("score_a") + col("score_b"), 4).as("score"))
+    Relational.topKPerGroup(scored, Seq(col(idCol)),
+      Seq(col("score").desc, col("phrase")), k)
+  }
+}

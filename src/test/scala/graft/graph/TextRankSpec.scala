@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    Tuple1(Seq("a", "b", "a", "c")),
+    Tuple1(Seq("b", "a", "d"))
+  ).toDF("toks")
+
+  test("coocEdges: undirected distinct consecutive pairs, no self-loops") {
+    val edges = TextRank.coocEdges(docs, "toks")
+      .as[(String, String)].collect().toSet
+    // pairs: (a,b),(b,a),(a,c),(b,a),(a,d) → undirected closure
+    assert(edges == Set(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("a", "d"), ("d", "a")))
+  }
+
+  test("pagerank: scores sum to ~1 and hub node ranks highest") {
+    val scores = TextRank.wordScores(docs, "toks")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(scores.values.sum - 1.0) < 0.01)
+    // 'a' neighbors everything → highest score
+    assert(scores("a") > scores("b"))
+    assert(scores("b") > scores("c") - 1e-9)
+    assert(scores("c") == scores("d")) // symmetric leaves tie exactly
+  }
+
+  test("pagerank is deterministic across runs") {
+    val a = TextRank.wordScores(docs, "toks").as[(String, Double)]
+      .collect().toMap
+    val b = TextRank.wordScores(docs, "toks").as[(String, Double)]
+      .collect().toMap
+    assert(a == b)
+  }
+
+  test("topPhrases scores distinct bigrams by summed node scores") {
+    val withIds = Seq((1L, Seq("a", "b", "a", "c")))
+      .toDF("id", "toks")
+    val scores = TextRank.wordScores(docs, "toks")
+    val out = TextRank.topPhrases(withIds, "id", "toks", scores, k = 2)
+      .select("phrase", "score").as[(String, Double)].collect().toMap
+    val s = scores.as[(String, Double)].collect().toMap
+    // b and c are graph-symmetric → all phrases tie on s(a)+s(x);
+    // the deterministic phrase-asc tiebreak keeps "a b", "a c"
+    assert(out.keySet == Set("a b", "a c"))
+    assert(out.values.forall(_ > 0))
+    assert(math.abs(out("a b") - math.rint((s("a") + s("b")) * 10000) / 10000)
+      < 1e-9)
+  }
+}
