@@ -16,7 +16,8 @@ object SparkEntry {
     DedupQueries,
     NlpQueries,
     MlQueries,
-    GraphQueries)
+    GraphQueries,
+    EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

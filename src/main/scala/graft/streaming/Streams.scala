@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming module (SURVEY.md §2.1 S14-S18, §2.11;
+  * reference DataLoader.scala:96-253 source/sink wrappers).
+  *
+  * The reference's streaming surface is ingestion plumbing only —
+  * no watermarks or stateful operators. We reproduce its source/sink
+  * matrix and add the event-time layer a modern engine needs
+  * (declared extension per SURVEY §2.11): watermarked tumbling/
+  * sliding windows and timeout-based sessionization. All operators
+  * are incremental: state lives in the state store keyed by
+  * group/window, scales horizontally with shuffle partitions, and
+  * late data past the watermark is dropped deterministically.
+  */
+object Streams {
+
+  // ---- sources (S14, S15) ----
+
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Kafka source with the reference's options
+    * (DataLoader.scala:118-131): key/value cast to string.
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, subscribe: String,
+      startingOffsets: String = "latest", minPartitions: Option[Int] = None,
+      failOnDataLoss: Boolean = false): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", subscribe)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+    minPartitions.foreach(n => r.option("minPartitions", n.toString))
+    r.load().selectExpr("CAST(key AS STRING) AS key",
+      "CAST(value AS STRING) AS value", "topic", "partition", "offset",
+      "timestamp")
+  }
+
+  // ---- sinks (S16, S17, S18) ----
+
+  def memorySink(df: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode).start()
+
+  def consoleSink(df: DataFrame, outputMode: OutputMode = OutputMode.Append(),
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    df.writeStream.format("console").outputMode(outputMode)
+      .trigger(trigger).start()
+
+  /** Streaming parquet sink (S17): checkpointed, optionally
+    * partitioned, processing-time trigger.
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
+
+  /** Kafka sink (S18): requires (key, value) string columns. */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  // ---- event-time layer (declared extension) ----
+
+  /** Watermarked tumbling (or sliding, when `slide` is set) window
+    * aggregation: count + sum(value) per (window, keys).
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, valueCol: String,
+      watermark: String, windowDur: String, slide: Option[String] = None,
+      keys: Seq[String] = Nil): DataFrame = {
+    val win = slide.fold(window(col(tsCol), windowDur))(s =>
+      window(col(tsCol), windowDur, s))
+    events.withWatermark(tsCol, watermark)
+      .groupBy(win +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(Seq(col("window.start").as("win_start"),
+        col("window.end").as("win_end")) ++ keys.map(col) ++
+        Seq(col("n"), col("total")): _*)
+  }
+
+  // ---- stateful sessionization (mapGroupsWithState) ----
+
+  case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  case class Session(userId: Long, startMs: Long, endMs: Long, n: Int,
+    total: Double)
+
+  /** Event-time sessionization: events for a user belong to one
+    * session until `gapMs` of event-time silence. A session is
+    * emitted when the watermark passes its end + gap — fully
+    * deterministic in event time (a processing-time timeout would
+    * re-trigger micro-batches on the wall clock and make results
+    * run-dependent). State is per-user in the state store —
+    * O(active users), not O(events).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n, s.total))
+          } else {
+            val batch = rows.toSeq
+            val tsMin = batch.map(_.ts.getTime).min
+            val tsMax = batch.map(_.ts.getTime).max
+            val cur = state.getOption.getOrElse(SessionState(tsMin, tsMax, 0, 0d))
+            val merged = SessionState(
+              math.min(cur.start, tsMin), math.max(cur.end, tsMax),
+              cur.n + batch.size, cur.total + batch.map(_.value).sum)
+            state.update(merged)
+            // close when the watermark passes the last event + gap
+            state.setTimeoutTimestamp(merged.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch (non-streaming) sessionization over the same contract —
+    * gap-based sessions via window lag, for parity testing and
+    * backfills. Mirrors q31_sessionize's SQL shape.
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val tsMs = (unix_micros(col(tsCol)) / 1000L).cast("long")
+    val newSession = when(
+      tsMs - lag(tsMs, 1).over(byUser) > gapMs, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"))
+  }
+}

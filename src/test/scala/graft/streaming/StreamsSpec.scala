@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int): Timestamp = new Timestamp(sec * 1000L)
+
+  test("windowedAgg: watermarked tumbling windows count and sum") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val agg = Streams.windowedAgg(events, "ts", "value",
+      watermark = "10 seconds", windowDur = "10 seconds",
+      keys = Seq("user_id"))
+    val query = agg.writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts(1), 1L, 1.0), (ts(3), 1L, 2.0),   // window [0,10) user 1
+        (ts(12), 1L, 5.0),                    // window [10,20) user 1
+        (ts(4), 2L, 7.0))                     // window [0,10) user 2
+      query.processAllAvailable()
+      val out = spark.table("win_test")
+        .select(unix_timestamp(col("win_start")).as("w"), col("user_id"),
+          col("n"), col("total"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(out == Set((0L, 1L, 2L, 3.0), (10L, 1L, 1L, 5.0),
+        (0L, 2L, 1L, 7.0)))
+    } finally query.stop()
+  }
+
+  test("windowedAgg sliding windows emit overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val agg = Streams.windowedAgg(events, "ts", "value",
+      watermark = "10 seconds", windowDur = "10 seconds",
+      slide = Some("5 seconds"))
+    val query = agg.writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(7), 1.0))
+      query.processAllAvailable()
+      val wins = spark.table("slide_test")
+        .select(unix_timestamp(col("win_start")).as("w"))
+        .as[Long].collect().sorted
+      assert(wins.toSeq == Seq(0L, 5L)) // event at t=7 is in [0,10) and [5,15)
+    } finally query.stop()
+  }
+
+  test("sessionize emits sessions when the watermark passes end + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 10000L)
+    val query = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts(1), 2.0), Streams.Event(1L, ts(2), 3.0),
+        Streams.Event(2L, ts(5), 7.0))
+      query.processAllAvailable()
+      // watermark still at 0 → no emissions
+      assert(spark.table("sess_test").count() == 0)
+      // an event far in event-time advances the watermark past
+      // end+gap for users 1 and 2; the next batch fires the timeouts
+      input.addData(Streams.Event(3L, ts(100), 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(3L, ts(101), 1.0))
+      query.processAllAvailable()
+      val out = spark.table("sess_test")
+        .as[Streams.Session].collect().map(s => s.userId -> s).toMap
+      assert(out.keySet == Set(1L, 2L))
+      assert(out(1L).n == 2 && out(1L).total == 5.0)
+      assert(out(1L).startMs == 1000L && out(1L).endMs == 2000L)
+      assert(out(2L).n == 1 && out(2L).total == 7.0)
+    } finally query.stop()
+  }
+
+  test("sessionizeBatch groups events separated by more than the gap") {
+    val events = Seq(
+      (1L, ts(1), 1.0), (1L, ts(2), 2.0),   // session 1
+      (1L, ts(100), 4.0),                   // session 2 (98s gap)
+      (2L, ts(5), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Streams.sessionizeBatch(events, "user_id", "ts", "value",
+      gapMs = 30000L)
+      .select("user_id", "n", "total").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("memorySink wrapper wires a query end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val query = Streams.memorySink(
+      input.toDF().select((col("value") * 2).as("doubled")), "mem_test")
+    try {
+      input.addData(1, 2, 3)
+      query.processAllAvailable()
+      assert(spark.table("mem_test").as[Int].collect().sorted.toSeq ==
+        Seq(2, 4, 6))
+    } finally query.stop()
+  }
+}
