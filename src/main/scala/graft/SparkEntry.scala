@@ -17,7 +17,8 @@ object SparkEntry {
     NlpQueries,
     MlQueries,
     GraphQueries,
-    EventQueries)
+    EventQueries,
+    MediaQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

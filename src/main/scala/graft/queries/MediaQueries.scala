@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+import graft.multimodal.Multimodal
+
+/** Multimodal surface: binary media columns built deterministically
+  * from the documents table (magic prefix by doc_id % 4 + utf8 text
+  * payload), then metadata extraction and the stub feature kernel.
+  * The binary plumbing (construction, sniffing, length) is oracle-
+  * verified; the decode boundary itself is the documented stub.
+  */
+object MediaQueries extends QueryPack {
+
+  private def magicLit(bytes: Int*): Column = lit(bytes.map(_.toByte).toArray)
+
+  /** doc_id%4: 0→jpeg, 1→png, 2→wav, 3→bare text (unknown). */
+  private def mediaBin: Column = {
+    val payload = col("text").cast("binary")
+    when(col("doc_id") % 4 === 0,
+      concat(magicLit(0xFF, 0xD8, 0xFF), payload))
+      .when(col("doc_id") % 4 === 1,
+        concat(magicLit(0x89, 0x50, 0x4E, 0x47), payload))
+      .when(col("doc_id") % 4 === 2,
+        concat(magicLit(0x52, 0x49, 0x46, 0x46), payload))
+      .otherwise(payload)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata pass: size + container sniff over the binary, digest
+    // over the payload.
+    "q71_media_metadata" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(mediaBin).as("n_bytes"),
+          Multimodal.mediaFormat(mediaBin).as("fmt"),
+          sha2(col("text").cast("binary"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stub decode: normalized 16-bin byte histogram over the text
+    // payload (ASCII ⇒ byte histogram == char histogram, which is
+    // how the oracle reproduces it).
+    "q72_media_features" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          Multimodal.byteHistogramStub(bins = 16)(
+            col("text").cast("binary")).as("embedding"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q71_media_metadata" ->
+      """SELECT doc_id,
+        |  cast(octet_length(CASE doc_id % 4
+        |    WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+        |    WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+        |    WHEN 2 THEN '\x52\x49\x46\x46'::BLOB || encode(text)
+        |    ELSE encode(text) END) as int) AS n_bytes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |       WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
+        |  sha256(text) AS digest
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q72_media_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(unnest(string_split(text, ''))) % 16 AS bin
+        |  FROM documents WHERE doc_id < 100),
+        |n AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
+        |hist AS (
+        |  SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY doc_id, bin),
+        |packed AS (
+        |  SELECT doc_id, list(bin ORDER BY bin) AS bins,
+        |         list(c ORDER BY bin) AS cs
+        |  FROM hist GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  list_transform(range(0, 16), b ->
+        |    round(coalesce(cs[list_position(bins, b)], 0) * 1.0 / n.n, 4))
+        |    AS embedding
+        |FROM packed p JOIN n ON p.doc_id = n.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+  )
+}

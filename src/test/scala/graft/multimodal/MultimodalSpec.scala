@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpeg = Array(0xFF, 0xD8, 0xFF, 0x10, 0x20).map(_.toByte)
+  private val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte)
+  private val wav = "RIFF1234WAVE".getBytes("UTF-8")
+  private val mp4 = Array(0x00, 0x00, 0x00, 0x18, 0x66, 0x74, 0x79, 0x70)
+    .map(_.toByte)
+  private val junk = "plain text".getBytes("UTF-8")
+
+  private def media = Seq(
+    (1L, jpeg), (2L, png), (3L, wav), (4L, mp4), (5L, junk)
+  ).toDF("media_id", "content")
+
+  test("mediaFormat sniffs containers from magic bytes") {
+    val fmts = media.select($"media_id",
+      Multimodal.mediaFormat($"content").as("fmt"))
+      .as[(Long, String)].collect().toMap
+    assert(fmts == Map(1L -> "jpeg", 2L -> "png", 3L -> "wav",
+      4L -> "mp4", 5L -> "unknown"))
+  }
+
+  test("mediaMetadata returns size, digest, format") {
+    val row = media.filter($"media_id" === 1L)
+      .select(Multimodal.mediaMetadata($"content").as("m"))
+      .select("m.n_bytes", "m.sha256", "m.fmt").collect()(0)
+    assert(row.getInt(0) == 5)
+    assert(row.getString(1).length == 64)
+    assert(row.getString(2) == "jpeg")
+  }
+
+  test("byteHistogramStub: deterministic normalized histogram") {
+    // bytes 0,1,0,1 → bins {0: 0.5, 1: 0.5}
+    val bin = Array[Byte](0, 1, 0, 1)
+    val out = Seq(Tuple1(bin)).toDF("content")
+      .select(Multimodal.byteHistogramStub(4)($"content").as("h"))
+      .as[Seq[Double]].head()
+    assert(out == Seq(0.5, 0.5, 0.0, 0.0))
+    assert(math.abs(out.sum - 1.0) < 1e-9)
+  }
+
+  test("byteHistogramStub handles empty payloads") {
+    val out = Seq(Tuple1(Array.empty[Byte])).toDF("content")
+      .select(Multimodal.byteHistogramStub(4)($"content").as("h"))
+      .as[Seq[Double]].head()
+    assert(out == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("resizeStub truncates or zero-pads to the target size") {
+    val out = Seq(Tuple1("abcdef".getBytes("UTF-8")))
+      .toDF("content")
+      .select(Multimodal.resizeStub(4)($"content").as("r4"),
+        Multimodal.resizeStub(8)($"content").as("r8"))
+      .as[(Array[Byte], Array[Byte])].head()
+    assert(new String(out._1, "UTF-8") == "abcd")
+    assert(out._2.length == 8 && out._2(6) == 0 && out._2(7) == 0)
+  }
+
+  test("frameSampleStub emits full-size strided frames only") {
+    val bytes = (0 until 10).map(_.toByte).toArray // 10 bytes
+    val frames = Seq(Tuple1(bytes)).toDF("content")
+      .select(Multimodal.frameSampleStub($"content", stride = 4,
+        frameSize = 3, maxFrames = 5).as("fr"))
+      .as[Seq[Array[Byte]]].head()
+    // offsets 0,4,8: frame at 8 has only 2 bytes → dropped
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == Seq[Byte](0, 1, 2))
+    assert(frames(1).toSeq == Seq[Byte](4, 5, 6))
+  }
+
+  test("extractFeatures bundles metadata and embedding") {
+    val out = Multimodal.extractFeatures(media, "media_id", "content")
+    assert(out.columns.toSeq == Seq("media_id", "meta", "embedding"))
+    assert(out.count() == 5)
+    val emb = out.filter($"media_id" === 3L)
+      .select("embedding").as[Seq[Double]].head()
+    assert(emb.length == 16)
+    // each bin is rounded to 4 decimals → sum drifts up to 16 * 5e-5
+    assert(math.abs(emb.sum - 1.0) < 1e-3)
+  }
+}
