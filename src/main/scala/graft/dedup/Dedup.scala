@@ -40,6 +40,8 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  import graft.ops.Exprs.bind
+
   /** w-shingles (word n-grams) as the near-dup unit. */
   def shingles(textCol: Column, w: Int = 3): Column =
     array_distinct(TextFunctions.ngrams(TextFunctions.tokens(textCol), w))
@@ -52,19 +54,27 @@ object Dedup {
     array_min(transform(shingles,
       sh => md5(concat(lit(s"$seed:"), sh))))
 
-  /** k-value MinHash signature as array<string>. */
+  /** k-value MinHash signature as array<string>. The shingle array
+    * is bound once; seeds iterate inside the lambda.
+    */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(seed => minhash(shingles, seed)): _*)
+    bind(shingles) { sh =>
+      transform(sequence(lit(0), lit(k - 1)), seed =>
+        array_min(transform(sh,
+          x => md5(concat(seed.cast("string"), lit(":"), x)))))
+    }
 
   /** LSH banding: signature of k values split into `bands` bands of
     * `rowsPerBand` values; each band key is the md5 of its joined
-    * values plus the band index.
+    * values plus the band index. The signature is bound once.
     */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      md5(concat(lit(s"band$b:"),
-        array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")))
-    }: _*)
+    bind(signature) { sig =>
+      array((0 until bands).map { b =>
+        md5(concat(lit(s"band$b:"),
+          array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), "|")))
+      }: _*)
+    }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band.
     * The self-join is an equi-join on the exploded band key —
@@ -73,11 +83,15 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
+    // persisted: both sides of the self-join read this — without it
+    // every signature is hashed twice
     val keyed = docs
       .select(col(idCol),
         bandKeys(minhashSignature(shingles(col(textCol), w), k),
           bands, rowsPerBand).as("bands"))
       .select(col(idCol), explode(col("bands")).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyed.count() // materialize once before the self-join races it
     val a = keyed.select(col("band"), col(idCol).as("id_a"))
     val b = keyed.select(col("band"), col(idCol).as("id_b"))
     a.join(b, "band")
@@ -92,7 +106,9 @@ object Dedup {
     */
   def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    // persisted: joined twice (id_a and id_b sides)
     val sh = docs.select(col(idCol), shingles(col(textCol), w).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")
@@ -123,13 +139,17 @@ object Dedup {
       val votes = new Array[Int](60)
       val digest = java.security.MessageDigest.getInstance("MD5")
       toks.foreach { t =>
-        val hex = digest.digest(t.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        digest.reset()
+        val d = digest.digest(t.getBytes("UTF-8"))
+        // nibble p of the hex string = high/low half of byte p/2 —
+        // read it straight from the bytes (hex-string formatting per
+        // token dominated the sf0.1 profile)
         var i = 0
         while (i < 60) {
-          val nib = Character.digit(hex.charAt(i / 4), 16)
-          val bit = (nib >> (i % 4)) & 1
-          votes(i) += (if (bit == 1) 1 else -1)
+          val p = i / 4
+          val nib =
+            if ((p & 1) == 0) (d(p >> 1) >> 4) & 0xF else d(p >> 1) & 0xF
+          votes(i) += (if (((nib >> (i % 4)) & 1) == 1) 1 else -1)
           i += 1
         }
       }

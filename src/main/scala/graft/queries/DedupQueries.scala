@@ -82,11 +82,13 @@ object DedupQueries extends QueryPack {
     // SimHash near-pairs: bucket by 16-bit prefix (equi-join), then
     // Hamming-distance filter inside buckets.
     "q47_simhash_pairs" -> ((s, dir) => {
+      // persisted: both self-join sides read the simhashes
       val sims = table(s, dir, "documents")
         .select(col("doc_id"),
           Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
             .as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 44))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sims.select(col("bucket"), col("doc_id").as("id_a"),
         col("simhash").as("sim_a"))
       val b = sims.select(col("bucket"), col("doc_id").as("id_b"),

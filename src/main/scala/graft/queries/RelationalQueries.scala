@@ -161,6 +161,11 @@ object RelationalQueries extends QueryPack {
     // Grouped distinct-count + approx sketch lives in q-extensions;
     // exact percentile / median (A5/W7; ref TFIDF.scala:177).
     "q11_percentile" -> ((s, dir) => {
+      // exact percentile via the aggregate (partial aggregation in
+      // parallel). A window-sort variant (ops.Relational
+      // .exactPercentile) was measured SLOWER here: partitionBy on a
+      // 3-value group column serializes 600k rows into 3 tasks —
+      // it wins only when groups are numerous.
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(

@@ -23,7 +23,27 @@ object Ann {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product as a compiled Scala kernel. The equivalent
+    * higher-order-function expression (`aggregate(zip_with(...))`)
+    * runs interpreted per element and dominated the sf0.1 ANN
+    * benchmarks; this loop preserves the exact left-to-right IEEE
+    * accumulation order (same bits, oracle-identical) at JIT speed.
+    */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0d
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** Expression form (for engines/tests that need a UDF-free plan). */
+  def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0d), (acc, v) => acc + v)
 
@@ -35,14 +55,20 @@ object Ann {
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus
     * side streams. Deterministic: rounded score, id tiebreak.
+    * Norms are computed once per vector before the pair join —
+    * inside it they'd be recomputed per pair (O(Q·N) extra array
+    * scans).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -63,16 +89,42 @@ object Ann {
     * into a long. Buckets with equal signatures are cosine-similar
     * candidates; join on the signature instead of crossing.
     */
-  def rhpSignature(vecCol: Column, planes: Int): Column = {
-    (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(asDouble(vecCol),
-          sequence(lit(0L), size(vecCol).cast("long") - 1L),
-          (x, d) => x * hyperplane(j, d)),
-        lit(0d), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def rhpSignature(vecCol: Column, planes: Int): Column =
+    rhpSigUdf(planes)(vecCol)
+
+  /** Compiled kernel for the signature — bit-identical to
+    * [[rhpSignatureExpr]] (same integer hash, same double ops in the
+    * same order) but JIT-compiled instead of interpreted per element.
+    */
+  private def rhpSigUdf(planes: Int) = udf { (v: Seq[Float]) =>
+    var sig = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0d
+      var d = 0
+      while (d < v.length) {
+        val m = ((d.toLong * 2654435761L + (j.toLong * 40503L + 17L))
+          % 1000L + 1000L) % 1000L
+        acc += v(d).toDouble * (m.toDouble / 500.0 - 1.0)
+        d += 1
+      }
+      if (acc > 0) sig += 1L << j
+      j += 1
+    }
+    sig
   }
+
+  /** Expression form of the signature (UDF-free plan). */
+  def rhpSignatureExpr(vecCol: Column, planes: Int): Column =
+    graft.ops.Exprs.bind(asDouble(vecCol)) { v =>
+      (0 until planes).map { j =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+            (x, d) => x * hyperplane(j, d)),
+          lit(0d), (acc, vv) => acc + vv)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** LSH-bucketed ANN: candidates share a signature; exact cosine +
     * top-k only within buckets. Trades recall for never shuffling
@@ -80,15 +132,21 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    // persisted: both self-join sides read signatures + norms
     val sig = corpus.select(col(idCol), col(vecCol),
-      rhpSignature(col(vecCol), planes).as("sig"))
+      rhpSignature(col(vecCol), planes).as("sig"),
+      norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // materialize once — a lazy cache is raced (and thus
+                // computed twice) by the two sides of the self-join
     val a = sig.select(col("sig"), col(idCol).as("query_id"),
-      col(vecCol).as("qv"))
+      col(vecCol).as("qv"), col("nrm").as("qn"))
     val b = sig.select(col("sig"), col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"))
+      col(vecCol).as("cv"), col("nrm").as("cn"))
     val scored = a.join(b, "sig")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
