@@ -18,7 +18,8 @@ object SparkEntry {
     MlQueries,
     GraphQueries,
     EventQueries,
-    MediaQueries)
+    MediaQueries,
+    StructQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

@@ -64,6 +64,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("seeded sample is deterministic and a subset (W6)") {
+    val big = spark.range(0, 1000).toDF("id")
+    val s1 = big.sample(withReplacement = false, 0.1, seed = 42)
+      .as[Long].collect().toSeq
+    val s2 = big.sample(withReplacement = false, 0.1, seed = 42)
+      .as[Long].collect().toSeq
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < 300)
+    assert(s1.forall(i => i >= 0 && i < 1000))
+  }
+
   test("dedupExact keeps first row per key by keep order") {
     val dups = base.unionByName(Seq((10L, "a", 20)).toDF("id", "cls", "v"))
     val out = Relational.dedupExact(dups, Seq("cls", "v"), Seq(col("id")))
