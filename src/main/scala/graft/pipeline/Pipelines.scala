@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.{Labels, Relational}
+import graft.text.{Html, TextFunctions, Tfidf}
+
+/** Runnable pipeline compositions (SURVEY.md §3 E2/E3 and §7's
+  * `pipeline/` module): the reference ships ~40 hand-cloned main()
+  * jobs; here each pipeline is a parameterized function over the
+  * operator library, and [[PipelineDriver]] is the single CLI entry.
+  *
+  * Every stage is a DataFrame transform — the whole pipeline is one
+  * lazy plan per output, so Catalyst fuses cleaning + filtering into
+  * the scan and the only materialization points are the explicit
+  * writes.
+  */
+object Pipelines {
+
+  /** E2's spine — article cleaning: html → text, quality floor,
+    * exact near-dup drop, entity tagging.
+    */
+  def clean(docs: DataFrame, idCol: String, htmlCol: String,
+      entityDict: Seq[String], minChars: Int = 100): DataFrame = {
+    val text = Html.htmlToText(col(htmlCol))
+    val withText = docs
+      .withColumn("content", text)
+      .filter(length(col("content")) >= minChars)
+    val deduped = Dedup.dropExactDups(withText, idCol, "content")
+    if (entityDict.isEmpty) deduped
+    else deduped.withColumn("tagged",
+      Html.tagEntities(col("content"), entityDict))
+  }
+
+  /** One class's slice of a training corpus (M18): predicate,
+    * canonical label, per-class cap.
+    */
+  case class ClassSpec(label: String, predicate: Column, cap: Int)
+
+  /** Config-driven corpus assembly (M18 — replaces the reference's
+    * ~1700 LoC of hand-cloned per-category jobs): each spec filters
+    * + labels + caps, then one balanced union. The caps use the
+    * window form, so the whole assembly is one job.
+    */
+  def assembleCorpus(docs: DataFrame, specs: Seq[ClassSpec],
+      tiebreak: Seq[Column]): DataFrame =
+    specs.map { spec =>
+      Relational.topKPerGroup(
+        docs.filter(spec.predicate).withColumn("label", lit(spec.label)),
+        Seq(col("label")), tiebreak, spec.cap)
+    }.reduce(_.unionByName(_))
+
+  /** E3's spine — entity tagging profiles: tokens per entity →
+    * min-max-normalized TF-IDF → top-k labels per entity.
+    */
+  def entityProfiles(df: DataFrame, entityCol: String, textCol: String,
+      k: Int): DataFrame =
+    graft.feature.Features.normalizedTfidfTags(
+      df.select(col(entityCol),
+        TextFunctions.tokens(col(textCol)).as("toks")),
+      entityCol, "toks", k)
+
+  /** Keyword extraction pipeline: per-doc TF-IDF top terms with
+    * confidence-style thresholding (M3 + M17 shape).
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    Tfidf.topTerms(
+      docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks")),
+      idCol, "toks", k)
+}
+
+/** CLI driver: `runMain graft.pipeline.PipelineDriver <name> <in> <out>`
+  * where name ∈ clean|corpus|profiles|keywords. Mirrors the
+  * reference's spark-submit jobs (DBConfig.scala arg parsing) with
+  * one entry point instead of forty.
+  */
+object PipelineDriver {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: PipelineDriver <clean|corpus|profiles|keywords> <in> <out>")
+    val Array(name, in, out) = args.take(3)
+    val spark = graft.GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      appName = s"graft-$name")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(in)
+    val result = name match {
+      case "clean" =>
+        Pipelines.clean(docs, "doc_id", "text",
+          entityDict = Seq("hash join", "merge"), minChars = 50)
+      case "corpus" =>
+        Pipelines.assembleCorpus(docs, Seq(
+          Pipelines.ClassSpec("short", col("n_chars") < 500, 1000),
+          Pipelines.ClassSpec("long", col("n_chars") >= 500, 1000)),
+          tiebreak = Seq(col("doc_id")))
+      case "profiles" =>
+        Pipelines.entityProfiles(docs, "source", "text", k = 10)
+      case "keywords" =>
+        Pipelines.keywords(docs, "doc_id", "text", k = 5)
+      case other => sys.error(s"unknown pipeline: $other")
+    }
+    result.write.mode(SaveMode.Overwrite).parquet(out)
+    spark.stop()
+  }
+}

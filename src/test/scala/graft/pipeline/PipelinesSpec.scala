@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean: html stripped, short docs dropped, dups removed, entities tagged") {
+    val docs = Seq(
+      (1L, "<p>" + ("the quick brown fox jumps over a hash join plan " * 3)
+        + "</p>"),
+      (2L, "<p>" + ("the quick brown fox jumps over a hash join plan " * 3)
+        + "</p>"), // exact dup of 1 after cleaning
+      (3L, "<b>too short</b>")
+    ).toDF("doc_id", "html")
+    val out = Pipelines.clean(docs, "doc_id", "html",
+      entityDict = Seq("hash join"), minChars = 50)
+    val rows = out.select("doc_id", "content", "tagged")
+      .as[(Long, String, String)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L))
+    assert(!rows(0)._2.contains("<p>"))
+    assert(rows(0)._3.contains(
+      graft.text.Html.entityOpen + "hash join" + graft.text.Html.entityClose))
+  }
+
+  test("assembleCorpus: per-class caps and labels") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 60) 10 else 900))
+      .toDF("doc_id", "n_chars")
+    val corpus = Pipelines.assembleCorpus(docs, Seq(
+      Pipelines.ClassSpec("short", col("n_chars") < 500, cap = 20),
+      Pipelines.ClassSpec("long", col("n_chars") >= 500, cap = 50)),
+      tiebreak = Seq(col("doc_id")))
+    val byLabel = corpus.groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel == Map("short" -> 20L, "long" -> 40L)) // long has only 40
+    // deterministic keep set: lowest doc_ids
+    val kept = corpus.filter($"label" === "short")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == (1L to 20L))
+  }
+
+  test("entityProfiles: top-k tags per entity") {
+    val docs = Seq(
+      ("u1", "spark spark shuffle"),
+      ("u2", "pandas pandas dataframe")).toDF("user", "text")
+    val out = Pipelines.entityProfiles(docs, "user", "text", k = 2)
+    val tags = out.as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(tags("u1").contains("spark"))
+    assert(tags("u2").contains("pandas"))
+    assert(tags.values.forall(_.size <= 2))
+  }
+
+  test("keywords: per-doc tfidf top terms") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta gamma gamma")).toDF("doc_id", "text")
+    val out = Pipelines.keywords(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "alpha", 2L -> "gamma"))
+  }
+}
