@@ -11,9 +11,11 @@ import graft.similarity.Ann
   * LLM-pipeline extensions): exact dedup, MinHash+LSH, Jaccard
   * verification, SimHash, brute-force and LSH-bucketed ANN.
   *
-  * The sf tables contain no exact duplicates, so the dedup queries
-  * deterministically inject them (re-adding low-id docs under
-  * shifted ids) — the oracle does the same, so the check is real.
+  * The dedup queries deterministically inject duplicates (re-adding
+  * low-id docs under shifted ids) — the oracle does the same, so the
+  * check is real. Larger scale factors also carry natural exact
+  * duplicates (8 groups at sf0.1), so the oracles compute the dedup
+  * for real rather than assuming a dup-free base table.
   */
 object DedupQueries extends QueryPack {
 
@@ -173,8 +175,18 @@ object DedupQueries extends QueryPack {
         |FROM u GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
     "q42_dedup_drop" ->
-      """SELECT lang, cast(count(*) as bigint) AS n
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      // computes the dedup for real: at sf0.1 the documents table
+      // carries natural exact duplicates, so "distribution returns
+      // to the original" only holds after dropping them too
+      """WITH u AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents
+        |  WHERE doc_id < 50),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+        |kept AS (SELECT u.lang FROM u JOIN keep ON u.doc_id = keep.doc_id)
+        |SELECT lang, cast(count(*) as bigint) AS n
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q43_minhash_sig" -> {
       val sigJoin = (0 until 8).map(i => s"mh$i").mkString(" || '|' || ")
       s"""WITH $sigCte
