@@ -1,0 +1,25 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions registering graft's native expressions
+  * into the SQL function registry, so `spark.sql("... graft_dot(a,b)
+  * ...")` works and plain-SQL users get the codegen kernels.
+  *
+  * Wire up with either
+  * `.withExtensions(new GraftExtensions)` on the builder or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` in conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        FloatDotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -23,13 +23,22 @@ object Ann {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  /** Dot product as a compiled Scala kernel. The equivalent
-    * higher-order-function expression (`aggregate(zip_with(...))`)
-    * runs interpreted per element and dominated the sf0.1 ANN
-    * benchmarks; this loop preserves the exact left-to-right IEEE
-    * accumulation order (same bits, oracle-identical) at JIT speed.
+  /** Dot product via the native codegen expression
+    * ([[graft.expressions.FloatDotProduct]]): participates in
+    * whole-stage codegen and reads floats straight out of the unsafe
+    * array representation. The equivalent higher-order-function form
+    * runs interpreted per element and a Scala UDF pays a
+    * Seq[Float] conversion per call — all three produce identical
+    * doubles (same left-to-right IEEE accumulation).
     */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.expressions.FloatDotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+  }
+
+  /** UDF form (kept for comparison benchmarks/specs). */
+  private[graft] val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
     var acc = 0d
     var i = 0
     val n = math.min(a.length, b.length)
@@ -39,8 +48,6 @@ object Ann {
     }
     acc
   }
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   /** Expression form (for engines/tests that need a UDF-free plan). */
   def dotExpr(a: Column, b: Column): Column =
