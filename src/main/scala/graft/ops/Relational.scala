@@ -92,6 +92,28 @@ object Relational {
       keepOrder: Seq[Column]): DataFrame =
     topKPerGroup(df, keys.map(col), keepOrder, 1)
 
+  /** Skew-mitigated equi-join by key salting: the left (skewed)
+    * side gets a deterministic salt in [0, buckets) derived from its
+    * whole row, the right side is replicated once per salt value,
+    * and the join runs on (keys :+ salt) — a hot key's rows spread
+    * over `buckets` reducers instead of one. Semantically identical
+    * to `left.join(right, keys)` for 1:N joins (right unique on
+    * keys).
+    *
+    * AQE's skew-join handles most cases at runtime; explicit salting
+    * remains the tool when a single key is so hot that even split
+    * shuffle blocks overwhelm one task, or when AQE is off
+    * (streaming).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    val salt = pmod(hash(left.columns.map(col): _*), lit(buckets))
+    val saltedLeft = left.withColumn("__salt", salt)
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
+  }
+
   /** Exact interpolated percentile per group via distributed sort —
     * same linear-interpolation semantics as Spark's `percentile`
     * aggregate (position p·(n−1) over the sorted values) but
