@@ -76,6 +76,39 @@ object TextRank {
       iterations: Int = 10): DataFrame =
     pagerank(coocEdges(docs, tokensCol), iterations)
 
+  /** GraphX variant of the word scoring (the reference's engine —
+    * TextRank.scala:40-45 builds a GraphX `Graph` and calls
+    * pageRank). Kept alongside the DataFrame loop: GraphX's Pregel
+    * machinery wins on web-scale graphs with many iterations;
+    * the DataFrame loop is oracle-replayable and AQE-planned.
+    * `staticPageRank` scores are per-node mass summing to ~N, so
+    * they are rescaled by 1/N to match the DataFrame loop's
+    * distribution semantics (identical ranking either way).
+    */
+  def wordScoresGraphX(docs: DataFrame, tokensCol: String,
+      iterations: Int = 10, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edgesDf = coocEdges(docs, tokensCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = edgesDf.select(col("a").as("word")).distinct()
+      .rdd.map(_.getString(0)).zipWithIndex().collectAsMap()
+    val idOf = spark.sparkContext.broadcast(vocab)
+    val n = vocab.size
+    val edgeRdd = edgesDf.rdd.map { r =>
+      Edge(idOf.value(r.getString(0)), idOf.value(r.getString(1)), 1.0)
+    }
+    val graph = Graph.fromEdges[Double, Double](edgeRdd, 1.0)
+    val ranks = graph.staticPageRank(iterations, resetProb = 0.15).vertices
+    val back = idOf.value.map(_.swap)
+    val backB = spark.sparkContext.broadcast(back)
+    ranks.map { case (vid, score) =>
+      (backB.value(vid), math.rint(score / n * math.pow(10, roundTo))
+        / math.pow(10, roundTo))
+    }.toDF("word", "score")
+  }
+
   /** Top-k 2-gram phrases per document scored by summed node scores
     * (reference TextRank.scala:90-95 scores 2-grams the same way).
     */

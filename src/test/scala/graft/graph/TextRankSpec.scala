@@ -36,6 +36,20 @@ class TextRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("GraphX variant agrees with the DataFrame loop on ranking") {
+    val df = TextRank.wordScores(docs, "toks")
+      .as[(String, Double)].collect().toMap
+    val gx = TextRank.wordScoresGraphX(docs, "toks")
+      .as[(String, Double)].collect().toMap
+    assert(gx.keySet == df.keySet)
+    // same ranking: 'a' on top, symmetric b/c/d tied underneath
+    assert(gx("a") > gx("b"))
+    assert(math.abs(gx("b") - gx("c")) < 1e-9)
+    assert(math.abs(gx("c") - gx("d")) < 1e-9)
+    // scores land in the same normalized ballpark (sum ≈ 1)
+    assert(math.abs(gx.values.sum - 1.0) < 0.1)
+  }
+
   test("topPhrases scores distinct bigrams by summed node scores") {
     val withIds = Seq((1L, Seq("a", "b", "a", "c")))
       .toDF("id", "toks")
