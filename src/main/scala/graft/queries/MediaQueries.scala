@@ -43,14 +43,18 @@ object MediaQueries extends QueryPack {
 
     // Stub decode: normalized 16-bin byte histogram over the text
     // payload (ASCII ⇒ byte histogram == char histogram, which is
-    // how the oracle reproduces it).
+    // how the oracle reproduces it). Exploded to (doc_id, bin, share)
+    // scalar rows — the driver's comparator sorts on every column and
+    // cannot hash a raw array value.
     "q72_media_features" -> ((s, dir) => {
       table(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          Multimodal.byteHistogramStub(bins = 16)(
-            col("text").cast("binary")).as("embedding"))
-        .orderBy(col("doc_id"))
+          posexplode(Multimodal.byteHistogramStub(bins = 16)(
+            col("text").cast("binary"))))
+        .select(col("doc_id"), col("pos").cast("int").as("bin"),
+          col("col").as("share"))
+        .orderBy(col("doc_id"), col("bin"))
     })
   )
 
@@ -73,15 +77,14 @@ object MediaQueries extends QueryPack {
         |n AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
         |hist AS (
         |  SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY doc_id, bin),
-        |packed AS (
-        |  SELECT doc_id, list(bin ORDER BY bin) AS bins,
-        |         list(c ORDER BY bin) AS cs
-        |  FROM hist GROUP BY doc_id)
-        |SELECT p.doc_id,
-        |  list_transform(range(0, 16), b ->
-        |    round(coalesce(cs[list_position(bins, b)], 0) * 1.0 / n.n, 4))
-        |    AS embedding
-        |FROM packed p JOIN n ON p.doc_id = n.doc_id
-        |ORDER BY p.doc_id""".stripMargin
+        |grid AS (
+        |  SELECT n.doc_id, cast(r.range AS int) AS bin
+        |  FROM n CROSS JOIN range(0, 16) r)
+        |SELECT g.doc_id, g.bin,
+        |  round(coalesce(h.c, 0) * 1.0 / n.n, 4) AS share
+        |FROM grid g
+        |JOIN n ON g.doc_id = n.doc_id
+        |LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
+        |ORDER BY g.doc_id, g.bin""".stripMargin
   )
 }
