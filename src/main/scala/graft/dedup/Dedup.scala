@@ -64,6 +64,56 @@ object Dedup {
           x => md5(concat(seed.cast("string"), lit(":"), x)))))
     }
 
+  /** Compiled kernel computing the exact signature of
+    * [[minhashSignature]] — md5(s"$seed:$shingle") lowercase hex,
+    * lexicographic min per seed — in one pass per row. The nested
+    * transform/array_min expression is interpreted (no codegen for
+    * higher-order functions) and dominated the LSH profile; here one
+    * reused MessageDigest hashes each shingle k times and winners
+    * are compared as unsigned bytes (hex order == unsigned byte
+    * order), with only the k minima hex-formatted at the end.
+    * DedupSpec asserts kernel == expression on real documents.
+    */
+  def minhashSignatureFast(shingles: Column, k: Int): Column =
+    minhashSigUdf(k)(shingles)
+
+  private def minhashSigUdf(k: Int) = udf { (sh: Seq[String]) =>
+    if (sh == null) null
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val shBytes = sh.iterator.map(_.getBytes("UTF-8")).toArray
+      val mins = Array.ofDim[Array[Byte]](k)
+      var s = 0
+      while (s < k) {
+        val prefix = (s.toString + ":").getBytes("UTF-8")
+        var j = 0
+        while (j < shBytes.length) {
+          digest.reset()
+          digest.update(prefix)
+          digest.update(shBytes(j))
+          val d = digest.digest()
+          if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+          j += 1
+        }
+        s += 1
+      }
+      // empty shingle set ⇒ k nulls, matching array_min([]) = null
+      mins.toSeq.map(m =>
+        if (m == null) null
+        else m.map(b => f"$b%02x").mkString)
+    }
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xFF; val bi = b(i) & 0xFF
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** LSH banding: signature of k values split into `bands` bands of
     * `rowsPerBand` values; each band key is the md5 of its joined
     * values plus the band index. The signature is bound once.
@@ -87,7 +137,7 @@ object Dedup {
     // every signature is hashed twice
     val keyed = docs
       .select(col(idCol),
-        bandKeys(minhashSignature(shingles(col(textCol), w), k),
+        bandKeys(minhashSignatureFast(shingles(col(textCol), w), k),
           bands, rowsPerBand).as("bands"))
       .select(col(idCol), explode(col("bands")).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -51,17 +51,31 @@ object TextRank {
     val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = outdeg.count()
+    // Source degree folded into the edge list once, outside the loop —
+    // the reference (and our first cut) re-joined degrees every
+    // iteration, tripling the per-round shuffle count.
+    val ej = e.join(outdeg, "a")
+      .select(col("a"), col("b"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var scores = outdeg.select(col("a").as("word"),
       lit(1.0 / n).as("score"))
     for (_ <- 1 to iterations) {
-      scores = e
-        .join(scores, e("a") === scores("word"))
-        .join(outdeg, "a")
+      scores = ej
+        // Scores are |vocab|-sized — orders of magnitude smaller than
+        // the edge list — so they broadcast and the cached edges never
+        // re-shuffle; the only exchange per round is the groupBy(b).
+        .join(broadcast(scores), ej("a") === scores("word"))
         .select(col("b"), (col("score") / col("deg")).as("contrib"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("mass"))
         .select(col("b").as("word"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("score"))
+        // Eager per-iteration materialization truncates the lineage:
+        // without it the final plan is an `iterations`-deep join tree
+        // that Catalyst re-analyzes in full each round (quadratic
+        // planning). Same per-superstep persist GraphX does; on a real
+        // cluster swap for checkpoint() to a reliable store.
+        .localCheckpoint()
     }
     // Persist the converged scores: downstream consumers (phrase
     // scoring joins both sides against them, broadcasts recompute

@@ -106,15 +106,18 @@ object TextQueries extends QueryPack {
     // Corpus n-gram statistics for n=1..3 (occurrences + distinct),
     // the shape of the reference's ngram corpus jobs (M1/M14).
     "q40_ngram_stats" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      // Single scan: each n's grams are tagged (n, gram) and exploded
+      // together, then one grouped aggregate — the per-n union form
+      // scanned and tokenized the corpus three times.
+      table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
-      val perN = (1 to 3).map { n =>
-        docs.select(explode(T.ngrams(col("toks"), n)).as("gram"))
-          .agg(count(lit(1)).as("occurrences"),
-            countDistinct(col("gram")).as("n_distinct"))
-          .select(lit(n).as("n"), col("occurrences"), col("n_distinct"))
-      }
-      perN.reduce(_ unionByName _).orderBy(col("n"))
+        .select(explode(flatten(array((1 to 3).map(n =>
+          transform(T.ngrams(col("toks"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+        .groupBy(col("t.n").as("n"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("t.gram")).as("n_distinct"))
+        .orderBy(col("n"))
     })
   )
 

@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)))
   }
 
+  test("minhashSignatureFast kernel matches the expression form exactly") {
+    val edge = docs.unionByName(Seq(
+      (5L, "one two"),           // < 3 tokens ⇒ empty shingle set
+      (6L, "unicode tökens with ümlauts repeated tökens here maybe")
+    ).toDF("doc_id", "text"))
+    val both = edge.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 8).as("expr"),
+      Dedup.minhashSignatureFast(Dedup.shingles($"text", 3), 8).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("lshCandidates surfaces exact and near dups, not unrelated docs") {
     val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
