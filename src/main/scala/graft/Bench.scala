@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen init, parquet footer reads, and the
+    // first shuffle's machinery otherwise land entirely on whichever
+    // query the Map iteration happens to run first (~4-5 s of noise on
+    // a sub-second query in earlier rounds). Table counts are metadata-
+    // cheap; the small aggregate exercises codegen + exchange once.
+    graft.io.Tables.names.foreach { n =>
+      try graft.io.Tables.table(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
+    try {
+      spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -81,18 +81,23 @@ object Dedup {
     if (sh == null) null
     else {
       val digest = java.security.MessageDigest.getInstance("MD5")
-      val shBytes = sh.iterator.map(_.getBytes("UTF-8")).toArray
+      // null elements are skipped, matching the expression form:
+      // md5(concat(seed, ':', null)) is null and array_min ignores nulls.
+      val shBytes = sh.iterator
+        .map(x => if (x == null) null else x.getBytes("UTF-8")).toArray
       val mins = Array.ofDim[Array[Byte]](k)
       var s = 0
       while (s < k) {
         val prefix = (s.toString + ":").getBytes("UTF-8")
         var j = 0
         while (j < shBytes.length) {
-          digest.reset()
-          digest.update(prefix)
-          digest.update(shBytes(j))
-          val d = digest.digest()
-          if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+          if (shBytes(j) != null) {
+            digest.reset()
+            digest.update(prefix)
+            digest.update(shBytes(j))
+            val d = digest.digest()
+            if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+          }
           j += 1
         }
         s += 1

@@ -77,6 +77,13 @@ object TextRank {
         // cluster swap for checkpoint() to a reliable store.
         .localCheckpoint()
     }
+    // The eager localCheckpoint above cut `scores`' lineage, so the
+    // graph-side caches can be released now — a long-lived session
+    // running many pagerank calls would otherwise accumulate them
+    // until the ContextCleaner got around to it.
+    ej.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     // Persist the converged scores: downstream consumers (phrase
     // scoring joins both sides against them, broadcasts recompute
     // their subplan) would otherwise re-run all `iterations` rounds

@@ -48,7 +48,10 @@ object MediaQueries extends QueryPack {
     // cannot hash a raw array value.
     "q72_media_features" -> ((s, dir) => {
       table(s, dir, "documents")
-        .filter(col("doc_id") < 100)
+        // The empty-text guard mirrors the oracle's implicit exclusion:
+        // a doc with no characters drops out of its `n` CTE, while the
+        // histogram stub would emit 16 zero-share rows for it.
+        .filter(col("doc_id") < 100 && length(col("text")) > 0)
         .select(col("doc_id"),
           posexplode(Multimodal.byteHistogramStub(bins = 16)(
             col("text").cast("binary"))))
