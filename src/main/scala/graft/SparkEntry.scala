@@ -19,7 +19,10 @@ object SparkEntry {
     GraphQueries,
     EventQueries,
     MediaQueries,
-    StructQueries)
+    StructQueries,
+    TimeJoinQueries,
+    VectorQueries,
+    AnalyticQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

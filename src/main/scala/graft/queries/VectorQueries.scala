@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+import graft.similarity.Ann
+
+/** Vector-at-scale surface beyond q48/q49: IVF cluster-then-probe
+  * ANN (the index shape that bounds the candidate shuffle at 100 TB)
+  * and embedding-cosine near-duplicate extraction (the exact
+  * baseline an approximate candidate pass is measured against).
+  *
+  * Near-dup injects exact copies of low-id vectors — the raw table
+  * has no high-cosine pairs (max ≈ 0.6), and an identical embedding
+  * is precisely what a re-ingested document produces — so the
+  * oracle computes the same dedup for real.
+  */
+object VectorQueries extends QueryPack {
+
+  /** embeddings ∪ two copies of vec_id < 20 (ids +100000/+200000). */
+  private def withInjectedDups(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val low = e.filter(col("vec_id") < 20)
+    e.unionByName(low.withColumn("vec_id", col("vec_id") + 100000L))
+      .unionByName(low.withColumn("vec_id", col("vec_id") + 200000L))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF ANN: 8 deterministic centroids, probe the 2 nearest
+    // clusters per query, exact top-5 within the probed candidates.
+    "q79_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8, nProbe = 2,
+        queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+        k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Exact embedding near-dup pairs at cosine >= 0.99.
+    "q80_embed_dup" -> ((s, dir) => {
+      Ann.cosineDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
+        threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  private val cosineCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |      FROM embeddings)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  def oracles: Map[String, String] = Map(
+    "q79_ann_ivf" ->
+      s"""WITH $cosineCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |          WHERE vec_id < 8),
+         |ac AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id) AS rn
+         |    FROM ac WHERE vec_id >= 20 AND vec_id < 40)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+         |  WHERE p.query_id != a.neighbor_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosSql("q.v", "n.v")} AS cos
+         |  FROM cand JOIN e q ON cand.query_id = q.vec_id
+         |            JOIN e n ON cand.neighbor_id = n.vec_id),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q80_embed_dup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id + 200000, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM u),
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM s
+         |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -84,6 +84,87 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of
+    * `nCentroids` centroids (inverted file), then answer each query
+    * by searching only the `nProbe` clusters whose centroids are
+    * nearest to the query. Centroids here are the vectors with
+    * `id < nCentroids` — a deterministic stand-in for a k-means fit
+    * (the fit is offline at scale; assignment/probe logic is
+    * identical) that keeps the whole operator reproducible by any
+    * engine.
+    *
+    * Scale shape: centroids broadcast (they are k rows); assignment
+    * is one scan of the corpus; the probe phase is an equi-join on
+    * cluster id, so the candidate set is |corpus|·nProbe/nCentroids
+    * per query instead of |corpus| — the standard IVF trade of
+    * recall for a bounded shuffle.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int, queries: DataFrame, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn")))
+
+    // nearest-centroid ranking for an arbitrary vector table
+    def nearestCents(vecs: DataFrame, outId: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__ccos").desc, col("cent_id"))
+      vecs.select(col(idCol).as(outId), col(vecCol).as("v"),
+          norm(col(vecCol)).as("vn"))
+        .crossJoin(cents)
+        // rounded before ranking (like the final top-k): the rank
+        // must not hinge on sub-ulp engine differences
+        .withColumn("__ccos",
+          round(dot(col("v"), col("cv")) / (col("vn") * col("cn")), roundTo))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .select(col(outId), col("cent_id"), col("v"), col("vn"))
+    }
+
+    // inverted file: cluster id per corpus vector (persisted: read
+    // once per probed cluster join)
+    val assigned = nearestCents(corpus, "neighbor_id", 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = nearestCents(queries, "query_id", nProbe)
+      .select(col("query_id"), col("cent_id"),
+        col("v").as("qv"), col("vn").as("qn"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: every (a < b) pair with
+    * rounded cosine at or above `threshold`. This is the exact
+    * (all-pairs) form — the correctness baseline an LSH/IVF
+    * candidate pass ([[lshTopK]]/[[ivfTopK]]) must be measured
+    * against; at 100 TB run those first and apply this scoring only
+    * inside candidate buckets.
+    */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 6): DataFrame = {
+    val side = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    side.count() // materialize once; both self-join sides read it
+    val a = side.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"))
+    val b = side.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): integer-hash mapped to [-1, 1). Exactly reproducible in
     * any engine (pure integer arithmetic + one division).

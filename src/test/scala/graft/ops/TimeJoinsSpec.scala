@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def clicks = Seq(
+    (10L, 1L, ts("2024-01-01 10:00:00")),  // before any purchase
+    (11L, 1L, ts("2024-01-01 12:00:00")),  // after p1
+    (12L, 1L, ts("2024-01-01 14:00:00")),  // exactly at p2 → includes p2
+    (13L, 2L, ts("2024-01-01 09:00:00"))   // user with no purchases
+  ).toDF("event_id", "user_id", "ts")
+
+  private def purchases = Seq(
+    (100L, 1L, ts("2024-01-01 11:00:00"), 5.0),
+    (101L, 1L, ts("2024-01-01 14:00:00"), 7.0)
+  ).toDF("p_event", "user_id", "ts", "p_value")
+    .select($"user_id", $"ts", $"p_event", $"p_value")
+
+  test("asofJoin picks latest right row at or before each left time") {
+    val out = TimeJoins.asofJoin(clicks, purchases, "user_id", "ts")
+      .select($"event_id", $"p_event", $"p_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .sortBy(_._1)
+    assert(out(0) == ((10L, None, None)))              // nothing prior
+    assert(out(1) == ((11L, Some(100L), Some(5.0))))   // p1 latest
+    assert(out(2) == ((12L, Some(101L), Some(7.0))))   // tie at 14:00 → p2
+    assert(out(3) == ((13L, None, None)))              // other user
+  }
+
+  test("asofJoin null payload field does not reach back to older rows") {
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), Some("early"), 1.0),
+      (1L, ts("2024-01-01 13:00:00"), None: Option[String], 2.0)
+    ).toDF("user_id", "ts", "tag", "amt")
+    val left = Seq((50L, 1L, ts("2024-01-01 15:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val row = TimeJoins.asofJoin(left, right, "user_id", "ts")
+      .select($"tag", $"amt").as[(Option[String], Double)].head()
+    // latest right row wins as a unit: its null tag stays null
+    assert(row == ((None, 2.0)))
+  }
+
+  test("rangeJoinBucketed equals the naive range join") {
+    val rows = spark.range(1000).toDF("id")
+      .select($"id", ($"id" * 7 % 997).cast("double").as("v"))
+    val intervals = Seq((0L, 10.0, 130.0), (1L, 100.0, 220.0),
+      (2L, 950.0, 1000.0)).toDF("iv_id", "lo", "hi")
+    val bucketed = TimeJoins.rangeJoinBucketed(
+      rows, "v", intervals, "lo", "hi", bucketWidth = 100.0)
+      .select($"id", $"iv_id").as[(Long, Long)].collect().toSet
+    val naive = rows.join(intervals, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"id", $"iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("rangeJoinBucketed produces no duplicate pairs") {
+    val rows = Seq((1L, 50.0)).toDF("id", "v")
+    // interval spans many buckets; the point must still match once
+    val intervals = Seq((9L, 0.0, 1000.0)).toDF("iv_id", "lo", "hi")
+    val out = TimeJoins.rangeJoinBucketed(
+      rows, "v", intervals, "lo", "hi", bucketWidth = 10.0)
+    assert(out.count() == 1)
+  }
+}

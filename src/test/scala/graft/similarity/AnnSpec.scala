@@ -49,4 +49,44 @@ class AnnSpec extends SparkSpec {
     val q1 = out.filter(_._1 == 1L)
     assert(q1.exists(r => r._2 == 3L && r._3 == 1.0))
   }
+
+  test("ivfTopK searches only probed clusters and ranks exactly") {
+    // 2 well-separated directions; centroids are ids 0/1 by contract
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),   // centroid A
+      (1L, Seq(0.0f, 1.0f, 0.0f)),   // centroid B
+      (10L, Seq(0.9f, 0.1f, 0.0f)),  // cluster A
+      (11L, Seq(0.8f, 0.2f, 0.0f)),  // cluster A
+      (20L, Seq(0.1f, 0.9f, 0.0f))   // cluster B
+    ).toDF("vec_id", "embedding")
+    val out = Ann.ivfTopK(corpus, "vec_id", "embedding",
+      nCentroids = 2, nProbe = 1,
+      queries = corpus.filter($"vec_id" === 10L), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // probe=1 → only cluster A members are candidates; 20L is unseen
+    assert(out.map(_._1).toSet.subsetOf(Set(0L, 10L, 11L)))
+    // cos(q,0)=0.994 beats cos(q,11)=0.991 — the centroid vector is
+    // itself a corpus member and the query's nearest neighbor
+    assert(out.map(_._1).toSeq == Seq(0L, 11L))
+  }
+
+  test("ivfTopK with all clusters probed matches brute force") {
+    val corpus = vecs
+    val queries = corpus.filter($"vec_id" === 4L)
+    val ivf = Ann.ivfTopK(corpus, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 4, queries = queries, k = 3)
+      .select("neighbor_id", "cos", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = Ann.cosineTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "cos", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(ivf == brute)
+  }
+
+  test("cosineDupPairs finds exactly the parallel pairs") {
+    val out = Ann.cosineDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 1.0))) // only the scaled copy
+  }
 }
