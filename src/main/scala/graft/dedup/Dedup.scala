@@ -181,12 +181,21 @@ object Dedup {
     * 1 iff the vote sum is positive. bit i of a token = bit (i%4) of
     * hex nibble (i/4) of md5(token).
     *
-    * Scala kernel (one md5 per token) — the semantics are
-    * hex-arithmetic on md5, so any engine can recompute it; a pure
-    * column-expression form would need 60 aggregates per row and
-    * breaks codegen limits. Map-side only, no state.
+    * Served by the native codegen expression
+    * [[graft.expressions.SimHash60]] — token bytes are hashed
+    * straight out of the unsafe array, no per-row Seq[String]
+    * materialization. The UDF kernel below is kept as the
+    * reference implementation (DedupSpec asserts equality); the
+    * semantics are hex-arithmetic on md5, so any engine can
+    * recompute them.
     */
-  def simhash60(toks: Column): Column = simhashUdf(toks)
+  def simhash60(toks: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.expressions.SimHash60(GraftShim.expression(toks)))
+  }
+
+  /** UDF form (reference kernel for specs/benchmarks). */
+  private[graft] def simhash60Udf(toks: Column): Column = simhashUdf(toks)
 
   private val simhashUdf = udf { (toks: Seq[String]) =>
     if (toks == null) 0L

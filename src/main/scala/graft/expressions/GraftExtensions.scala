@@ -21,5 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         FloatDotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_simhash60 takes exactly 1 argument")
+        SimHash60(children.head)
+      }))
   }
 }

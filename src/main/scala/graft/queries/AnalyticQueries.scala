@@ -46,6 +46,20 @@ object AnalyticQueries extends QueryPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Ranking-function family over a deterministic (unique-key)
+    // order: ntile buckets, percent_rank, cume_dist.
+    "q84_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+      table(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Unpivot wide metric columns to (key, metric, val) long form.
     "q83_unpivot" -> ((s, dir) => {
       table(s, dir, "part")
@@ -76,6 +90,14 @@ object AnalyticQueries extends QueryPack {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q84_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  cast(ntile(4) OVER w as int) AS tile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q83_unpivot" ->
       """SELECT p_partkey, metric, val FROM (
         |  SELECT p_partkey, 'p_retailprice' AS metric,

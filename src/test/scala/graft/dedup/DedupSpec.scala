@@ -96,4 +96,18 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hammingDist($"a", $"b").as("h")).as[Int].head()
     assert(out == 8)
   }
+
+  test("simhash native expression equals the UDF reference kernel") {
+    val toks = graft.text.TextFunctions.tokens($"text")
+    val both = docs.select(
+      Dedup.simhash60(toks).as("expr"),
+      Dedup.simhash60Udf(toks).as("udf"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (e, u) => assert(e == u) }
+    // null array → 0L, matching the UDF's guard
+    val nullCase = Seq(Tuple1(null: Seq[String])).toDF("t")
+      .select(Dedup.simhash60($"t").as("s")).as[Long].head()
+    assert(nullCase == 0L)
+  }
 }

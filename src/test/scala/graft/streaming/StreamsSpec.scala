@@ -110,4 +110,33 @@ class StreamsSpec extends SparkSpec {
         Seq(2, 4, 6))
     } finally query.stop()
   }
+
+  test("parquetSink is exactly-once across a checkpointed restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-stream-restart").toFile
+    val in = new java.io.File(base, "in").getAbsolutePath
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val chk = new java.io.File(base, "chk").getAbsolutePath
+    val schema = spark.range(1).toDF("id").schema
+
+    def source = spark.readStream.schema(schema).parquet(in)
+    def runOnce(): Unit = {
+      val q = Streams.parquetSink(source, out, chk,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    spark.range(0, 100).toDF("id").write.mode("append").parquet(in)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // second run resumes from the checkpoint: only the new files are
+    // processed, nothing is duplicated
+    spark.range(100, 150).toDF("id").write.mode("append").parquet(in)
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect()
+    assert(ids.length == 150)
+    assert(ids.toSet.size == 150) // exactly-once: no replays
+  }
 }
