@@ -70,6 +70,35 @@ object Pipelines {
     Tfidf.topTerms(
       docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks")),
       idCol, "toks", k)
+
+  /** Near-duplicate text dedup, end to end: MinHash-LSH candidates →
+    * exact Jaccard ≥ `jaccardMin` → drop the higher id of every
+    * confirmed pair. Candidate pairs always carry id_a < id_b, so
+    * the minimum id of each duplicate cluster survives (every
+    * non-minimum member appears as some pair's id_b). The all-pairs
+    * product never materializes — LSH bounds the join, jaccard runs
+    * on candidates only.
+    */
+  def nearDedup(docs: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = 0.8): DataFrame = {
+    val cands = Dedup.lshCandidates(docs, idCol, textCol)
+    val dups = Dedup.jaccardOnCandidates(docs, cands, idCol, textCol)
+      .filter(col("jaccard") >= jaccardMin)
+    docs.join(dups.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-cosine dedup: exact pair scoring ≥ `cosMin` → drop
+    * the higher id. Exact (all-pairs) by contract — at corpus scale
+    * run [[graft.similarity.Ann.lshTopK]]/`ivfTopK` candidates first
+    * and score only inside buckets.
+    */
+  def embeddingDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      cosMin: Double = 0.99): DataFrame = {
+    val dups = graft.similarity.Ann.cosineDupPairs(vecs, idCol, vecCol, cosMin)
+    vecs.join(dups.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
 }
 
 /** CLI driver: `runMain graft.pipeline.PipelineDriver <name> <in> <out>`
@@ -100,6 +129,10 @@ object PipelineDriver {
         Pipelines.entityProfiles(docs, "source", "text", k = 10)
       case "keywords" =>
         Pipelines.keywords(docs, "doc_id", "text", k = 5)
+      case "neardedup" =>
+        Pipelines.nearDedup(docs, "doc_id", "text")
+      case "embdedup" =>
+        Pipelines.embeddingDedup(docs, "vec_id", "embedding")
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)

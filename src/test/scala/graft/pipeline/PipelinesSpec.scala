@@ -61,4 +61,28 @@ class PipelinesSpec extends SparkSpec {
       .select("doc_id", "term").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "alpha", 2L -> "gamma"))
   }
+
+  test("nearDedup drops near-duplicates, keeps the min id and uniques") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // exact dup of 1
+      (9L, "completely different content about query engines and joins")
+    ).toDF("doc_id", "text")
+    val kept = Pipelines.nearDedup(docs, "doc_id", "text", jaccardMin = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+  }
+
+  test("embeddingDedup drops cosine-identical vectors keeping min id") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (5L, Seq(2.0f, 0.0f, 0.0f)),   // parallel to 1 → dup
+      (9L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Pipelines.embeddingDedup(vecs, "vec_id", "embedding",
+      cosMin = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+  }
 }
