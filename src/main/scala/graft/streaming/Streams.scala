@@ -74,6 +74,21 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** foreachBatch sink: hands each micro-batch to arbitrary batch
+    * logic (idempotent merges, multi-sink fan-out, JDBC upserts —
+    * the sink shapes the built-in formats can't express). The
+    * batchId makes the handler replay-safe: a batch re-delivered
+    * after a failure arrives with the same id.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))(
+      handler: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(handler)
+      .start()
+
   // ---- event-time layer (declared extension) ----
 
   /** Watermarked tumbling (or sliding, when `slide` is set) window
@@ -90,6 +105,27 @@ object Streams {
       .select(Seq(col("window.start").as("win_start"),
         col("window.end").as("win_end")) ++ keys.map(col) ++
         Seq(col("n"), col("total")): _*)
+  }
+
+  /** Stream-stream interval join (§2.11 extension): left row at time
+    * tL matches right rows of the same key with tR in
+    * [tL - before, tL + after]. Both sides carry the watermark, so
+    * the join state expires deterministically — without the time
+    * bound a stream-stream join would buffer both streams forever.
+    * Column contract: both sides carry `keyCol`; the two event-time
+    * columns must have different names (they both appear qualified
+    * in the join condition).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermark: String,
+      before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+      .drop(col(s"r.$keyCol"))
   }
 
   // ---- stateful sessionization (mapGroupsWithState) ----

@@ -111,6 +111,51 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin matches only rows inside the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("c_ts", "user_id", "click_id"),
+      purchases.toDF().toDF("p_ts", "user_id", "purchase_id"),
+      keyCol = "user_id", leftTs = "c_ts", rightTs = "p_ts",
+      watermark = "0 seconds", before = "10 seconds", after = "10 seconds")
+    val query = joined
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(100), 1L, 10L), (ts(200), 2L, 11L))
+      purchases.addData(
+        (ts(105), 1L, 50L),   // within 10s of click 10 → match
+        (ts(150), 1L, 51L),   // 50s away → no match
+        (ts(205), 3L, 52L))   // wrong user → no match
+      query.processAllAvailable()
+      val out = spark.table("ij_test")
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((10L, 50L)))
+    } finally query.stop()
+  }
+
+  test("foreachBatchSink hands batches with ids to the handler") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft-feb").toFile.getAbsolutePath
+    val input = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    input.addData(1, 2, 3)
+    val q = Streams.foreachBatchSink(input.toDF(), chk,
+      trigger = Trigger.AvailableNow()) { (batch, id) =>
+      seen.add((id, batch.as[Int](spark.implicits.newIntEncoder)
+        .collect().sorted.toSeq))
+    }
+    q.awaitTermination()
+    val batches = seen.toArray(Array.empty[(Long, Seq[Int])])
+    assert(batches.flatMap(_._2).sorted.toSeq == Seq(1, 2, 3))
+    assert(batches.map(_._1).distinct.length == batches.length)
+  }
+
   test("parquetSink is exactly-once across a checkpointed restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
