@@ -46,7 +46,8 @@ object TextRank {
     * (word, score) with scores rounded to `roundTo`.
     */
   def pagerank(edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85, roundTo: Int = 4): DataFrame = {
+      damping: Double = 0.85, roundTo: Int = 4,
+      checkpointEvery: Int = 1): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,7 +60,7 @@ object TextRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var scores = outdeg.select(col("a").as("word"),
       lit(1.0 / n).as("score"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       scores = ej
         // Scores are |vocab|-sized — orders of magnitude smaller than
         // the edge list — so they broadcast and the cached edges never
@@ -70,12 +71,19 @@ object TextRank {
         .agg(sum(col("contrib")).as("mass"))
         .select(col("b").as("word"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("score"))
-        // Eager per-iteration materialization truncates the lineage:
-        // without it the final plan is an `iterations`-deep join tree
-        // that Catalyst re-analyzes in full each round (quadratic
-        // planning). Same per-superstep persist GraphX does; on a real
-        // cluster swap for checkpoint() to a reliable store.
-        .localCheckpoint()
+      // Eager per-iteration materialization truncates the lineage:
+      // without it the final plan is an `iterations`-deep join tree
+      // that Catalyst re-analyzes in full each round (quadratic
+      // planning). Same per-superstep persist GraphX does; on a real
+      // cluster swap for checkpoint() to a reliable store.
+      // checkpointEvery > 1 was MEASURED SLOWER (9.3 s vs 7.3 s for
+      // the sf0.1 corpus): between checkpoints `broadcast(scores)`
+      // re-executes the unmaterialized previous iterations, so the
+      // saved job-scheduling overhead is repaid with redundant
+      // compute. Kept as a knob for graphs where a broadcast is
+      // replaced by a shuffle join and the trade flips.
+      if (i % checkpointEvery == 0 || i == iterations)
+        scores = scores.localCheckpoint()
     }
     // The eager localCheckpoint above cut `scores`' lineage, so the
     // graph-side caches can be released now — a long-lived session
