@@ -60,6 +60,27 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // percentile_approx — the reference's actual sketch (SURVEY A5,
+    // TFIDF.scala:177 idf thresholds). With accuracy ≥ n the GK
+    // sketch's rank error drops below one row, so the result is the
+    // exact discrete quantile and the oracle can check it with
+    // quantile_disc — the sketch is verified, not just smoke-run. At
+    // 100 TB the same call with the default accuracy (10k) is the
+    // scale path: fixed-size state per group, single aggregation
+    // pass, bounded rank error.
+    "q85_approx_quantile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_quantity, 0.5, 1000000)")
+            .as("median_qty"),
+          expr("percentile_approx(l_quantity, 0.9, 1000000)")
+            .as("p90_qty"),
+          expr("percentile_approx(l_extendedprice, 0.25, 1000000)")
+            .as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Unpivot wide metric columns to (key, metric, val) long form.
     "q83_unpivot" -> ((s, dir) => {
       table(s, dir, "part")
@@ -98,6 +119,13 @@ object AnalyticQueries extends QueryPack {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q85_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q83_unpivot" ->
       """SELECT p_partkey, metric, val FROM (
         |  SELECT p_partkey, 'p_retailprice' AS metric,

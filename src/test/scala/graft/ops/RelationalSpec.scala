@@ -83,4 +83,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter($"cls" === "a" && $"v" === 20)
       .select("id").as[Long].head() == 2L)
   }
+
+  test("approx_count_distinct tracks exact within its error bound (A5)") {
+    // HLL++ sketch — the scale path for count-distinct over wide keys
+    // (fixed-size state vs a hash set per group). rsd=0.01 → expect
+    // well under 5% error on 10k distinct values.
+    val df = spark.range(0, 100000).toDF("id")
+      .select(($"id" % 10000).as("k"))
+    val (approx, exact) = df
+      .agg(approx_count_distinct($"k", rsd = 0.01).as("a"),
+        countDistinct($"k").as("e"))
+      .as[(Long, Long)].head()
+    assert(exact == 10000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
 }
