@@ -15,6 +15,29 @@ import graft.ops.TimeJoins
 object TimeJoinQueries extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calendar-spine gap fill: every (user, day) cell over the
+    // observed range, zero-filled where no events landed — the
+    // dense-grid shape time-series feature pipelines need. The spine
+    // is users × sequence(min_day, max_day): both sides derive from
+    // the data, no hand-written calendar.
+    "q86_date_spine" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val users = ev.select(col("user_id")).distinct()
+      val agg = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      users.crossJoin(broadcast(days))
+        .join(agg, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // As-of: each click event picks up the same user's latest
     // purchase at or before it (nulls where no purchase precedes).
     "q77_asof_join" -> ((s, dir) => {
@@ -51,6 +74,24 @@ object TimeJoinQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q86_date_spine" ->
+      """WITH ev AS (
+        |  SELECT user_id, cast(ts AS DATE) AS day, value FROM events),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT cast(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |agg AS (
+        |  SELECT user_id, day, cast(count(*) as bigint) AS n,
+        |    cast(sum(cast(value AS decimal(18,4))) as double) AS total
+        |  FROM ev GROUP BY user_id, day)
+        |SELECT u.user_id, d.day,
+        |  coalesce(a.n, 0) AS n, coalesce(a.total, 0.0) AS total
+        |FROM users u CROSS JOIN days d
+        |LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
+        |ORDER BY u.user_id, d.day""".stripMargin,
     "q77_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events

@@ -70,4 +70,33 @@ class TimeJoinsSpec extends SparkSpec {
       rows, "v", intervals, "lo", "hi", bucketWidth = 10.0)
     assert(out.count() == 1)
   }
+
+  // Plan-shape regressions: the scale claims of these operators are
+  // properties of the physical plan, so pin them — a refactor that
+  // reintroduces a nested loop or a second shuffle should fail here,
+  // not at 100 TB.
+
+  test("asofJoin plans one shuffle and no nested loop") {
+    val plan = TimeJoins.asofJoin(clicks, purchases, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), "as-of must not nested-loop")
+    assert(!plan.contains("CartesianProduct"))
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one key shuffle, got $shuffles:\n$plan")
+  }
+
+  test("rangeJoinBucketed plans a hash join on the bucket, never cartesian") {
+    val rows = spark.range(100).toDF("id")
+      .select($"id", ($"id" * 3.0).as("v"))
+    val intervals = Seq((0L, 10.0, 130.0), (1L, 100.0, 220.0))
+      .toDF("iv_id", "lo", "hi")
+    val plan = TimeJoins.rangeJoinBucketed(
+      rows, "v", intervals, "lo", "hi", bucketWidth = 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join on the bucket:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
 }
