@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -62,6 +62,77 @@ object TimeJoins {
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((left.columns.map(col) :+ col("__r")): _*)
+      .select((left.columns.map(col) ++
+        rightPayload.map(c => col(s"__r.$c").as(c))): _*)
+  }
+
+  /** Hot-key variant of [[asofJoin]]: the window partitions by
+    * (key, time-bucket) instead of key, so one dominant key no longer
+    * serializes into a single task — its timeline is processed as
+    * parallel bucket slices. Matches that cross a bucket boundary are
+    * restored by a carry-in pass: the latest right row per
+    * (key, bucket) — one row per bucket, tiny — is prefix-scanned per
+    * key and joined back to left rows whose in-bucket window found
+    * nothing. Results are identical to [[asofJoin]] (property-tested
+    * in TimeJoinsSpec); the trade is two extra small shuffles for
+    * per-bucket parallelism on the big side.
+    *
+    * `timeCol` must be a timestamp; `bucketWidth` is its slicing
+    * granularity in seconds. Precondition (same as [[asofJoin]]'s
+    * tiebreak determinism): (key, time) unique on the right side.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    val rightPayload = right.columns.filterNot(c => c == keyCol || c == timeCol)
+    require(rightPayload.nonEmpty, "right side carries no payload columns")
+    val overlap = left.columns.toSet.intersect(rightPayload.toSet)
+    require(overlap.isEmpty, s"payload column collision: $overlap")
+
+    def bucketOf(c: Column): Column =
+      floor(unix_micros(c) / (bucketWidthSec * 1000000L)).cast("long")
+
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rStructType = StructType(rightPayload.map(c => right.schema(c)))
+    val leftPayload = left.columns.filterNot(c => c == keyCol || c == timeCol)
+
+    val lb = left.withColumn("__b", bucketOf(col(timeCol)))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val rb = leftPayload.foldLeft(
+      right.select(col(keyCol), col(timeCol), rStruct.as("__r"))
+        .withColumn("__b", bucketOf(col(timeCol)))
+        .withColumn("__side", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    // in-bucket as-of: the only shuffle the full data volume pays,
+    // partitioned by (key, bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = lb.unionByName(rb)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(wIn))
+      .filter(col("__side") === 1)
+
+    // carry-in: latest right row per (key, bucket) — one row per
+    // bucket — prefix-scanned per key over strictly-earlier buckets
+    val rLast = right
+      .withColumn("__b", bucketOf(col(timeCol)))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(max_by(rStruct, col(timeCol)).as("__rl"))
+    val spine = inBucket.select(col(keyCol), col("__b")).distinct()
+      .unionByName(rLast.select(col(keyCol), col("__b"))).distinct()
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine
+      .join(rLast, Seq(keyCol, "__b"), "left")
+      .withColumn("__carry", last(col("__rl"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__b"), col("__carry"))
+
+    inBucket
+      .join(carry, Seq(keyCol, "__b"), "left")
+      .withColumn("__r", coalesce(col("__r"), col("__carry")))
       .select((left.columns.map(col) ++
         rightPayload.map(c => col(s"__r.$c").as(c))): _*)
   }

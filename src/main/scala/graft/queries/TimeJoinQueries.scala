@@ -53,6 +53,23 @@ object TimeJoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Same as-of semantics through the hot-key-safe bucketed variant
+    // (window partitioned by (key, hour-bucket) + carry-in): the same
+    // independent DuckDB ASOF oracle must reproduce it exactly.
+    "q87_asof_bucketed" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      TimeJoins.asofJoinBucketed(clicks, purchases, "user_id", "ts",
+        bucketWidthSec = 3600)
+        .select(col("event_id"), col("user_id"), col("p_event"),
+          col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Interval join without an equi-key: lineitem prices against 20
     // overlapping price bands, bucketed so the join stays an
     // equi-join (no broadcast-nested-loop).
@@ -93,6 +110,17 @@ object TimeJoinQueries extends QueryPack {
         |LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
         |ORDER BY u.user_id, d.day""".stripMargin,
     "q77_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id AS p_event, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.p_event, p.p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q87_asof_bucketed" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

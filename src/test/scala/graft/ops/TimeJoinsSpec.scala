@@ -71,6 +71,44 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("asofJoinBucketed equals asofJoin across bucket boundaries") {
+    // deterministic pseudo-random event set: one hot key (0) plus
+    // sparse keys; times span many 60 s buckets; some buckets have
+    // left rows but no right rows, forcing the carry-in path
+    val base = ts("2024-01-01 00:00:00").getTime
+    val lrows = (0 until 300).map { i =>
+      val key = if (i % 3 != 0) 0L else (i % 7).toLong
+      (i.toLong, key, new Timestamp(base + (i * 37 % 500) * 13000L))
+    }
+    val rrows = (0 until 80).map { i =>
+      val key = if (i % 2 == 0) 0L else (i % 7).toLong
+      (key, new Timestamp(base + (i * 101 % 400) * 17000L),
+        (1000 + i).toLong, i * 1.5)
+    }.distinct
+    val lf = lrows.toDF("event_id", "user_id", "ts")
+    val rf = rrows.toDF("user_id", "ts", "p_event", "p_value")
+      .dropDuplicates("user_id", "ts") // precondition: unique (key, time)
+    val plain = TimeJoins.asofJoin(lf, rf, "user_id", "ts")
+      .select($"event_id", $"p_event", $"p_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val bucketed = TimeJoins.asofJoinBucketed(lf, rf, "user_id", "ts",
+      bucketWidthSec = 60)
+      .select($"event_id", $"p_event", $"p_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(bucketed == plain)
+    // sanity: both the in-bucket and the carry-in path were exercised
+    assert(plain.exists(_._2.isDefined))
+  }
+
+  test("asofJoinBucketed with empty right side yields all-null payload") {
+    val out = TimeJoins.asofJoinBucketed(clicks,
+      purchases.filter($"p_event" < 0), "user_id", "ts",
+      bucketWidthSec = 3600)
+      .select($"event_id", $"p_event").as[(Long, Option[Long])].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._2.isEmpty))
+  }
+
   // Plan-shape regressions: the scale claims of these operators are
   // properties of the physical plan, so pin them — a refactor that
   // reintroduces a nested loop or a second shuffle should fail here,

@@ -111,6 +111,34 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedAgg in Append mode drops data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streams.windowedAgg(input.toDF().toDF("ts", "user_id", "value"),
+      "ts", "value", watermark = "5 seconds", windowDur = "10 seconds")
+    val query = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(8), 1L, 1.0), (ts(9), 1L, 2.0))
+      query.processAllAvailable()
+      // advance the watermark past window [0,10) + delay
+      input.addData((ts(40), 1L, 9.0))
+      query.processAllAvailable()
+      // this event belongs to the closed [0,10) window → dropped
+      input.addData((ts(3), 1L, 100.0))
+      query.processAllAvailable()
+      input.addData((ts(60), 1L, 9.0))
+      query.processAllAvailable()
+      val closed = spark.table("late_test")
+        .select(unix_timestamp(col("win_start")).as("w"), col("n"),
+          col("total"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (w, n, t) => w -> ((n, t)) }.toMap
+      // the [0,10) window closed with ONLY the on-time rows
+      assert(closed(0L) == ((2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("intervalJoin matches only rows inside the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, Long)]
