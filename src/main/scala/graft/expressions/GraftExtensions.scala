@@ -28,5 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_simhash60 takes exactly 1 argument")
         SimHash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_term_counts takes exactly 1 argument")
+        TermCounts(children.head)
+      }))
   }
 }

@@ -52,6 +52,20 @@ object MlQueries extends QueryPack {
         .orderBy(col("source"), col("score").desc, col("term"))
     }),
 
+    // §2.10 UDTF: per-doc (term, tf) triples via the custom Catalyst
+    // Generator (expressions.TermCounts) — the tf aggregation runs
+    // map-side inside GenerateExec, so no token-level shuffle exists
+    // in this plan (explode+groupBy, the reference's shape, shuffles
+    // every token occurrence).
+    "q88_term_tf_gen" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftShim
+      val toksCol = TextFunctions.tokens(col("text"))
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), GraftShim.column(
+          graft.expressions.TermCounts(GraftShim.expression(toksCol))))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // M14: UCI docword triples with a stable sorted vocabulary.
     "q61_uci_docword" -> ((s, dir) => {
       Features.uciDocword(
@@ -105,6 +119,12 @@ object MlQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q88_term_tf_gen" ->
+      """SELECT doc_id, term, cast(count(*) as int) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE doc_id < 100)
+        |GROUP BY doc_id, term
+        |ORDER BY doc_id, term""".stripMargin,
     "q60_user_tfidf" ->
       """WITH tk AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS term
