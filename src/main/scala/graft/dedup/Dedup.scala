@@ -226,4 +226,44 @@ object Dedup {
     */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Multi-table SimHash near-pair search: candidates are generated
+    * from `tables` different 15-bit windows of the 60-bit simhash
+    * (window t = bits [45-15t, 60-15t)), unioned, then Hamming-
+    * filtered exactly. A single-prefix bucketing misses any pair
+    * whose differing bits all land inside the prefix; with t tables
+    * a pair is missed only if every window contains a differing bit —
+    * for Hamming distance d < tables at least one window must be
+    * clean, so recall is total for d < tables and rises sharply for
+    * moderate d (the standard simhash multi-table trade: t× the
+    * bucketing state for recall).
+    *
+    * Each table's candidate set is an equi-join on its bucket key —
+    * the all-pairs product never materializes, same as
+    * [[lshCandidates]].
+    */
+  def simhashNearPairs(df: DataFrame, idCol: String, simCol: String,
+      tables: Int = 2, maxHamming: Int = 20): DataFrame = {
+    require(tables >= 1 && tables <= 4, "1..4 fifteen-bit tables fit 60 bits")
+    // persisted: every table's self-join reads (id, simhash)
+    val sims = df.select(col(idCol), col(simCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sims.count()
+    val perTable = (0 until tables).map { t =>
+      val bucket = shiftright(col(simCol), 45 - 15 * t)
+        .bitwiseAND(lit(0x7FFFL))
+      val keyed = sims.withColumn("__bucket", bucket)
+      val a = keyed.select(col("__bucket"), col(idCol).as("id_a"),
+        col(simCol).as("sim_a"))
+      val b = keyed.select(col("__bucket"), col(idCol).as("id_b"),
+        col(simCol).as("sim_b"))
+      a.join(b, "__bucket")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+    }
+    perTable.reduce(_.unionByName(_)).distinct()
+      .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -118,6 +118,19 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multi-table SimHash near-pairs: two 15-bit windows of the
+    // signature each drive an equi-join; the union catches pairs a
+    // single prefix misses (recall total for hamming < tables).
+    "q89_simhash_multiprobe" -> ((s, dir) => {
+      val sims = table(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
+            .as("simhash"))
+      Dedup.simhashNearPairs(sims, "doc_id", "simhash",
+        tables = 2, maxHamming = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Brute-force cosine top-5 (correctness baseline for ANN).
     "q48_ann_cosine" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -239,6 +252,23 @@ object DedupQueries extends QueryPack {
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims
          |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q89_simhash_multiprobe" ->
+      s"""WITH $simhashCte,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)
+         |   AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  cast(bit_count(xor(sa, sb)) as int) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 20
+         |ORDER BY id_a, id_b""".stripMargin,
     "q47_simhash_pairs" ->
       s"""WITH $simhashCte,
          |bk AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sims)

@@ -97,6 +97,21 @@ class DedupSpec extends SparkSpec {
     assert(out == 8)
   }
 
+  test("multi-table near-pairs catch what a single prefix misses") {
+    // y differs from x only in bits 50/55 — inside the top 15-bit
+    // window, so table 0 (bits 45-59) buckets them apart while
+    // table 1 (bits 30-44) still matches them
+    val x = 0x0ABCDEF012345L
+    val y = x ^ (1L << 50) ^ (1L << 55)
+    val z = 0x00000000000FFL // unrelated in both windows, far hamming
+    val sims = Seq((1L, x), (2L, y), (3L, z)).toDF("id", "sim")
+    def pairs(tables: Int) =
+      Dedup.simhashNearPairs(sims, "id", "sim", tables, maxHamming = 5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs(1).contains((1L, 2L))) // single table misses it
+    assert(pairs(2) == Set((1L, 2L)))    // second window recovers it
+  }
+
   test("simhash native expression equals the UDF reference kernel") {
     val toks = graft.text.TextFunctions.tokens($"text")
     val both = docs.select(
