@@ -28,14 +28,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal values keep the whole line ~2 KB: the driver captures only
-    // the tail of stdout, and a longer line gets truncated mid-JSON.
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    spark.stop()
+    // The driver captures only the LAST 2000 chars of stdout, and sbt
+    // appends an ~80-char "[success] Total time" trailer after us. The
+    // whole JSON line must therefore start inside that window or the
+    // driver records parsed=null (this silently broke rounds 1-3 with
+    // full query names). Short keys ("q01".."qNN", the prefix before
+    // the first underscore) + 2-decimal values keep 89 queries at
+    // ~1.1 KB; a hard guard drops the per-query map rather than ever
+    // emitting an unparseable line.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def shortKey(k: String): String = { val i = k.indexOf('_'); if (i > 0) k.substring(0, i) else k }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length <= 1800) println(line)
+    else println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir"}""")
   }
 }
