@@ -22,7 +22,8 @@ object SparkEntry {
     StructQueries,
     TimeJoinQueries,
     VectorQueries,
-    AnalyticQueries)
+    AnalyticQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

@@ -175,7 +175,8 @@ object DedupQueries extends QueryPack {
        |bands AS (SELECT doc_id, unnest($bandList) AS band FROM mh)""".stripMargin
   }
 
-  private val simhashCte =
+  /** Shared with PipelineQueries' duplicate-cluster oracle. */
+  private[queries] val simhashCte =
     s"""tok AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
        |votes AS (
        |  SELECT doc_id, i,

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.graph.Components
+import graft.io.Tables.table
+import graft.ops.Packing
+import graft.text.{Redact, TextFunctions => T}
+
+/** LLM-training-pipeline operators beyond the reference's surface:
+  * context-window chunking, PII redaction, repetition-based quality
+  * (Gopher-style duplicate n-gram ratio), filter-funnel accounting,
+  * benchmark decontamination, near-dup clustering (connected
+  * components over SimHash pairs), sequence packing, and
+  * deterministic hash sampling.
+  *
+  * Every kernel here is either a per-row column expression (chunk,
+  * redact, ratio, sample — scan-speed, shuffle-free) or a bounded
+  * shuffle on a small derived key (trigram join, label propagation
+  * over near-pair edges) — the shapes that survive a 100 TB corpus.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Deterministic synthetic PII appended to each doc (the test
+    * corpus carries none): the oracle synthesizes identically, so
+    * the redaction itself is what gets verified.
+    */
+  private def withPii = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com tel "),
+    lpad((col("doc_id") % 10000).cast("string"), 3, "0"), lit("-"),
+    lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Context-window chunking: 64-token windows every 48 tokens
+    // (overlap 16). Chunk bodies compared by md5 so the result stays
+    // narrow.
+    "q90_chunking" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(T.tokenChunks(T.tokens(col("text")), 64, 48)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.chunk")).as("n_toks"),
+          md5(array_join(col("c.chunk"), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // PII redaction: counts found + digest of the masked text.
+    "q91_pii_redact" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Redact.emailCount(withPii).as("n_emails"),
+          Redact.phoneCount(withPii).as("n_phones"),
+          md5(Redact.redactPii(withPii)).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signal: share of duplicate trigrams.
+    "q92_repeat_ngrams" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          T.ngrams(T.tokens(col("text")), 3).as("tg"))
+        .select(col("doc_id"),
+          size(col("tg")).as("n_trigrams"),
+          size(array_distinct(col("tg"))).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_trigrams") > 0,
+            round(lit(1.0) - col("n_distinct") / col("n_trigrams"), 4))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Filter-funnel accounting: survivors of each successive quality
+    // gate, in ONE aggregate pass (real pipelines report the funnel
+    // without rescanning per stage).
+    "q93_filter_funnel" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("n_chars"), T.tokens(col("text")).as("toks"))
+        .select(col("n_chars"), size(col("toks")).as("n_toks"),
+          size(array_distinct(col("toks"))).as("n_utoks"),
+          T.ngrams(col("toks"), 3).as("tg"))
+        .select(col("n_chars"), col("n_toks"), col("n_utoks"),
+          size(col("tg")).as("n_tg"),
+          size(array_distinct(col("tg"))).as("n_utg"))
+      val s1 = col("n_chars").between(200, 100000)
+      val s2 = s1 && col("n_toks").between(40, 5000)
+      val s3 = s2 && col("n_utoks") / col("n_toks") >= 0.2
+      val s4 = s3 && col("n_tg") > 0 &&
+        lit(1.0) - col("n_utg") / col("n_tg") <= 0.6
+      d.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_len_ok"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_toks_ok"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_diversity_ok"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_repetition_ok"))
+    }),
+
+    // Benchmark decontamination: docs sharing any trigram with the
+    // "benchmark" slice (doc_id < 5). The benchmark trigram set is
+    // tiny and broadcast — the scan side never shuffles.
+    "q94_decontam" -> ((s, dir) => {
+      def grams(d: DataFrame) = d.select(col("doc_id"),
+          explode(array_distinct(T.ngrams(T.tokens(col("text")), 3))).as("g"))
+      val docs = table(s, dir, "documents")
+      val bench = grams(docs.filter(col("doc_id") < 5))
+        .select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") >= 5 && col("doc_id") < 200))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup clustering: SimHash near-pairs (q89's multiprobe
+    // shape) as edges, connected components by min-label
+    // propagation, cluster id = min doc_id (the canonical doc a
+    // dedup pass would keep).
+    "q95_dup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sims = docs.select(col("doc_id"),
+        Dedup.simhash60(T.tokens(col("text"))).as("simhash"))
+      val pairs = Dedup.simhashNearPairs(sims, "doc_id", "simhash",
+        tables = 2, maxHamming = 20)
+      val comp = Components.connectedComponents(
+        docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+      val sizes = comp.groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: concat-and-chunk layout per lang shard,
+    // capacity 512 tokens — every doc's window span is a pure
+    // prefix-sum (one shuffle on the shard key).
+    "q96_seq_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(T.tokens(col("text"))).as("n_toks"))
+      Packing.packSpans(d, "lang", "doc_id", "n_toks", 512)
+        .select(col("lang"), col("doc_id"), col("n_toks"),
+          col("start_off"), col("pack_first"), col("pack_last"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Deterministic hash sampling: md5-bucket (engine-portable, no
+    // RNG) 10% sample, stratified accounting per lang.
+    "q97_hash_sample" -> ((s, dir) => {
+      val bucket =
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sampled"))
+        .withColumn("rate", round(col("n_sampled") / col("n_total"), 4))
+        .orderBy(col("lang"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private val toks = "string_split(text, ' ')"
+
+  /** Trigrams of a token list column `l` (empty below 3 tokens —
+    * generate_series(1, len-2) is empty when len < 3).
+    */
+  private def trigrams(l: String) =
+    s"list_transform(generate_series(1, len($l) - 2), " +
+      s"i -> $l[i] || ' ' || $l[i+1] || ' ' || $l[i+2])"
+
+  private val piiSql =
+    "text || ' contact user' || doc_id || '@example.com tel ' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+
+  def oracles: Map[String, String] = Map(
+    "q90_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents WHERE doc_id < 50),
+         |off AS (SELECT doc_id, l,
+         |          unnest(generate_series(0, len(l) - 1, 48)) AS o FROM tk)
+         |SELECT doc_id, CAST(o // 48 AS INT) AS chunk_idx,
+         |  CAST(len(l[o+1:o+64]) AS INT) AS n_toks,
+         |  md5(array_to_string(l[o+1:o+64], ' ')) AS chunk_md5
+         |FROM off ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q91_pii_redact" ->
+      s"""WITH raw AS (SELECT doc_id, $piiSql AS r
+         |            FROM documents WHERE doc_id < 200)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(r, '${Redact.emailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(r, '${Redact.phoneRe}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(r, '${Redact.emailRe}', '<EMAIL>', 'g'),
+         |      '${Redact.phoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM raw ORDER BY doc_id""".stripMargin,
+    "q92_repeat_ngrams" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l
+         |            FROM documents WHERE doc_id < 200),
+         |tg AS (SELECT doc_id, ${trigrams("l")} AS g FROM tk)
+         |SELECT doc_id, CAST(len(g) AS INT) AS n_trigrams,
+         |  CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+         |  CASE WHEN len(g) > 0
+         |       THEN round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+         |       ELSE 0.0 END AS dup_ratio
+         |FROM tg ORDER BY doc_id""".stripMargin,
+    "q93_filter_funnel" ->
+      s"""WITH base AS (
+         |  SELECT n_chars, $toks AS l FROM documents),
+         |m AS (
+         |  SELECT n_chars, len(l) AS n_toks, len(list_distinct(l)) AS n_utoks,
+         |    len(${trigrams("l")}) AS n_tg,
+         |    len(list_distinct(${trigrams("l")})) AS n_utg
+         |  FROM base),
+         |f AS (
+         |  SELECT *,
+         |    (n_chars BETWEEN 200 AND 100000) AS s1,
+         |    (n_chars BETWEEN 200 AND 100000)
+         |      AND (n_toks BETWEEN 40 AND 5000) AS s2,
+         |    (n_chars BETWEEN 200 AND 100000)
+         |      AND (n_toks BETWEEN 40 AND 5000)
+         |      AND (n_utoks * 1.0 / n_toks >= 0.2) AS s3,
+         |    (n_chars BETWEEN 200 AND 100000)
+         |      AND (n_toks BETWEEN 40 AND 5000)
+         |      AND (n_utoks * 1.0 / n_toks >= 0.2)
+         |      AND n_tg > 0 AND (1.0 - n_utg * 1.0 / n_tg <= 0.6) AS s4
+         |  FROM m)
+         |SELECT cast(count(*) as bigint) AS n_total,
+         |  cast(sum(CASE WHEN s1 THEN 1 ELSE 0 END) as bigint) AS n_len_ok,
+         |  cast(sum(CASE WHEN s2 THEN 1 ELSE 0 END) as bigint) AS n_toks_ok,
+         |  cast(sum(CASE WHEN s3 THEN 1 ELSE 0 END) as bigint) AS n_diversity_ok,
+         |  cast(sum(CASE WHEN s4 THEN 1 ELSE 0 END) as bigint) AS n_repetition_ok
+         |FROM f""".stripMargin,
+    "q94_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
+         |tg AS (SELECT doc_id,
+         |         unnest(list_distinct(${trigrams("l")})) AS g FROM tk),
+         |bench AS (SELECT DISTINCT g FROM tg WHERE doc_id < 5)
+         |SELECT t.doc_id, cast(count(*) as bigint) AS n_shared
+         |FROM tg t JOIN bench b ON t.g = b.g
+         |WHERE t.doc_id >= 5 AND t.doc_id < 200
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q95_dup_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.simhashCte},
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)
+         |   AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |          WHERE bit_count(xor(sa, sb)) <= 20),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_id, cast(count(*) as bigint) AS cluster_size
+         |          FROM comp GROUP BY cluster_id)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin,
+    "q96_seq_packing" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |             CAST(len($toks) AS INT) AS n_toks FROM documents),
+         |w AS (SELECT lang, doc_id, n_toks,
+         |  CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_toks AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT lang, doc_id, n_toks, start_off,
+         |  start_off // 512 AS pack_first,
+         |  (start_off + n_toks - 1) // 512 AS pack_last
+         |FROM w ORDER BY lang, doc_id""".stripMargin,
+    "q97_hash_sample" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 100
+        |         AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang, cast(count(*) as bigint) AS n_total,
+        |  cast(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_sampled,
+        |  round(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 4) AS rate
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

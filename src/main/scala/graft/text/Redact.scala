@@ -1,0 +1,33 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII masking kernels for training-data cleaning: emails and
+  * phone-shaped digit groups replaced by typed placeholder tokens.
+  * Pure `regexp_replace`/`regexp_extract_all` chains — codegen'd,
+  * per-row, shuffle-free, so redaction runs at scan speed over any
+  * corpus size. Patterns are deliberately RE2-compatible (no
+  * backreferences/lookaround) so the same regex runs in Spark, in
+  * the DuckDB oracle, and in any downstream engine.
+  */
+object Redact {
+
+  val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  def maskEmails(c: Column): Column = regexp_replace(c, emailRe, "<EMAIL>")
+
+  def maskPhones(c: Column): Column = regexp_replace(c, phoneRe, "<PHONE>")
+
+  /** Full redaction chain (emails first so phone-like digit runs
+    * inside addresses are already gone).
+    */
+  def redactPii(c: Column): Column = maskPhones(maskEmails(c))
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(emailRe), lit(0)))
+
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(phoneRe), lit(0)))
+}

@@ -54,6 +54,19 @@ object TextFunctions {
     filter(ngramsRange(toks, minN, maxN),
       g => length(g) >= minLen && length(g) <= maxLen)
 
+  /** Overlapping token-window chunks (LLM-pipeline chunking): a
+    * window of `chunkSize` tokens starts every `stride` tokens until
+    * the doc is exhausted (the final windows are shorter). Returns an
+    * array of (chunk_idx, chunk) structs — pure higher-order
+    * expressions, so chunking is a narrow per-row transform that
+    * never shuffles; explode downstream to get one row per chunk.
+    */
+  def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      off => struct((off / stride).cast("int").as("chunk_idx"),
+        slice(toks, off + 1, lit(chunkSize)).as("chunk")))
+
   /** Dictionary match (M9 wiki/entity membership,
     * PrepProcess.scala:84-105): tokens present in a small dict —
     * the dict travels as a literal array (broadcast-equivalent).
