@@ -46,6 +46,26 @@ object DedupQueries extends QueryPack {
       c
     })
 
+  /** q89 and q95 both need the multiprobe SimHash near-pair edges
+    * over the full documents table — memoized per sfDir like the LSH
+    * candidates so the simhash + two band self-joins run once.
+    */
+  private val simhashPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairCache.computeIfAbsent(dir, _ => {
+      val sims = table(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
+            .as("simhash"))
+      val p = Dedup.simhashNearPairs(sims, "doc_id", "simhash",
+        tables = 2, maxHamming = 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact-dup groups over a 16-byte digest (never shuffles text).
     "q41_dedup_exact" -> ((s, dir) => {
@@ -122,13 +142,7 @@ object DedupQueries extends QueryPack {
     // signature each drive an equi-join; the union catches pairs a
     // single prefix misses (recall total for hamming < tables).
     "q89_simhash_multiprobe" -> ((s, dir) => {
-      val sims = table(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))
-            .as("simhash"))
-      Dedup.simhashNearPairs(sims, "doc_id", "simhash",
-        tables = 2, maxHamming = 20)
-        .orderBy(col("id_a"), col("id_b"))
+      simhashPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
 
     // Brute-force cosine top-5 (correctness baseline for ANN).

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
 import graft.graph.Components
 import graft.io.Tables.table
 import graft.ops.Packing
@@ -120,10 +119,7 @@ object PipelineQueries extends QueryPack {
     // dedup pass would keep).
     "q95_dup_clusters" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val sims = docs.select(col("doc_id"),
-        Dedup.simhash60(T.tokens(col("text"))).as("simhash"))
-      val pairs = Dedup.simhashNearPairs(sims, "doc_id", "simhash",
-        tables = 2, maxHamming = 20)
+      val pairs = DedupQueries.simhashPairs(s, dir)
       val comp = Components.connectedComponents(
         docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
       val sizes = comp.groupBy(col("comp"))
