@@ -81,6 +81,56 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Full cube over (status, year): every aggregation combination in
+    // one pass — the q13 rollup's non-hierarchical sibling.
+    "q98_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("yr").asc_nulls_first)
+    }),
+
+    // Higher-moment grouped statistics: corr/covar/stddev built-ins
+    // (rounded past both engines' accumulation-order jitter) plus
+    // skewness/kurtosis derived from EXACT decimal power sums — the
+    // same double formula evaluated on identical inputs both sides,
+    // so the sketch-free moments are verified to the last rounded
+    // digit. One aggregation pass; at 100 TB this is a map-side
+    // partial like any sum.
+    "q99_grouped_stats" -> ((s, dir) => {
+      val q = col("l_quantity")
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          sum(q.cast("decimal(38,6)")).cast("double").as("s1"),
+          sum((q * q).cast("decimal(38,6)")).cast("double").as("s2"),
+          sum((q * q * q).cast("decimal(38,6)")).cast("double").as("s3"),
+          sum((q * q * q * q).cast("decimal(38,6)")).cast("double").as("s4"))
+        .withColumn("m1", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("m1") * col("m1"))
+        .withColumn("m3",
+          col("s3") / col("n") - lit(3.0) * col("m1") * (col("s2") / col("n"))
+            + lit(2.0) * col("m1") * col("m1") * col("m1"))
+        .withColumn("m4",
+          col("s4") / col("n") - lit(4.0) * col("m1") * (col("s3") / col("n"))
+            + lit(6.0) * col("m1") * col("m1") * (col("s2") / col("n"))
+            - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1"))
+        .select(col("l_returnflag"), col("n"), col("corr_qp"),
+          col("covar_qp"), col("sd_qty"),
+          round(col("m3") / pow(col("m2"), 1.5), 6).as("skew_qty"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+            .as("kurt_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Unpivot wide metric columns to (key, metric, val) long form.
     "q83_unpivot" -> ((s, dir) => {
       table(s, dir, "part")
@@ -126,6 +176,35 @@ object AnalyticQueries extends QueryPack {
         |  quantile_disc(l_extendedprice, 0.25) AS p25_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q98_cube" ->
+      """SELECT o_orderstatus, cast(year(o_orderdate) as int) AS yr,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, yr)
+        |ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q99_grouped_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |    round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |    round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |    cast(sum(cast(l_quantity as decimal(38,6))) as double) AS s1,
+        |    cast(sum(cast(l_quantity*l_quantity as decimal(38,6))) as double) AS s2,
+        |    cast(sum(cast(l_quantity*l_quantity*l_quantity as decimal(38,6))) as double) AS s3,
+        |    cast(sum(cast(l_quantity*l_quantity*l_quantity*l_quantity as decimal(38,6))) as double) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT *, s1/n AS m1 FROM a),
+        |mm AS (SELECT *,
+        |  s2/n - m1*m1 AS m2,
+        |  s3/n - 3.0*m1*(s2/n) + 2.0*m1*m1*m1 AS m3,
+        |  s4/n - 4.0*m1*(s3/n) + 6.0*m1*m1*(s2/n) - 3.0*m1*m1*m1*m1 AS m4
+        |  FROM m)
+        |SELECT l_returnflag, cast(n as bigint) AS n, corr_qp, covar_qp,
+        |  sd_qty,
+        |  round(m3/pow(m2, 1.5), 6) AS skew_qty,
+        |  round(m4/(m2*m2) - 3.0, 6) AS kurt_qty
+        |FROM mm ORDER BY l_returnflag""".stripMargin,
     "q83_unpivot" ->
       """SELECT p_partkey, metric, val FROM (
         |  SELECT p_partkey, 'p_retailprice' AS metric,

@@ -145,6 +145,34 @@ object DedupQueries extends QueryPack {
       simhashPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MinHash Jaccard estimation vs exact, on the LSH candidates:
+    // est = matching signature positions / k. The estimator is what a
+    // 100 TB pass would rank candidates by (signatures are k strings
+    // per doc; the shingle sets never leave their partition) — this
+    // query verifies the sketch against the exact overlap it stands
+    // in for.
+    "q102_minhash_est" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val side = docs.select(col("doc_id"),
+        Dedup.minhashSignatureFast(Dedup.shingles(col("text"), 3), 8)
+          .as("sig"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = side.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a"))
+      val b = side.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b"))
+      lshCands(s, dir).join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard",
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), m => m)) / lit(8.0), 4))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Brute-force cosine top-5 (correctness baseline for ANN).
     "q48_ann_cosine" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -263,6 +291,28 @@ object DedupQueries extends QueryPack {
          |          JOIN sh sb ON cand.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin
     },
+    "q102_minhash_est" -> {
+      val matches = (0 until 8)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT doc_id, $shingles AS sh FROM docs0),
+         |mh AS (SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")} FROM sh),
+         |bands AS (SELECT doc_id, unnest(${(0 until 4).map(bandSql).mkString("[", ", ", "]")}) AS band FROM mh),
+         |cand AS (SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+         |         FROM bands ba JOIN bands bb
+         |           ON ba.band = bb.band AND ba.doc_id < bb.doc_id)
+         |SELECT id_a, id_b,
+         |  round(($matches) / 8.0, 4) AS est_jaccard,
+         |  round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+         |    (len(sa.sh) + len(sb.sh)
+         |     - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 4) AS jaccard
+         |FROM cand JOIN mh a ON cand.id_a = a.doc_id
+         |          JOIN mh b ON cand.id_b = b.doc_id
+         |          JOIN sh sa ON cand.id_a = sa.doc_id
+         |          JOIN sh sb ON cand.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q46_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims
@@ -304,12 +354,7 @@ object DedupQueries extends QueryPack {
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q49_ann_lsh" -> {
-      val sigExpr = (0 until 8).map { j =>
-        s"""(CASE WHEN list_sum(list_transform(range(0, 64), d ->
-           |  v[d+1] * ((((d * 2654435761 + ${j.toLong * 40503L + 17L}) % 1000 + 1000) % 1000)
-           |            / 500.0 - 1.0))) > 0
-           | THEN 1::BIGINT << $j ELSE 0::BIGINT END)""".stripMargin
-      }.mkString(" + ")
+      val sigExpr = Fragments.rhpSigSql(8, "v")
       s"""WITH $cosineCte,
          |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -143,6 +143,23 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Deterministic stratified class cap: per-lang top-50 by md5
+    // hash rank — the scale-safe form of the reference's
+    // limit()-based class balancing (a limit is
+    // partition-order-dependent; a hash rank is reproducible on any
+    // cluster and any partitioning).
+    "q101_stratified_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(col("text"), lit("#"),
+          col("doc_id").cast("string"))), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Deterministic hash sampling: md5-bucket (engine-portable, no
     // RNG) 10% sample, stratified accounting per lang.
     "q97_hash_sample" -> ((s, dir) => {
@@ -277,6 +294,13 @@ object PipelineQueries extends QueryPack {
          |  start_off // 512 AS pack_first,
          |  (start_off + n_toks - 1) // 512 AS pack_last
          |FROM w ORDER BY lang, doc_id""".stripMargin,
+    "q101_stratified_cap" ->
+      """SELECT lang, doc_id, cast(rn as int) AS rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text || '#' || doc_id), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
     "q97_hash_sample" ->
       """WITH b AS (
         |  SELECT lang,

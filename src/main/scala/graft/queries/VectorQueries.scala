@@ -42,6 +42,17 @@ object VectorQueries extends QueryPack {
       Ann.cosineDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
         threshold = 0.99)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Scale-path embedding near-dup: RHP-signature buckets bound the
+    // candidate set (an equi-join, never the cross product); exact
+    // cosine inside buckets. Injected exact copies hash to identical
+    // signatures, so recall on true duplicates is total — the pair
+    // set q80's all-pairs baseline finds for them is reproduced.
+    "q100_embed_dup_lsh" -> ((s, dir) => {
+      Ann.lshDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
+        planes = 8, threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -100,6 +111,25 @@ object VectorQueries extends QueryPack {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cosSql("a.v", "b.v")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM s
+         |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    "q100_embed_dup_lsh" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id + 200000, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM u),
+         |sig AS (SELECT vec_id, v, ${Fragments.rhpSigSql(8, "v")} AS sig
+         |        FROM e),
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s
          |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
   )

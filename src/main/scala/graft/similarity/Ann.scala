@@ -165,6 +165,33 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** LSH-bucketed embedding near-duplicate pairs: candidates share a
+    * random-hyperplane signature; exact (rounded) cosine filters
+    * inside buckets. The scale path [[cosineDupPairs]] is measured
+    * against — the all-pairs product never materializes, at the cost
+    * of missing near-dups whose signatures differ (for exact
+    * re-ingested copies the signature is identical by construction,
+    * so recall on true duplicates is total).
+    */
+  def lshDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val sig = corpus.select(col(idCol), col(vecCol),
+      rhpSignature(col(vecCol), planes).as("sig"),
+      norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // materialize once before the self-join races it
+    val a = sig.select(col("sig"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = sig.select(col("sig"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): integer-hash mapped to [-1, 1). Exactly reproducible in
     * any engine (pure integer arithmetic + one division).
