@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 import graft.SparkEntry
 
@@ -14,11 +14,7 @@ object Profile {
     val sfDir = args(0)
     val n = args(1).toInt
     val names = args.drop(2)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(32, "graft-profile")
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       val fn = SparkEntry.queries(name)

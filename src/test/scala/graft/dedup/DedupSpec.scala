@@ -64,6 +64,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bandKeysFast fused kernel matches the composed expression form") {
+    val edge = docs.unionByName(Seq(
+      (5L, "one two"),           // < 3 tokens ⇒ empty shingle set ⇒ null bands
+      (6L, "unicode tökens with ümlauts repeated tökens here maybe")
+    ).toDF("doc_id", "text"))
+    val both = edge.select($"doc_id",
+      Dedup.bandKeys(Dedup.minhashSignature(Dedup.shingles($"text", 3), 8),
+        4, 2).as("expr"),
+      Dedup.bandKeysFast(Dedup.shingles($"text", 3), 8, 4).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("lshCandidates surfaces exact and near dups, not unrelated docs") {
     val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
