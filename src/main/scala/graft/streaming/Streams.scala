@@ -107,6 +107,22 @@ object Streams {
         Seq(col("n"), col("total")): _*)
   }
 
+  /** Streaming exact dedup on a key (the streaming form of the batch
+    * dropDuplicates dedup, M11): keeps the FIRST arrival of each
+    * `keyCols` combination. With `withinWatermark` the per-key state
+    * expires once the watermark passes — bounded state, the only form
+    * that survives an unbounded stream; duplicates farther apart in
+    * event time than the watermark delay can then reappear, which is
+    * the standard trade. Without it state grows with distinct keys
+    * (exact forever, bounded corpus only).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String], withinWatermark: Boolean = true): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermark)
+    if (withinWatermark) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
   /** Stream-stream interval join (§2.11 extension): left row at time
     * tL matches right rows of the same key with tR in
     * [tL - before, tL + after]. Both sides carry the watermark, so

@@ -20,6 +20,48 @@ object Scratch {
     }
     // warm-up
     spark.range(1000000).selectExpr("id % 7 AS k").groupBy("k").count().count()
+
+    // ---- q49/q80 decomposition ----
+    import graft.similarity.Ann
+    val emb = table(spark, sfDir, "embeddings")
+    t("emb count")(emb.count())
+    val sig0 = emb.select(col("vec_id"), col("embedding"),
+      Ann.rhpSignature(col("embedding"), 8).as("sig"),
+      sqrt(Ann.dot(col("embedding"), col("embedding"))).as("nrm"))
+    t("sig forced")(sig0.agg(sum(col("sig")), sum(col("nrm"))).first())
+    t("sig forced x2")(sig0.agg(sum(col("sig")), sum(col("nrm"))).first())
+    val sigP = sig0.persist()
+    sigP.count()
+    val a49 = sigP.select(col("sig"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val b49 = sigP.select(col("sig"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    val scored49 = a49.join(b49, "sig")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    t("bucket join+dot")(scored49.count())
+    t("bucket join+dot x2")(scored49.count())
+    val w49 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    t("window+filter")(
+      scored49.withColumn("rank", row_number().over(w49))
+        .filter(col("rank") <= 5).count())
+    val scoredP = scored49.persist()
+    t("scored persist")(scoredP.count())
+    t("window on persisted")(
+      scoredP.withColumn("rank", row_number().over(w49))
+        .filter(col("rank") <= 5).count())
+    t("window no-filter")(
+      scoredP.withColumn("rank", row_number().over(w49))
+        .agg(sum(col("rank"))).first())
+    scoredP.unpersist()
+    t("q49 full")(Ann.lshTopK(emb, "vec_id", "embedding", 8, 5).count())
+    t("q80-style allpairs")(
+      Ann.cosineDupPairs(emb, "vec_id", "embedding", 0.99).count())
+    sigP.unpersist()
+
     val docs = table(spark, sfDir, "documents").filter(col("doc_id") < 200)
     t("read+count")(docs.count())
     val tk = docs.select(graft.text.TextFunctions.tokens(col("text")).as("t"))

@@ -35,4 +35,33 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet === Set(0L))
   }
+
+  test("agrees with GraphX connectedComponents on a pseudo-random graph") {
+    // Deterministic LCG edge set: 400 nodes, 300 edges — a mix of
+    // small clusters, chains, and singletons. GraphX's Pregel CC is
+    // an independent implementation whose component label is also
+    // the min vertex id.
+    var s = 12345L
+    def next(mod: Long): Long = { s = (s * 1103515245L + 12345L) & 0x7FFFFFFFL; s % mod }
+    val edgePairs = Seq.fill(300)((next(400), next(400)))
+      .filter { case (a, b) => a != b }
+    val edges = edgePairs.toDF("a", "b")
+    val nodes = (0L until 400L).toDF("id")
+    val ours = Components.connectedComponents(nodes, edges, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+    import org.apache.spark.graphx.{Edge, Graph}
+    val er = spark.sparkContext.parallelize(
+      edgePairs.map { case (a, b) => Edge(a, b, 1) })
+    val theirs = Graph.fromEdges(er, 0)
+      .connectedComponents().vertices.collect().toMap
+    // GraphX only labels nodes that appear in edges; ours labels all.
+    theirs.foreach { case (id, comp) =>
+      assert(ours(id) === comp, s"node $id")
+    }
+    val edgeNodes = theirs.keySet
+    ours.foreach { case (id, comp) =>
+      if (!edgeNodes.contains(id)) assert(comp === id, s"singleton $id")
+    }
+  }
 }

@@ -57,6 +57,51 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream keeps the first arrival of each key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "doc_id", "payload")
+    val query = Streams.dedupStream(events, "ts", "10 seconds",
+      Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1L, "a"), (ts(2), 1L, "b"), (ts(3), 2L, "c"))
+      query.processAllAvailable()
+      // duplicate in a later batch, within the watermark delay
+      input.addData((ts(4), 1L, "d"), (ts(5), 3L, "e"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_test")
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "a"), (2L, "c"), (3L, "e")))
+    } finally query.stop()
+  }
+
+  test("dedupStream state expiry can re-admit keys past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "doc_id", "payload")
+    val query = Streams.dedupStream(events, "ts", "5 seconds",
+      Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_expiry_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1L, "a"))
+      query.processAllAvailable()
+      // advance the watermark far past key 1's state lifetime
+      input.addData((ts(100), 2L, "b"))
+      query.processAllAvailable()
+      // key 1 reappears AFTER its dedup state expired: re-admitted —
+      // the documented bounded-state trade of within-watermark dedup
+      input.addData((ts(101), 1L, "c"))
+      query.processAllAvailable()
+      val payloads = spark.table("dedup_expiry_test")
+        .select(col("payload")).as[String].collect().toSet
+      assert(payloads == Set("a", "b", "c"))
+    } finally query.stop()
+  }
+
   test("sessionize emits sessions when the watermark passes end + gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
