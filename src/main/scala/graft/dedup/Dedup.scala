@@ -44,7 +44,7 @@ object Dedup {
 
   /** w-shingles (word n-grams) as the near-dup unit. */
   def shingles(textCol: Column, w: Int = 3): Column =
-    array_distinct(TextFunctions.ngrams(TextFunctions.tokens(textCol), w))
+    array_distinct(TextFunctions.ngramsFast(TextFunctions.tokens(textCol), w))
 
   /** One MinHash value: the lexicographic min of md5("seed:shingle")
     * over the doc's shingle set. Deterministic, engine-independent,

@@ -33,7 +33,7 @@ object TextRank {
     */
   def coocEdges(docs: DataFrame, tokensCol: String): DataFrame = {
     val bg = docs
-      .select(explode(TextFunctions.ngrams(col(tokensCol), 2)).as("bg"))
+      .select(explode(TextFunctions.ngramsFast(col(tokensCol), 2)).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"))
       .filter(col("a") =!= col("b"))
@@ -145,7 +145,7 @@ object TextRank {
       scores: DataFrame, k: Int): DataFrame = {
     val phrases = docs
       .select(col(idCol),
-        explode(array_distinct(TextFunctions.ngrams(col(tokensCol), 2)))
+        explode(array_distinct(TextFunctions.ngramsFast(col(tokensCol), 2)))
           .as("phrase"))
       .select(col(idCol), col("phrase"),
         split(col("phrase"), " ").getItem(0).as("a"),

@@ -50,7 +50,7 @@ object NlpQueries extends QueryPack {
     // M2 longest-match: unigrams∪bigrams, drop contained keywords.
     "q52_longest_match" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
-      val kws = array_distinct(concat(toks, TextFunctions.ngrams(toks, 2)))
+      val kws = array_distinct(concat(toks, TextFunctions.ngramsFast(toks, 2)))
       table(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),

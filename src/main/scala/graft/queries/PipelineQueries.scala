@@ -61,7 +61,7 @@ object PipelineQueries extends QueryPack {
     "q92_repeat_ngrams" -> ((s, dir) => {
       table(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          T.ngrams(T.tokens(col("text")), 3).as("tg"))
+          T.ngramsFast(T.tokens(col("text")), 3).as("tg"))
         .select(col("doc_id"),
           size(col("tg")).as("n_trigrams"),
           size(array_distinct(col("tg"))).as("n_distinct"))
@@ -80,7 +80,7 @@ object PipelineQueries extends QueryPack {
         .select(col("n_chars"), T.tokens(col("text")).as("toks"))
         .select(col("n_chars"), size(col("toks")).as("n_toks"),
           size(array_distinct(col("toks"))).as("n_utoks"),
-          T.ngrams(col("toks"), 3).as("tg"))
+          T.ngramsFast(col("toks"), 3).as("tg"))
         .select(col("n_chars"), col("n_toks"), col("n_utoks"),
           size(col("tg")).as("n_tg"),
           size(array_distinct(col("tg"))).as("n_utg"))
@@ -102,7 +102,7 @@ object PipelineQueries extends QueryPack {
     // tiny and broadcast — the scan side never shuffles.
     "q94_decontam" -> ((s, dir) => {
       def grams(d: DataFrame) = d.select(col("doc_id"),
-          explode(array_distinct(T.ngrams(T.tokens(col("text")), 3))).as("g"))
+          explode(array_distinct(T.ngramsFast(T.tokens(col("text")), 3))).as("g"))
       val docs = table(s, dir, "documents")
       val bench = grams(docs.filter(col("doc_id") < 5))
         .select(col("g")).distinct()

@@ -45,7 +45,7 @@ object StructQueries extends QueryPack {
     "q75_pos_bigrams" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
       table(s, dir, "documents")
-        .select(explode(Pos.patternBigrams(toks)).as("bigram"))
+        .select(explode(Pos.patternBigramsFast(toks)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 30)

@@ -30,7 +30,7 @@ object TextQueries extends QueryPack {
     // Bigram histogram via the higher-order ngram kernel (M1).
     "q33_top_bigrams" -> ((s, dir) => {
       table(s, dir, "documents")
-        .select(explode(T.ngrams(T.tokens(col("text")), 2)).as("bigram"))
+        .select(explode(T.ngramsFast(T.tokens(col("text")), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
@@ -112,7 +112,7 @@ object TextQueries extends QueryPack {
       table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
         .select(explode(flatten(array((1 to 3).map(n =>
-          transform(T.ngrams(col("toks"), n),
+          transform(T.ngramsFast(col("toks"), n),
             g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
         .groupBy(col("t.n").as("n"))
         .agg(count(lit(1)).as("occurrences"),

@@ -62,4 +62,48 @@ object Pos {
           concat(posTag(a), lit("-"), posTag(b)).isin(pats: _*)
         })
     }
+
+  /** Compiled kernel form of [[patternBigrams]] — identical output
+    * (PosSpec pins the equality). The expression form re-tags both
+    * tokens of every bigram through an interpreted 10-branch CASE
+    * chain plus a split() per filter evaluation; the kernel tags each
+    * token once and slides.
+    */
+  def patternBigramsFast(toks: Column,
+      patterns: Seq[(String, String)] = Seq(
+        (Noun, Noun), (Verb, Noun), (Noun, Verb), (Adj, Noun))): Column = {
+    val pats = patterns.map { case (a, b) => s"$a-$b" }.toSet
+    patternBigramsUdf(pats)(toks)
+  }
+
+  private val stopSet = TextFunctions.stopwordsEn.toSet
+
+  /** JVM twin of [[posTag]] — same branch order, same suffixes. */
+  private[text] def posTagJvm(tok: String): String =
+    if (tok == null) null
+    else if (stopSet.contains(tok)) Other
+    else if (tok.endsWith("ly")) Adv
+    else if (tok.endsWith("ing") || tok.endsWith("ed")) Verb
+    else if (tok.endsWith("ous") || tok.endsWith("ful") ||
+      tok.endsWith("ive") || tok.endsWith("al")) Adj
+    else Noun
+
+  private def patternBigramsUdf(pats: Set[String]) = udf { (t: Seq[String]) =>
+    if (t == null || t.length < 2) Seq.empty[String]
+    else {
+      val tags = t.map(posTagJvm)
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < t.length - 1) {
+        // the expression form builds "a b" then splits on the FIRST
+        // space to re-derive a — tokens from split(text," ") never
+        // contain spaces, so tagging the original tokens matches
+        if (tags(i) != null && tags(i + 1) != null &&
+          pats.contains(tags(i) + "-" + tags(i + 1)))
+          out += t(i) + " " + t(i + 1)
+        i += 1
+      }
+      out.result()
+    }
+  }
 }

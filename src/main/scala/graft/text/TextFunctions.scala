@@ -42,6 +42,40 @@ object TextFunctions {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Compiled kernel form of [[ngrams]] — identical output
+    * (TextFunctionsSpec pins the equality, including array_join's
+    * null-skipping). The expression form's per-element slice +
+    * array_join runs interpreted (higher-order functions have no
+    * codegen) and dominated every explode-ngrams query profile;
+    * the kernel is one JIT-compiled sliding pass.
+    */
+  def ngramsFast(toks: Column, n: Int): Column = ngramsUdf(n)(toks)
+
+  private def ngramsUdf(n: Int) = udf { (t: Seq[String]) =>
+    if (t == null || t.length < n) Seq.empty[String]
+    else {
+      val out = new Array[String](t.length - n + 1)
+      var i = 0
+      while (i <= t.length - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        var first = true
+        while (j < n) {
+          val e = t(i + j)
+          if (e != null) {          // array_join skips null elements
+            if (!first) sb.append(' ')
+            sb.append(e)
+            first = false
+          }
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** All n-grams for n in [minN, maxN] (reference extracts 1..4). */
   def ngramsRange(toks: Column, minN: Int, maxN: Int): Column =
     flatten(array((minN to maxN).map(n => ngrams(toks, n)): _*))

@@ -38,4 +38,21 @@ class PosSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(out.isEmpty)
   }
+
+  test("patternBigramsFast kernel matches the expression form") {
+    val samples = Seq(
+      Seq("famous", "dog", "barked", "loudly"),
+      Seq("the", "running", "dog", "chased", "a", "helpful", "cat"),
+      Seq("dog"),
+      Seq.empty[String],
+      Seq("quickly", "quickly"),
+      Seq("table", "festival", "running", "jumped", "famous", "the"))
+    samples.foreach { toks =>
+      val both = Seq(Tuple1(toks)).toDF("toks")
+        .select(Pos.patternBigrams(col("toks")).as("expr"),
+          Pos.patternBigramsFast(col("toks")).as("fast"))
+        .as[(Seq[String], Seq[String])].head()
+      assert(both._1 == both._2, s"toks=$toks")
+    }
+  }
 }

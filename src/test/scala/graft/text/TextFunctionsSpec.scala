@@ -37,6 +37,30 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ngramsFast kernel matches the expression form") {
+    val gen = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, Gen.resize(6, Gen.alphaLowerStr))
+      n <- Gen.choose(1, 5)
+    } yield (ws, n)
+    val cases = (0 until 40).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (ws, n) =>
+      val both = Seq(ws).toDF("toks")
+        .select(TextFunctions.ngrams(col("toks"), n).as("expr"),
+          TextFunctions.ngramsFast(col("toks"), n).as("fast"))
+        .as[(Seq[String], Seq[String])].head()
+      assert(both._1 == both._2, s"tokens=$ws n=$n")
+    }
+    // null elements: array_join skips them — the kernel must too
+    val withNull = Seq(Seq("a", null, "c")).toDF("toks")
+      .select(TextFunctions.ngrams(col("toks"), 2).as("expr"),
+        TextFunctions.ngramsFast(col("toks"), 2).as("fast"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(withNull._1 == withNull._2)
+  }
+
   test("ngramsRange concatenates each n's grams") {
     val out = Seq("a b c").toDF("t")
       .select(TextFunctions.ngramsRange(
