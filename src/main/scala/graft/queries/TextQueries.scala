@@ -91,8 +91,11 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // RAKE keywords (M6) — kernel not SQL-expressible; driver does a
-    // rows-only check, golden values covered by RakeSpec.
+    // RAKE keywords (M6): sentences split on punctuation, candidate
+    // phrases are maximal stopword-free runs (length-3 windows for
+    // longer runs), word score = (degree+freq)/freq, phrase score =
+    // rounded sum — fully replayed by the DuckDB oracle below
+    // (lateral-unnest run segmentation + the same rational score).
     "q39_rake" -> ((s, dir) => {
       table(s, dir, "documents")
         .filter(col("doc_id") < 100)
@@ -123,7 +126,57 @@ object TextQueries extends QueryPack {
 
   private val splitToks = "string_split(text, ' ')"
 
+  /** RAKE oracle: replays Rake.extract in SQL. Run segmentation =
+    * cumulative stopword count as the run id; long runs window to 3;
+    * scores rank on the ROUNDED value (matching the kernel), so
+    * sub-ulp sum-order differences can't flip a rank.
+    */
+  private val rakeOracle = {
+    val stopList = graft.text.TextFunctions.stopwordsEn
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t
+       |           FROM documents WHERE doc_id < 100),
+       |sl AS (SELECT doc_id, string_split_regex(t, '[.!?;:]+') AS ss FROM d),
+       |sent AS (SELECT doc_id, u.si, ss[u.si] AS s
+       |         FROM sl, unnest(generate_series(1, len(ss))) AS u(si)),
+       |tk AS (SELECT doc_id, si,
+       |         list_filter(string_split_regex(s, '[^a-z0-9'']+'),
+       |                     x -> x != '') AS toks
+       |       FROM sent),
+       |tok AS (SELECT doc_id, si, u.ti, toks[u.ti] AS w,
+       |          toks[u.ti] IN ($stopList) AS stop
+       |        FROM tk, unnest(generate_series(1, len(toks))) AS u(ti)),
+       |marked AS (SELECT doc_id, si, ti, w, stop,
+       |            sum(CASE WHEN stop THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY doc_id, si ORDER BY ti) AS rid
+       |           FROM tok),
+       |runs AS (SELECT doc_id, si, rid, list(w ORDER BY ti) AS run
+       |         FROM marked WHERE NOT stop GROUP BY doc_id, si, rid),
+       |cand AS (
+       |  SELECT doc_id, run AS ph FROM runs WHERE len(run) <= 3
+       |  UNION ALL
+       |  SELECT doc_id, run[u.wi:u.wi+2] AS ph
+       |  FROM runs, unnest(generate_series(1, len(run) - 2)) AS u(wi)
+       |  WHERE len(run) > 3),
+       |cw AS (SELECT doc_id, ph, unnest(ph) AS w FROM cand),
+       |ws AS (SELECT doc_id, w, count(*) AS freq,
+       |         sum(len(ph) - 1) AS deg
+       |       FROM cw GROUP BY doc_id, w),
+       |dph AS (SELECT DISTINCT doc_id, ph FROM cand),
+       |dw AS (SELECT doc_id, ph, unnest(ph) AS w FROM dph),
+       |scored AS (
+       |  SELECT dw.doc_id, array_to_string(dw.ph, ' ') AS phrase,
+       |    round(sum((ws.deg + ws.freq) * 1.0 / ws.freq), 4) AS score
+       |  FROM dw JOIN ws ON dw.doc_id = ws.doc_id AND dw.w = ws.w
+       |  GROUP BY dw.doc_id, dw.ph),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, phrase) AS rn FROM scored)
+       |SELECT doc_id, phrase, score FROM rk WHERE rn <= 5
+       |ORDER BY doc_id, score DESC, phrase""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q39_rake" -> rakeOracle,
     "q32_top_tokens" ->
       s"""SELECT token, cast(count(*) as bigint) AS n
          |FROM (SELECT unnest($splitToks) AS token FROM documents)

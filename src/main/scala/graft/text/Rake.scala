@@ -43,7 +43,13 @@ object Rake {
     }
   }
 
-  /** Full RAKE: top-k phrases by score desc, phrase asc (stable). */
+  /** Full RAKE: top-k phrases by score desc, phrase asc (stable).
+    * Scores are rounded to 4 decimals BEFORE ranking — sub-ulp
+    * engine differences in the double sum must never decide a rank
+    * (the project-wide convention for every ranked score), and the
+    * rounded rational can't sit on a rounding boundary (it would
+    * need a factor 5^4 in a word-frequency denominator).
+    */
   def extract(text: String, stopwords: Set[String] = defaultStopwords,
       maxWords: Int = 3, topK: Int = 10): Seq[Scored] = {
     val phrases = candidatePhrases(text, stopwords, maxWords)
@@ -59,7 +65,8 @@ object Rake {
     def wordScore(w: String): Double =
       (deg(w) + freq(w)).toDouble / freq(w).toDouble
     phrases.distinct
-      .map(p => Scored(p.mkString(" "), p.map(wordScore).sum))
+      .map(p => Scored(p.mkString(" "),
+        math.rint(p.map(wordScore).sum * 10000) / 10000))
       .sortBy(s => (-s.score, s.phrase))
       .take(topK)
   }
@@ -70,7 +77,6 @@ object Rake {
     val f = udf { (text: String) =>
       if (text == null) Seq.empty[Scored]
       else extract(text, stopwords, topK = topK)
-        .map(s => Scored(s.phrase, math.rint(s.score * 10000) / 10000))
     }
     c => f(c)
   }

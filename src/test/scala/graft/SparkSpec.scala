@@ -7,12 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * run forked in a single JVM); tiny shuffle fan-out for speed.
   */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
+  // Routed through GraftSession.configure so specs exercise the same
+  // engine configuration (AQE, optimizer exclusions, timezone) the
+  // product mains run with; small master/shuffle fan-out for speed.
+  lazy val spark: SparkSession = GraftSession.configure(
+    SparkSession.builder().master("local[2]"), 4, "graft-spec")
     .getOrCreate()
 }
 
