@@ -106,6 +106,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("score").desc, col("phrase"))
     }),
 
+    // Per-(source, lang) corpus report: volume, length, exact-dup
+    // rate — the curation dashboard a crawl pipeline runs per shard.
+    // One aggregation pass; dup rate counts distinct digests, never
+    // shuffling text.
+    "q104_source_stats" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique") / col("n_docs"), 4))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Corpus n-gram statistics for n=1..3 (occurrences + distinct),
     // the shape of the reference's ngram corpus jobs (M1/M14).
     "q40_ngram_stats" -> ((s, dir) => {
@@ -177,6 +192,14 @@ object TextQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q39_rake" -> rakeOracle,
+    "q104_source_stats" ->
+      """SELECT source, lang, cast(count(*) as bigint) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  cast(count(DISTINCT md5(text)) as bigint) AS n_unique,
+        |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+        |    AS dup_rate
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "q32_top_tokens" ->
       s"""SELECT token, cast(count(*) as bigint) AS n
          |FROM (SELECT unnest($splitToks) AS token FROM documents)

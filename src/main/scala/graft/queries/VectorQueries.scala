@@ -53,6 +53,31 @@ object VectorQueries extends QueryPack {
       Ann.lshDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
         planes = 8, threshold = 0.99)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // k-NN label vote: top-5 cosine neighbors classify each query
+    // vector by majority (count desc, label asc tiebreak) — the
+    // similarity-search surface applied to label ETL, the reference's
+    // bread and butter (category marking). One broadcast of the query
+    // slice; votes are a tiny aggregate over k×|queries| rows.
+    "q103_knn_classify" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val topk = Ann.cosineTopK(emb,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+        "vec_id", "embedding", 5)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -131,6 +156,24 @@ object VectorQueries extends QueryPack {
          |    ${cosSql("a.v", "b.v")} AS cos
          |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s
-         |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    "q103_knn_classify" ->
+      s"""WITH $cosineCte,
+         |q AS (SELECT * FROM e WHERE vec_id >= 20 AND vec_id < 40),
+         |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("q.v", "e.v")} AS cos
+         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+         |topk AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+         |votes AS (
+         |  SELECT t.query_id, emb.label,
+         |         cast(count(*) as bigint) AS votes
+         |  FROM topk t JOIN embeddings emb ON t.neighbor_id = emb.vec_id
+         |  GROUP BY t.query_id, emb.label),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY votes DESC, label) AS rn FROM votes)
+         |SELECT query_id, label AS pred_label, votes
+         |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin
   )
 }
