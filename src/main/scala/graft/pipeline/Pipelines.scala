@@ -99,6 +99,53 @@ object Pipelines {
     vecs.join(dups.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  /** Full training-corpus curation chain — the composition the
+    * LLM-data operators exist for: quality floor → exact dedup →
+    * SimHash near-dup clustering (keep each cluster's min-id doc) →
+    * trigram decontamination against a benchmark set → deterministic
+    * per-class cap by hash rank.
+    *
+    * Scale shape of each stage: the quality gate fuses into the scan;
+    * exact dedup shuffles digests; near-dup pairs come from bucketed
+    * equi-joins and clustering runs on the tiny edge derivative
+    * (union-find contraction); the benchmark trigram set broadcasts;
+    * the cap is one window over (class, hash). No stage shuffles raw
+    * text except the final projection of survivors.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, benchmark: DataFrame, cap: Int,
+      minChars: Int = 100, maxHamming: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val quality = docs.filter(length(col(textCol)) >= minChars)
+    val exact = Dedup.dropExactDups(quality, idCol, textCol)
+
+    val sims = exact.select(col(idCol),
+      Dedup.simhash60(TextFunctions.tokens(col(textCol))).as("simhash"))
+    val pairs = Dedup.simhashNearPairs(sims, idCol, "simhash",
+      tables = 2, maxHamming = maxHamming)
+    val comp = graft.graph.Components.connectedComponents(
+      exact.select(col(idCol)), pairs, idCol, "id_a", "id_b")
+    val keep = comp.filter(col("id") === col("comp"))
+      .select(col("id").as(idCol))
+    val nearDeduped = exact.join(keep, Seq(idCol), "left_semi")
+
+    def grams(d: DataFrame) = explode(array_distinct(
+      TextFunctions.ngramsFast(TextFunctions.tokens(col(textCol)), 3)))
+    val bench = benchmark.select(grams(benchmark).as("g")).distinct()
+    val contaminated = nearDeduped.select(col(idCol), grams(nearDeduped).as("g"))
+      .join(broadcast(bench), "g")
+      .select(col(idCol)).distinct()
+    val clean = nearDeduped.join(contaminated, Seq(idCol), "left_anti")
+
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(concat(col(textCol), lit("#"),
+        col(idCol).cast("string"))), col(idCol))
+    clean.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }
 
 /** CLI driver: `runMain graft.pipeline.PipelineDriver <name> <in> <out>`

@@ -74,6 +74,41 @@ class PipelinesSpec extends SparkSpec {
     assert(kept == Set(1L, 9L))
   }
 
+  test("curate chains quality, dedup, clustering, decontam, and caps") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve").trim
+    // same tokens, different order: distinct md5 (passes exact dedup)
+    // but an IDENTICAL simhash (token votes are order-independent),
+    // so the near-dup stage must catch it at any maxHamming
+    val nearVariant = long.split(" ").reverse.mkString(" ")
+    val docs = Seq(
+      (1L, long, "a"),                       // survives, cluster min
+      (2L, long, "a"),                       // exact dup of 1 → dropped
+      (3L, nearVariant, "a"),                // near dup of 1 → dropped
+      (4L, "too short", "a"),                // quality gate → dropped
+      (5L, "the benchmark question asks about spark catalyst rules " +
+        "and adaptive execution behavior during shuffles today", "b"),
+      (6L, "unrelated clean document discussing storage formats and " +
+        "columnar layouts with plenty of distinct tokens here", "b")
+    ).toDF("doc_id", "text", "cls")
+    val benchmark = Seq(
+      Tuple1("the benchmark question asks about spark catalyst rules " +
+        "and answers it")).toDF("text")
+    val kept = Pipelines.curate(docs, "doc_id", "text", "cls",
+      benchmark, cap = 10, minChars = 50)
+      .select("doc_id").as[Long].collect().toSet
+    // 5 shares the "benchmark question asks" trigrams → decontaminated
+    assert(kept == Set(1L, 6L))
+
+    // cap = 1 keeps exactly one doc per class, deterministically
+    val capped = Pipelines.curate(docs, "doc_id", "text", "cls",
+      benchmark, cap = 1, minChars = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.size == 2)
+    assert(capped.subsetOf(Set(1L, 6L)))
+  }
+
   test("embeddingDedup drops cosine-identical vectors keeping min id") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
