@@ -97,4 +97,61 @@ object Multimodal {
       col(idCol),
       mediaMetadata(col(binCol)).as("meta"),
       byteHistogramStub(bins)(col(binCol)).as("embedding"))
+
+  case class MediaMeta(n_bytes: Option[Int], sha256: Option[String],
+    fmt: String)
+
+  /** Batched (per-partition) form of [[extractFeatures]] — the JVM
+    * analog of the `mapInPandas` batch contract: initialization (a
+    * real pipeline constructs its codec / feature model here) happens
+    * once per PARTITION, rows stream through as an iterator, memory
+    * stays bounded to one row batch, and nothing shuffles. Output is
+    * row-for-row identical to the per-row expression form
+    * (MultimodalSpec pins it, including null-binary and magic-byte
+    * edge cases). This is the shape a 100 TB decode stage keeps:
+    * decode cost scales out with partitions, codec startup amortizes
+    * over a partition, and swapping the stub for a real codec
+    * changes no plan.
+    */
+  def extractFeaturesBatched(media: DataFrame, idCol: String,
+      binCol: String, bins: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // ---- per-partition init (the codec boundary) ----
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        def is(b: Array[Byte], off: Int, bytes: Int*): Boolean =
+          b.length >= off + bytes.length &&
+            bytes.zipWithIndex.forall { case (x, i) => b(off + i) == x.toByte }
+        def fmtOf(b: Array[Byte]): String =
+          if (b == null) "unknown"
+          else if (is(b, 0, 0xFF, 0xD8, 0xFF)) "jpeg"
+          else if (is(b, 0, 0x89, 0x50, 0x4E, 0x47)) "png"
+          else if (is(b, 0, 0x52, 0x49, 0x46, 0x46)) "wav"
+          else if (is(b, 4, 0x66, 0x74, 0x79, 0x70)) "mp4"
+          else "unknown"
+        it.map { case (id, bytes) =>
+          val meta =
+            if (bytes == null) MediaMeta(None, None, "unknown")
+            else {
+              sha.reset()
+              MediaMeta(Some(bytes.length),
+                Some(sha.digest(bytes).map(b => f"$b%02x").mkString),
+                fmtOf(bytes))
+            }
+          val hist =
+            if (bytes == null || bytes.isEmpty) Seq.fill(bins)(0d)
+            else {
+              val counts = new Array[Long](bins)
+              bytes.foreach(b => counts((b & 0xFF) % bins) += 1)
+              counts.toSeq.map(c => BigDecimal(c.toDouble / bytes.length)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          (id, meta, hist)
+        }
+      }
+      .toDF(idCol, "meta", "embedding")
+  }
 }

@@ -84,4 +84,19 @@ class MultimodalSpec extends SparkSpec {
     // each bin is rounded to 4 decimals → sum drifts up to 16 * 5e-5
     assert(math.abs(emb.sum - 1.0) < 1e-3)
   }
+
+  test("extractFeaturesBatched equals the per-row expression form") {
+    val withEdge = media.unionByName(
+      Seq((6L, Array.empty[Byte])).toDF("media_id", "content"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("media_id", "meta.n_bytes", "meta.sha256", "meta.fmt",
+        "embedding")
+      .as[(Long, Option[Int], Option[String], String, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val perRow = rows(
+      Multimodal.extractFeatures(withEdge, "media_id", "content"))
+    val batched = rows(
+      Multimodal.extractFeaturesBatched(withEdge, "media_id", "content"))
+    assert(perRow == batched)
+  }
 }
