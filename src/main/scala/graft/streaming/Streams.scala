@@ -187,6 +187,60 @@ object Streams {
       }
   }
 
+  // ---- stateful streaming near-dedup ----
+
+  case class SimDoc(docId: Long, ts: java.sql.Timestamp, simhash: Long)
+  case class DedupDecision(docId: Long, isDup: Boolean, nearId: Long)
+
+  /** Streaming NEAR-duplicate detection: documents are keyed by the
+    * 15-bit SimHash prefix bucket (the same single-table bucketing as
+    * the batch near-pair search), and each bucket keeps the last
+    * `maxPerBucket` (simhash, docId) pairs as state. A new document
+    * is flagged a near-dup when any retained simhash in its bucket is
+    * within `maxHamming`; `nearId` is the earliest such match (-1
+    * when unique). Emitted per arrival in Append mode, deterministic
+    * within a batch (group rows processed in (ts, docId) order).
+    *
+    * State is doubly bounded — the only thing that matters on an
+    * unbounded stream: per-bucket entries cap at `maxPerBucket`
+    * (oldest evicted first), and idle buckets expire wholesale when
+    * the watermark passes their last arrival + `idleMs`. The
+    * single-prefix recall trade vs the batch multiprobe search
+    * ([[graft.dedup.Dedup.simhashNearPairs]]) is the standard
+    * streaming compromise: one stateful operator, no second shuffle.
+    */
+  def nearDedupStream(docs: Dataset[SimDoc], maxHamming: Int,
+      idleMs: Long, watermarkDelay: String = "0 seconds",
+      maxPerBucket: Int = 128): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .groupByKey(d => d.simhash >>> 45)
+      .flatMapGroupsWithState[List[(Long, Long)], DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[SimDoc],
+            state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+            val out = batch.map { d =>
+              val hit = seen.reverseIterator.find { case (sh, _) =>
+                java.lang.Long.bitCount(sh ^ d.simhash) <= maxHamming
+              }
+              seen = ((d.simhash, d.docId) :: seen).take(maxPerBucket)
+              DedupDecision(d.docId, hit.isDefined,
+                hit.map(_._2).getOrElse(-1L))
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              batch.map(_.ts.getTime).max + idleMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

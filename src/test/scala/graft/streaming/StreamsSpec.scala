@@ -102,6 +102,36 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDedupStream flags near-dups within the bucket across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SimDoc]
+    val query = Streams.nearDedupStream(input.toDS(), maxHamming = 3,
+      idleMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("neardedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = 0x0123456789ABCL          // 60-bit simhash
+      val farPrefix = base ^ (1L << 50)    // different 15-bit bucket
+      input.addData(
+        Streams.SimDoc(1L, ts(1), base),
+        Streams.SimDoc(2L, ts(2), farPrefix))
+      query.processAllAvailable()
+      input.addData(
+        Streams.SimDoc(3L, ts(3), base),          // hamming 0 vs doc 1
+        Streams.SimDoc(4L, ts(4), base ^ 1L),     // hamming 1 vs doc 1
+        Streams.SimDoc(5L, ts(5), base ^ 0xFFL))  // hamming 8: unique
+      query.processAllAvailable()
+      val out = spark.table("neardedup_test")
+        .as[Streams.DedupDecision].collect()
+        .map(d => d.docId -> ((d.isDup, d.nearId))).toMap
+      assert(out(1L) == ((false, -1L)))
+      assert(out(2L) == ((false, -1L)))
+      assert(out(3L) == ((true, 1L)))   // earliest match wins
+      assert(out(4L) == ((true, 1L)))
+      assert(out(5L) == ((false, -1L)))
+    } finally query.stop()
+  }
+
   test("sessionize emits sessions when the watermark passes end + gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
