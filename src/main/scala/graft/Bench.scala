@@ -8,6 +8,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt, "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment knob: SPARK_GRAFT_NO_AQE=1 disables adaptive execution
+    // for this run only (AQE is the product default — see GraftSession)
+    if (sys.env.contains("SPARK_GRAFT_NO_AQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     // Untimed warm-up: JVM/codegen init, parquet footer reads, and the
     // first shuffle's machinery otherwise land entirely on whichever
     // query the Map iteration happens to run first (~4-5 s of noise on
