@@ -34,6 +34,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native expressions (graft_dot, graft_simhash60,
+      // graft_term_counts) registered into every session's SQL
+      // function registry — plain-SQL users get the codegen kernels
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       // InferFiltersFromGenerate plants `size(e) > 0 AND isnotnull(e)`
       // under every Generate, and CollapseProject then substitutes the
       // generator's full expression tree into both conjuncts — for

@@ -46,21 +46,20 @@ class FloatDotProductSpec extends SparkSpec {
     assert(expr.eval(null) == 11.0)
   }
 
-  test("graft_dot is SQL-callable once registered (extension builder path)") {
-    // getOrCreate would reuse the shared spec session and skip
-    // spark.sql.extensions, so register into its function registry
-    // directly — the same (identifier, info, builder) triple
-    // GraftExtensions injects at session build.
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
-      children => FloatDotProduct(children.head, children(1)))
+  test("graft_* SQL functions resolve via spark.sql.extensions") {
+    // GraftSession.configure sets spark.sql.extensions, and the spec
+    // session is built through it — no manual registration needed.
     val row = spark.sql(
       "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
-        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d, " +
+        "graft_simhash60(array('alpha', 'beta')) AS s")
       .collect()(0)
     assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) != 0L)
+    val terms = spark.sql(
+      "SELECT t.* FROM (SELECT array('a', 'b', 'a') AS toks) " +
+        "LATERAL VIEW graft_term_counts(toks) t AS term, tf")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(terms == Map("a" -> 2, "b" -> 1))
   }
 }
