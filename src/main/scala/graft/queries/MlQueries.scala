@@ -73,6 +73,20 @@ object MlQueries extends QueryPack {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // The SQL face of the same Generator: graft_term_counts resolved
+    // through spark.sql.extensions (GraftSession wires
+    // GraftExtensions), LATERAL VIEW over a temp view — verifies the
+    // plain-SQL registration end to end, not just the Column API.
+    "q105_term_tf_sql" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .createOrReplaceTempView("graft_docs_q105")
+      s.sql(
+        """SELECT doc_id, t.term AS term, t.tf AS tf
+          |FROM graft_docs_q105
+          |LATERAL VIEW graft_term_counts(split(text, ' ')) t AS term, tf
+          |ORDER BY doc_id, term""".stripMargin)
+    }),
+
     // M14: UCI docword triples with a stable sorted vocabulary.
     "q61_uci_docword" -> ((s, dir) => {
       Features.uciDocword(
@@ -131,6 +145,12 @@ object MlQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q88_term_tf_gen" ->
+      """SELECT doc_id, term, cast(count(*) as int) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE doc_id < 100)
+        |GROUP BY doc_id, term
+        |ORDER BY doc_id, term""".stripMargin,
+    "q105_term_tf_sql" ->
       """SELECT doc_id, term, cast(count(*) as int) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |      FROM documents WHERE doc_id < 100)
