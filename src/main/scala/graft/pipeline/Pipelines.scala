@@ -100,6 +100,32 @@ object Pipelines {
       Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter benchmark decontamination — the scale path for the
+    * exact broadcast-set form used in `curate`/q94: when the
+    * benchmark suite's distinct n-grams stop fitting a broadcast
+    * set, a Bloom filter at `fpp` holds them in bits. Bloom
+    * guarantees NO false negatives, so every truly contaminated
+    * document is still flagged; false positives over-drop clean docs
+    * at a bounded rate (PipelinesSpec measures both properties).
+    * Returns docs with an `n_flagged` count of suspicious n-grams;
+    * filter `n_flagged === 0` to keep provably-clean docs.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    def gramCol(c: Column) = array_distinct(
+      TextFunctions.ngramsFast(TextFunctions.tokens(c), n))
+    val bloom = benchmark
+      .select(explode(gramCol(col(benchTextCol))).as("g"))
+      .stat.bloomFilter("g", expectedItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val flagged = udf { (grams: Seq[String]) =>
+      if (grams == null) 0
+      else grams.count(g => g != null && bc.value.mightContainString(g))
+    }
+    docs.withColumn("n_flagged", flagged(gramCol(col(textCol))))
+  }
+
   /** Full training-corpus curation chain — the composition the
     * LLM-data operators exist for: quality floor → exact dedup →
     * SimHash near-dup clustering (keep each cluster's min-id doc) →

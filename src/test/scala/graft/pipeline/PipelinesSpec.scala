@@ -109,6 +109,29 @@ class PipelinesSpec extends SparkSpec {
     assert(capped.subsetOf(Set(1L, 6L)))
   }
 
+  test("decontaminateBloom: no false negatives, bounded false positives") {
+    val bench = Seq(
+      Tuple1("the held out benchmark asks about catalyst optimizer rules"))
+      .toDF("text")
+    // 200 distinct clean docs + 1 contaminated (shares bench trigrams)
+    val clean = (1L to 200L).map(i =>
+      (i, s"clean document number $i discussing storage item$i layout " +
+        s"and partition strategy variant$i today"))
+    val docs = (clean :+
+      (999L, "something about catalyst optimizer rules appears here"))
+      .toDF("doc_id", "text")
+    val out = Pipelines.decontaminateBloom(docs, "doc_id", "text",
+      bench, "text", expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id", "n_flagged").as[(Long, Int)].collect().toMap
+    // Bloom guarantee: the truly contaminated doc is ALWAYS flagged
+    assert(out(999L) > 0)
+    // false positives over-drop at a bounded rate: with fpp=1% and
+    // ~15 trigrams per doc, expected flagged-clean share is a few
+    // percent — assert a generous ceiling, not exactness
+    val falsePos = clean.count { case (id, _) => out(id) > 0 }
+    assert(falsePos <= 40, s"false positives: $falsePos of 200")
+  }
+
   test("embeddingDedup drops cosine-identical vectors keeping min id") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
