@@ -23,7 +23,8 @@ object SparkEntry {
     TimeJoinQueries,
     VectorQueries,
     AnalyticQueries,
-    PipelineQueries)
+    PipelineQueries,
+    CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join + aggregate spine (SURVEY §3 E2's shape on the

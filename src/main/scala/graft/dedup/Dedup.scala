@@ -322,4 +322,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact-substring duplicate spans (the token-window form of
+    * suffix-based substring dedup): every `n`-token rolling window
+    * is hashed, and a window is a duplicate span iff the same
+    * window hash occurs in ≥ 2 distinct documents. Returns per-doc
+    * `(id, n_windows, n_dup_windows, dup_ratio)` for docs with at
+    * least one duplicated span.
+    *
+    * Scale shape: explode → partial+final count per window hash
+    * (16-byte md5, never the window text) → one equi-join back on
+    * the hash → per-doc aggregate. The all-pairs doc×doc product
+    * never appears, and shuffle payload is (id, digest) pairs.
+    * `n` plays the same role as the 50-token threshold in
+    * suffix-array substring dedup: longer windows → fewer, more
+    * meaningful matches.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    val windows = docs.select(col(idCol),
+        explode(TextFunctions.ngramsFast(
+          TextFunctions.tokens(col(textCol)), n)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__h"))
+    val nDocs = windows.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    windows.join(nDocs, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
+  }
+
+  /** Cross-corpus LSH contamination candidates: pairs (left id,
+    * right id) whose MinHash band keys collide — the two-table form
+    * of [[lshCandidates]], e.g. training corpus × benchmark set.
+    *
+    * The right side is expected to be the small one (a benchmark /
+    * holdout set) and is broadcast, so the big left corpus streams
+    * through map-side with NO shuffle at all — the shape that lets a
+    * decontamination pass ride along with a scan at 100 TB. For two
+    * large corpora, drop the broadcast hint and the same plan
+    * becomes a shuffle equi-join on the band key.
+    */
+  def lshCandidatesAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      w: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    def banded(d: DataFrame, as: String) = d
+      .select(col(idCol).as(as),
+        bandKeysFast(shingles(col(textCol), w), k, bands).as("__bands"))
+      .select(col(as), explode(col("__bands")).as("band"))
+    banded(left, "left_id")
+      .join(broadcast(banded(right, "right_id")), "band")
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+  }
 }

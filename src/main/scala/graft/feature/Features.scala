@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
+import graft.text.TextFunctions
 
 /** Feature-engineering operators (SURVEY.md M4/M14; reference
   * UserTextLabelCalc.scala:20-159, PrepData.scala:99-251,
@@ -106,4 +107,37 @@ object Features {
             transform(array_sort(col("feats")),
               s => concat(s.getField("wid"), lit(":"), s.getField("tf"))),
             " ")).as("line"))
+
+  /** Fixed-weight linear quality classifier — the shape of a
+    * fastText-style document scorer, with the model baked in as
+    * constants so every score is independently recomputable (and
+    * hash-verifiable by another engine). Features, each clamped to
+    * [0,1]:
+    *   f_len   = min(n_tokens, 500)/500        (length credit)
+    *   f_wlen  = min(mean token length, 10)/10 (vocabulary richness)
+    *   f_stop  = stopword token ratio          (natural-prose floor)
+    *   f_digit = digit-character ratio         (boilerplate penalty)
+    * score = 0.2 + 0.5·f_len + 0.3·f_wlen + 0.4·f_stop − 0.6·f_digit.
+    *
+    * Pure column arithmetic (mult/div/add on IEEE doubles — exactly
+    * rounded ops, so deterministic across engines), no UDF: the
+    * score fuses into the scan and costs a projection. Swapping in
+    * learned weights keeps the same plan. Returned raw; discretize
+    * with floor (e.g. `floor(score * 10000)`), not round — decimal
+    * rounding of a double is engine-convention-dependent at exact
+    * .5 ties, floor of an identical double never is.
+    */
+  def linearQualityScore(text: Column, toks: Column): Column = {
+    val nToks = size(toks).cast("double")
+    val fLen = least(nToks, lit(500.0)) / 500.0
+    val meanWlen = length(regexp_replace(text, " ", "")) / nToks
+    val fWlen = least(meanWlen, lit(10.0)) / 10.0
+    val fStop = size(filter(toks, t =>
+      array_contains(array(TextFunctions.stopwordsEn.map(lit): _*), t)))
+      .cast("double") / nToks
+    val fDigit = length(regexp_replace(text, "[^0-9]", "")) /
+      length(text).cast("double")
+    lit(0.2) + lit(0.5) * fLen + lit(0.3) * fWlen +
+      lit(0.4) * fStop - lit(0.6) * fDigit
+  }
 }

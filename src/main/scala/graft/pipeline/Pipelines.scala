@@ -172,6 +172,45 @@ object Pipelines {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Temperature-based mixture resampling (the α=0.5 data-mixing
+    * rule used when assembling multilingual / multi-source training
+    * sets): class c's share of the `budget` is proportional to
+    * √n_c instead of n_c, up-weighting small classes without letting
+    * any one class dominate. Selection within a class is the
+    * deterministic md5 hash rank (q97/q101's RNG-free sampling), so
+    * the same corpus always yields the same mix on any partitioning.
+    *
+    * Determinism across engines: weights are √n floored to integer
+    * millionths, so the cross-class sum is exact integer arithmetic
+    * (no float summation-order dependence), and each target is one
+    * exactly-rounded IEEE divide. Plan shape: one per-class count
+    * (partial+final aggregate), a broadcast of the tiny class→target
+    * map, one window for the rank — the corpus itself is scanned
+    * once and never re-shuffled beyond the per-class rank.
+    */
+  def temperatureSample(docs: DataFrame, classCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val weights = docs.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("__w",
+        floor(sqrt(col("n_total").cast("double") * 1000000.0)).cast("long"))
+    val wsum = weights.agg(sum(col("__w")).as("__wsum"))
+    val targets = weights.crossJoin(broadcast(wsum))
+      .withColumn("target_n",
+        floor((col("__w") * budget.toDouble) / col("__wsum")).cast("long"))
+      .select(col(classCol), col("n_total"), col("target_n"))
+
+    val rank = Window.partitionBy(col(classCol))
+      .orderBy(md5(concat(col(textCol), lit("#"),
+        col(idCol).cast("string"))), col(idCol))
+    docs.withColumn("__rn", row_number().over(rank))
+      .join(broadcast(targets), classCol)
+      .filter(col("__rn") <= col("target_n"))
+      .drop("__rn")
+  }
 }
 
 /** CLI driver: `runMain graft.pipeline.PipelineDriver <name> <in> <out>`

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.feature.Features
+import graft.io.Tables.table
+import graft.pipeline.Pipelines
+import graft.text.{TextFunctions => T}
+
+/** Round-5 curation pack — the corpus-assembly operators a training
+  * pipeline runs between raw scans and packing: exact-substring span
+  * dedup (the token-window form of suffix-array substring dedup),
+  * Gopher-style top-n-gram repetition stats, a fixed-weight linear
+  * quality classifier, temperature-based mixture resampling, and
+  * cross-corpus LSH decontamination.
+  *
+  * Duplicate spans and contamination are injected deterministically
+  * (suffix splices, perturbed benchmark copies) exactly as the
+  * oracle injects them, so the detection math itself is what the
+  * hash-compare verifies.
+  */
+object CurationQueries extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-substring duplicate spans: corpus ∪ suffix-splices of
+    // doc_id<30 (tokens 11..end re-joined under id+200000) — every
+    // splice window duplicates its source doc's, the source's first
+    // windows stay unique, so overlap is genuinely partial.
+    "q106_substr_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = T.tokens(col("text"))
+      val spliced = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(toks, lit(11), size(toks)), " ").as("text"))
+      Dedup.duplicateSpans(d.unionByName(spliced), "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition rules: fraction of characters taken by the
+    // single most frequent 2-/3-/4-gram (ties broken by gram text).
+    "q107_top_ngram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), T.tokens(col("text")).as("toks"))
+      def top(n: Int): DataFrame = {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col(s"top${n}_n").desc, col(s"top${n}_gram"))
+        docs.select(col("doc_id"), col("n_chars"),
+            explode(T.ngramsFast(col("toks"), n)).as(s"top${n}_gram"))
+          .groupBy(col("doc_id"), col("n_chars"), col(s"top${n}_gram"))
+          .agg(count(lit(1)).as(s"top${n}_n"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col(s"top${n}_gram"), col(s"top${n}_n"),
+            round(col(s"top${n}_n") * length(col(s"top${n}_gram")) /
+              col("n_chars").cast("double"), 4).as(s"top${n}_frac"))
+      }
+      top(2)
+        .join(top(3).select(col("doc_id"), col("top3_frac")), "doc_id")
+        .join(top(4).select(col("doc_id"), col("top4_frac")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-weight linear quality classifier (fastText-scorer shape
+    // with the model baked in as constants — scan-speed, no UDF).
+    // Score discretized by floor to fixed-point ten-thousandths:
+    // both engines compute the identical IEEE double, and floor
+    // (unlike decimal rounding) has no engine-dependent tie rule.
+    "q108_quality_classifier" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(Features.linearQualityScore(col("text"), T.tokens(col("text")))
+            * 10000.0).cast("long").as("q_score_e4"))
+        .withColumn("q_label", col("q_score_e4") >= 5000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-based (α=0.5) language remixing of a 1000-doc
+    // budget: per-lang targets ∝ √n, deterministic hash-rank picks.
+    "q109_temp_mix" -> ((s, dir) => {
+      val sel = Pipelines.temperatureSample(
+        table(s, dir, "documents"), "lang", "doc_id", "text", budget = 1000L)
+      sel.groupBy(col("lang"), col("n_total"), col("target_n"))
+        .agg(count(lit(1)).as("n_selected"))
+        .orderBy(col("lang"))
+    }),
+
+    // Cross-corpus LSH decontamination: the benchmark is doc_id<20;
+    // the training side is everything else plus perturbed benchmark
+    // copies (two extra tokens under id+300000) — near-identical but
+    // not byte-equal, which is exactly what exact-hash decontam
+    // misses and MinHash catches. ≥2 of 8 minhash agreements flag.
+    "q110_lsh_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val cont = bench.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+      val train = d.filter(col("doc_id") >= 20).unionByName(cont)
+      val cands = Dedup.lshCandidatesAcross(train, bench, "doc_id", "text")
+      def sig(df: DataFrame, as: String) = df.select(col("doc_id").as(as),
+        Dedup.minhashSignatureFast(Dedup.shingles(col("text"), 3), 8)
+          .as(s"__sig_$as"))
+      cands.join(sig(train, "left_id"), "left_id")
+        .join(broadcast(sig(bench, "right_id")), "right_id")
+        .withColumn("__m", size(filter(
+          zip_with(col("__sig_left_id"), col("__sig_right_id"),
+            (x, y) => x === y), b => b)))
+        .filter(col("__m") >= 2)
+        .select(col("left_id"), col("right_id"),
+          round(col("__m") / 8.0, 4).as("est_jaccard"))
+        .orderBy(col("left_id"), col("right_id"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private val toks = "string_split(text, ' ')"
+
+  private val shingles =
+    s"list_distinct(list_transform(range(1, len($toks) - 1), " +
+      s"i -> array_to_string($toks[i:i+2], ' ')))"
+
+  private def minhashSql(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+
+  private def bandSql(b: Int): String =
+    s"md5('band$b:' || mh${2 * b} || '|' || mh${2 * b + 1})"
+
+  private def ngramSql(l: String, n: Int): String =
+    s"list_transform(generate_series(1, len($l) - ${n - 1}), " +
+      s"i -> array_to_string($l[i:i+${n - 1}], ' '))"
+
+  def oracles: Map[String, String] = Map(
+    "q106_substr_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, l FROM tk
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         string_split(array_to_string(l[11:len(l)], ' '), ' ')
+         |  FROM tk WHERE doc_id < 30),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(l) - 12),
+         |          i -> md5(array_to_string(l[i:i+12], ' ')))) AS h
+         |      FROM corpus),
+         |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY h),
+         |per AS (SELECT g.doc_id, count(*) AS n_windows,
+         |          sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)
+         |            AS n_dup_windows
+         |        FROM g JOIN nd USING (h) GROUP BY g.doc_id)
+         |SELECT doc_id, cast(n_windows as bigint) AS n_windows,
+         |  cast(n_dup_windows as bigint) AS n_dup_windows,
+         |  round(n_dup_windows * 1.0 / n_windows, 4) AS dup_ratio
+         |FROM per WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
+    "q107_top_ngram" -> {
+      def topCte(n: Int) =
+        s"""t$n AS (
+           |  SELECT doc_id, top${n}_gram, top${n}_n,
+           |    round(top${n}_n * length(top${n}_gram) * 1.0 / n_chars, 4)
+           |      AS top${n}_frac
+           |  FROM (
+           |    SELECT doc_id, n_chars, g AS top${n}_gram,
+           |      count(*) AS top${n}_n,
+           |      row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY count(*) DESC, g) AS rn
+           |    FROM (SELECT doc_id, n_chars,
+           |            unnest(${ngramSql("l", n)}) AS g FROM tk)
+           |    GROUP BY doc_id, n_chars, g)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, n_chars, $toks AS l FROM documents),
+         |${topCte(2)},
+         |${topCte(3)},
+         |${topCte(4)}
+         |SELECT t2.doc_id, t2.top2_gram, cast(t2.top2_n as bigint) AS top2_n,
+         |  t2.top2_frac, t3.top3_frac, t4.top4_frac
+         |FROM t2 JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)
+         |ORDER BY t2.doc_id""".stripMargin
+    },
+    "q108_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
+         |    AS q_score_e4,
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
+         |    >= 5000 AS q_label
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q109_temp_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_total
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_total,
+        |        CAST(floor(sqrt(n_total * 1000000.0)) AS BIGINT) AS wt
+        |      FROM c),
+        |t AS (SELECT lang, n_total,
+        |        CAST(floor((wt * 1000.0) /
+        |          CAST((SELECT sum(wt) FROM w) AS DOUBLE)) AS BIGINT)
+        |          AS target_n
+        |      FROM w),
+        |r AS (SELECT lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(text || '#' || doc_id), doc_id) AS rn
+        |      FROM documents)
+        |SELECT t.lang, cast(t.n_total as bigint) AS n_total, t.target_n,
+        |  cast(count(*) as bigint) AS n_selected
+        |FROM r JOIN t ON r.lang = t.lang
+        |WHERE r.rn <= t.target_n
+        |GROUP BY t.lang, t.n_total, t.target_n
+        |ORDER BY t.lang""".stripMargin,
+    "q110_lsh_decontam" -> {
+      val mhs = (0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
+      val bandList = (0 until 4).map(bandSql).mkString("[", ", ", "]")
+      val matches = (0 until 8)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text || ' zq1 zq2' FROM bench),
+         |sht AS (SELECT doc_id, $shingles AS sh FROM train),
+         |shb AS (SELECT doc_id, $shingles AS sh FROM bench),
+         |mht AS (SELECT doc_id, $mhs FROM sht),
+         |mhb AS (SELECT doc_id, $mhs FROM shb),
+         |bt AS (SELECT doc_id, unnest($bandList) AS band FROM mht),
+         |bb AS (SELECT doc_id, unnest($bandList) AS band FROM mhb),
+         |cand AS (SELECT DISTINCT t.doc_id AS left_id, b.doc_id AS right_id
+         |         FROM bt t JOIN bb b ON t.band = b.band)
+         |SELECT left_id, right_id, round(($matches) / 8.0, 4) AS est_jaccard
+         |FROM cand JOIN mht a ON cand.left_id = a.doc_id
+         |          JOIN mhb b ON cand.right_id = b.doc_id
+         |WHERE ($matches) >= 2
+         |ORDER BY left_id, right_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.feature.Features
+
+/** Round-5 curation operators: exact-substring duplicate spans,
+  * cross-corpus LSH decontamination, temperature mixing, and the
+  * fixed-weight linear quality score.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, seed: String) =
+    (0 until n).map(i => s"$seed$i").mkString(" ")
+
+  test("duplicateSpans: shared 13-token windows found, unique text clean") {
+    val shared = words(20, "s") // 20 tokens -> 8 shared windows inside
+    val docs = Seq(
+      (1L, words(15, "a") + " " + shared),
+      (2L, shared + " " + words(15, "b")),
+      (3L, words(40, "c"))).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 3 shares nothing -> absent
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val Seq(d1, d2) = out.toSeq
+    // 35 tokens -> 23 windows each; the 8 windows fully inside the
+    // shared 20 tokens are duplicated in both docs
+    assert(d1._2 == 23 && d2._2 == 23)
+    assert(d1._3 == 8 && d2._3 == 8)
+    assert(d1._4 == math.rint(8.0 / 23.0 * 10000) / 10000)
+  }
+
+  test("duplicateSpans: within-doc repetition alone is not a dup span") {
+    val rep = words(13, "r")
+    val docs = Seq((1L, rep + " " + rep)).toDF("doc_id", "text")
+    // every window occurs in exactly one (this) doc
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", 13).count() == 0)
+  }
+
+  test("lshCandidatesAcross: contaminated copy flagged, unrelated not") {
+    val bench = Seq((100L, words(30, "w"))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, words(30, "w") + " tail0 tail1"), // near-copy of bench 100
+      (2L, words(30, "z"))                   // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatesAcross(train, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(!pairs.exists(_._1 == 2L))
+  }
+
+  test("temperatureSample: sqrt weighting, budget honored, deterministic") {
+    val docs = (1L to 1000L)
+      .map(i => (i, if (i <= 900) "big" else "small", s"text of $i"))
+      .toDF("doc_id", "lang", "text")
+    val sel = Pipelines.temperatureSample(docs, "lang", "doc_id", "text",
+      budget = 100L)
+    val byLang = sel.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // weights 30:10 -> targets 75:25 (vs 90:10 proportional — the
+    // small class is up-weighted, the big one capped)
+    assert(byLang == Map("big" -> 75L, "small" -> 25L))
+    // deterministic under repartitioning
+    val again = Pipelines.temperatureSample(docs.repartition(7), "lang",
+      "doc_id", "text", budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("linearQualityScore: monotone in length, penalized by digits") {
+    val docs = Seq(
+      (1L, "the " + words(400, "tok")),    // long, has a stopword
+      (2L, "x1 22 333"),                   // short, digit-heavy
+      (3L, words(10, "y"))                 // short, clean
+    ).toDF("doc_id", "text")
+    val scored = docs.select($"doc_id",
+      Features.linearQualityScore($"text",
+        graft.text.TextFunctions.tokens($"text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored(1L) > scored(3L)) // length credit
+    assert(scored(2L) < scored(3L)) // digit penalty
+    assert(scored.values.forall(s => s > -0.6 && s < 1.4))
+  }
+}
