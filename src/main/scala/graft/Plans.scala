@@ -15,10 +15,11 @@ object Plans {
     val names = if (args.length > 1) args.tail.toSeq
     else Seq("q01_pricing_summary", "q02_select_cast", "q05_star_join",
       "q48_ann_cosine", "q68_tumbling_window", "q34_doc_tfidf")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
+    // GraftSession.configure, same as Verify/Bench: the audit must
+    // show the product optimizer (AQE, InferFiltersFromGenerate
+    // exclusion), not stock defaults.
+    val spark = GraftSession.configure(
+      SparkSession.builder().master("local[4]"), 4, "graft-plans")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

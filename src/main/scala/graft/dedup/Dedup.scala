@@ -330,26 +330,34 @@ object Dedup {
     * `(id, n_windows, n_dup_windows, dup_ratio)` for docs with at
     * least one duplicated span.
     *
-    * Scale shape: explode → partial+final count per window hash
-    * (16-byte md5, never the window text) → one equi-join back on
-    * the hash → per-doc aggregate. The all-pairs doc×doc product
-    * never appears, and shuffle payload is (id, digest) pairs.
-    * `n` plays the same role as the 50-token threshold in
-    * suffix-array substring dedup: longer windows → fewer, more
-    * meaningful matches.
+    * Scale shape: ONE scan — explode → partial+final count per
+    * (window hash, doc) → window `count(*) over (partition by hash)`
+    * for the distinct-doc count (each row is one distinct doc after
+    * the aggregate) → per-doc aggregate. Shuffle payload is
+    * (16-byte digest, id, count) triples, never window text, and no
+    * join side to broadcast (a per-window-hash map would not fit a
+    * broadcast at corpus scale; the join-based form also rescans the
+    * corpus twice). A window shared by very many docs (boilerplate)
+    * makes a hot hash partition — AQE skew handling or pre-capping
+    * windows with a `__cnt` ceiling addresses it. `n` plays the same
+    * role as the 50-token threshold in suffix-array substring dedup:
+    * longer windows → fewer, more meaningful matches.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
-    val windows = docs.select(col(idCol),
+    val perHashDoc = docs.select(col(idCol),
         explode(TextFunctions.ngramsFast(
           TextFunctions.tokens(col(textCol)), n)).as("__w"))
       .select(col(idCol), md5(col("__w")).as("__h"))
-    val nDocs = windows.groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-    windows.join(nDocs, "__h")
+      .groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val nd = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    perHashDoc
+      .withColumn("__ndocs", count(lit(1)).over(nd))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum(col("__cnt")).as("n_windows"),
+        sum(when(col("__ndocs") > 1, col("__cnt")).otherwise(0L))
+          .as("n_dup_windows"))
       .filter(col("n_dup_windows") > 0)
       .withColumn("dup_ratio",
         round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
