@@ -377,13 +377,28 @@ object Dedup {
   def lshCandidatesAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String,
       w: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    def banded(d: DataFrame, as: String) = d
-      .select(col(idCol).as(as),
-        bandKeysFast(shingles(col(textCol), w), k, bands).as("__bands"))
-      .select(col(as), explode(col("__bands")).as("band"))
-    banded(left, "left_id")
-      .join(broadcast(banded(right, "right_id")), "band")
-      .select(col("left_id"), col("right_id"))
+    def sigs(d: DataFrame, as: String) = d.select(col(idCol).as(as),
+      minhashSignatureFast(shingles(col(textCol), w), k).as("__sig"))
+    lshCandidatesFromSigs(sigs(left, "left_id"), "left_id",
+      sigs(right, "right_id"), "right_id", "__sig", k, bands)
+  }
+
+  /** [[lshCandidatesAcross]] over PRECOMPUTED minhash signature
+    * tables. A decontamination pass usually needs the signatures
+    * again right after candidate generation (to rank candidates by
+    * estimated Jaccard), so computing them once, persisting, and
+    * deriving the band keys from the signature (a cheap md5 over k
+    * hex strings — [[bandKeys]]) halves the expensive shingle→k-hash
+    * kernel work versus hashing the text twice.
+    */
+  def lshCandidatesFromSigs(leftSigs: DataFrame, leftId: String,
+      rightSigs: DataFrame, rightId: String, sigCol: String,
+      k: Int, bands: Int): DataFrame = {
+    def banded(d: DataFrame, idc: String) = d.select(col(idc),
+      explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
+    banded(leftSigs, leftId)
+      .join(broadcast(banded(rightSigs, rightId)), "band")
+      .select(col(leftId), col(rightId))
       .distinct()
   }
 }

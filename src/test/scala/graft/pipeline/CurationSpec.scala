@@ -71,6 +71,23 @@ class CurationSpec extends SparkSpec {
     assert(again == sel.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("int8Quantize: codes span 0..255, constant vector all-zero") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f)),
+      (2L, Seq(2.0f, 2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+        graft.similarity.Ann.int8Quantize($"embedding").as("z"))
+      .select($"vec_id", $"z.mn", $"z.mx", $"z.q")
+      .as[(Long, Double, Double, Seq[Long])].collect().sortBy(_._1)
+    val (_, mn, mx, q) = out(0)
+    assert(mn == 0.0 && mx == 1.0)
+    assert(q == Seq(0L, 255L, 128L)) // 0.5 -> floor(127.5 + 0.5)
+    assert(out(1)._4 == Seq(0L, 0L, 0L)) // scale 0: all-zero codes
+    // reconstruction error bounded by scale/2
+    val err = math.abs(0.5 - 128 * (1.0 / 255.0))
+    assert(err <= (1.0 / 255.0) / 2 + 1e-12)
+  }
+
   test("linearQualityScore: monotone in length, penalized by digits") {
     val docs = Seq(
       (1L, "the " + words(400, "tok")),    // long, has a stopword
