@@ -78,6 +78,25 @@ object VectorQueries extends QueryPack {
         .select(col("query_id"), col("label").as("pred_label"),
           col("votes"))
         .orderBy(col("query_id"))
+    }),
+
+    // ANN quality measured, not guessed: recall@5 of the IVF probe
+    // path (q79's index shape) against the exact brute-force top-5
+    // ground truth, per query. The join is k×|queries| rows on both
+    // sides — at corpus scale this is how an index's nProbe/nlist
+    // trade is tuned on a sampled query set before deployment.
+    "q112_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8,
+        nProbe = 2, queries = queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val exact = Ann.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -89,38 +108,60 @@ object VectorQueries extends QueryPack {
     s"round(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** q79's IVF CTE chain (centroid assign → probe → candidate →
+    * rank), reused verbatim by the q112 recall report.
+    */
+  private val ivfCtes =
+    s"""$cosineCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |          WHERE vec_id < 8),
+       |ac AS (
+       |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cent_id) AS rn FROM ac)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM ac WHERE vec_id >= 20 AND vec_id < 40)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+       |  WHERE p.query_id != a.neighbor_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosSql("q.v", "n.v")} AS cos
+       |  FROM cand JOIN e q ON cand.query_id = q.vec_id
+       |            JOIN e n ON cand.neighbor_id = n.vec_id),
+       |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q79_ann_ivf" ->
-      s"""WITH $cosineCte,
-         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-         |          WHERE vec_id < 8),
-         |ac AS (
-         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS ccos
-         |  FROM e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id AS neighbor_id, cent_id FROM (
-         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cent_id) AS rn FROM ac)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cent_id FROM (
-         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cent_id) AS rn
-         |    FROM ac WHERE vec_id >= 20 AND vec_id < 40)
-         |  WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.query_id, a.neighbor_id
-         |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-         |  WHERE p.query_id != a.neighbor_id),
-         |s AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    ${cosSql("q.v", "n.v")} AS cos
-         |  FROM cand JOIN e q ON cand.query_id = q.vec_id
-         |            JOIN e n ON cand.neighbor_id = n.vec_id),
-         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+      s"""WITH $ivfCtes
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q112_ann_recall" ->
+      s"""WITH $ivfCtes,
+         |ivtop AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+         |bq AS (SELECT * FROM e WHERE vec_id >= 20 AND vec_id < 40),
+         |bs AS (SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("bq.v", "e.v")} AS cos
+         |  FROM bq CROSS JOIN e WHERE bq.vec_id != e.vec_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM bs),
+         |btop AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  cast(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) as bigint) AS n_hits
+         |FROM btop b LEFT JOIN ivtop iv
+         |  ON b.query_id = iv.query_id AND b.neighbor_id = iv.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "q80_embed_dup" ->
       s"""WITH u AS (
          |  SELECT vec_id, embedding FROM embeddings
