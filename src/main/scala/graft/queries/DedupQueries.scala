@@ -145,6 +145,30 @@ object DedupQueries extends QueryPack {
       simhashPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Cross-source duplication matrix: near-pair edges attributed to
+    // the (source, source) pair they connect — which feeds copy from
+    // each other, the report that decides dedup ordering and source
+    // weights in a multi-source corpus. Reuses the memoized near-pair
+    // edges (the corpus-sized work); attribution is two joins of the
+    // tiny edge list against (id, source) and one aggregate.
+    "q113_source_dup_matrix" -> ((s, dir) => {
+      val src = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val pairs = simhashPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("src_a")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("src_b")), "id_b")
+      // symmetrize to an unordered source pair so (A,B) and (B,A)
+      // accumulate together
+      pairs.select(
+          least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_near_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    }),
+
     // MinHash Jaccard estimation vs exact, on the LSH candidates:
     // est = matching signature positions / k. The estimator is what a
     // 100 TB pass would rank candidates by (signatures are k strings
@@ -317,6 +341,30 @@ object DedupQueries extends QueryPack {
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sims
          |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q113_source_dup_matrix" ->
+      s"""WITH $simhashCte,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)
+         |   AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |          WHERE bit_count(xor(sa, sb)) <= 20),
+         |attr AS (
+         |  SELECT least(da.source, db.source) AS source_x,
+         |         greatest(da.source, db.source) AS source_y
+         |  FROM pairs
+         |  JOIN documents da ON pairs.id_a = da.doc_id
+         |  JOIN documents db ON pairs.id_b = db.doc_id)
+         |SELECT source_x, source_y, cast(count(*) as bigint) AS n_near_pairs
+         |FROM attr GROUP BY source_x, source_y
+         |ORDER BY source_x, source_y""".stripMargin,
     "q89_simhash_multiprobe" ->
       s"""WITH $simhashCte,
          |cand AS (
