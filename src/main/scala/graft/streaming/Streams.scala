@@ -241,6 +241,28 @@ object Streams {
       }
   }
 
+  /** Streaming curation chain — the ingestion form of
+    * [[graft.pipeline.Pipelines.curate]]: quality gate → watermarked
+    * exact dedup on the content digest → PII redaction, as one
+    * readStream→writeStream pipeline.
+    *
+    * Scale shape: the quality filter and the redaction are map-side
+    * column expressions fused into the scan (no state, no shuffle);
+    * the ONLY stateful operator is the digest dedup, whose state is
+    * 16-byte digests bounded by the watermark horizon
+    * ([[dedupStream]]'s contract). Near-dup detection on a stream is
+    * [[nearDedupStream]]; chain it on the survivors when needed.
+    */
+  def curateStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String, minChars: Int = 100): DataFrame = {
+    val gated = docs
+      .filter(length(col(textCol)) >= minChars)
+      .withColumn("__digest", md5(col(textCol)))
+    dedupStream(gated, tsCol, watermark, Seq("__digest"))
+      .withColumn(textCol, graft.text.Redact.redactPii(col(textCol)))
+      .drop("__digest")
+  }
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

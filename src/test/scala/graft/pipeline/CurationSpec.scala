@@ -71,6 +71,19 @@ class CurationSpec extends SparkSpec {
     assert(again == sel.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("duplicateSpans plans one scan, no join, three key shuffles") {
+    val docs = Seq((1L, words(40, "a"))).toDF("doc_id", "text")
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", 13)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"span dedup must not join (the count-distinct+join form rescans):\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      "nothing to broadcast — a per-digest map cannot broadcast at scale")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 3,
+      s"expected (hash,doc) agg + hash window + doc agg shuffles, got $shuffles:\n$plan")
+  }
+
   test("int8Quantize: codes span 0..255, constant vector all-zero") {
     val df = Seq(
       (1L, Seq(0.0f, 1.0f, 0.5f)),

@@ -78,6 +78,30 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curateStream: quality gate, cross-batch content dedup, PII masked") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val query = Streams.curateStream(docs, "ts", "text",
+      watermark = "10 seconds", minChars = 20)
+      .writeStream.format("memory").queryName("curate_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val body = "a long enough document reach me at bob@example.com ok"
+      input.addData((ts(1), 1L, body), (ts(2), 2L, "short"),
+        (ts(3), 3L, body)) // in-batch exact dup of doc 1
+      query.processAllAvailable()
+      input.addData((ts(4), 4L, body)) // cross-batch exact dup
+      query.processAllAvailable()
+      val rows = spark.table("curate_stream_test")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      // doc 2 fails the length gate; docs 3/4 are content dups
+      assert(rows.map(_._1).toSeq == Seq(1L))
+      assert(rows.head._2.contains("<EMAIL>"))
+      assert(!rows.head._2.contains("bob@example.com"))
+    } finally query.stop()
+  }
+
   test("dedupStream state expiry can re-admit keys past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
