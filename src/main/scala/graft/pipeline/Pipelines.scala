@@ -245,6 +245,13 @@ object PipelineDriver {
         Pipelines.nearDedup(docs, "doc_id", "text")
       case "embdedup" =>
         Pipelines.embeddingDedup(docs, "vec_id", "embedding")
+      case "curate" =>
+        // benchmark slice = lowest-id docs, as in q94/q110
+        Pipelines.curate(docs, "doc_id", "text", "lang",
+          benchmark = docs.filter(col("doc_id") < 5), cap = 100000)
+      case "tempmix" =>
+        Pipelines.temperatureSample(docs, "lang", "doc_id", "text",
+          budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "1000").toLong)
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)

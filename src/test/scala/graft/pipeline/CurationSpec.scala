@@ -101,6 +101,22 @@ class CurationSpec extends SparkSpec {
     assert(err <= (1.0 / 255.0) / 2 + 1e-12)
   }
 
+  test("edge cases: nulls, short docs, empty benchmark, single class") {
+    // null text and sub-n docs contribute no windows and never crash
+    val docs = Seq((1L, null: String), (2L, "tiny doc"),
+      (3L, words(40, "x"))).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", 13).count() == 0)
+    // empty benchmark side: no candidates, not an error
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.lshCandidatesAcross(docs.filter($"text".isNotNull), none,
+      "doc_id", "text").count() == 0)
+    // single-class temperature mix degenerates to a plain cap
+    val one = (1L to 50L).map(i => (i, "only", s"t $i"))
+      .toDF("doc_id", "lang", "text")
+    val sel = Pipelines.temperatureSample(one, "lang", "doc_id", "text", 10L)
+    assert(sel.count() == 10)
+  }
+
   test("linearQualityScore: monotone in length, penalized by digits") {
     val docs = Seq(
       (1L, "the " + words(400, "tok")),    // long, has a stopword
