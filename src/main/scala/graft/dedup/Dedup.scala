@@ -345,10 +345,17 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
+    // ONE explicit shuffle on the digest serves BOTH the (digest,
+    // doc) aggregate (ClusteredDistribution on a superset of the
+    // partitioning key) and the distinct-doc count window — window
+    // hashes are near-unique, so a pre-shuffle partial aggregate
+    // would reduce almost nothing and the groupBy's own exchange
+    // would just re-move the same volume a second time.
     val perHashDoc = docs.select(col(idCol),
         explode(TextFunctions.ngramsFast(
           TextFunctions.tokens(col(textCol)), n)).as("__w"))
       .select(col(idCol), md5(col("__w")).as("__h"))
+      .repartition(col("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__cnt"))
     val nd = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))

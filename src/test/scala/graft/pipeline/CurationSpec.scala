@@ -80,8 +80,8 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("BroadcastExchange"),
       "nothing to broadcast — a per-digest map cannot broadcast at scale")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles == 3,
-      s"expected (hash,doc) agg + hash window + doc agg shuffles, got $shuffles:\n$plan")
+    assert(shuffles == 2,
+      s"expected ONE digest shuffle (shared by agg + window) + doc agg, got $shuffles:\n$plan")
   }
 
   test("int8Quantize: codes span 0..255, constant vector all-zero") {
