@@ -41,25 +41,41 @@ object CurationQueries extends QueryPack {
 
     // Gopher repetition rules: fraction of characters taken by the
     // single most frequent 2-/3-/4-gram (ties broken by gram text).
+    // ONE scan and ONE shuffle for all three sizes: n-grams carry
+    // their size tag through a single explode, and repartitioning by
+    // doc alone satisfies every downstream clustering requirement
+    // (per-(doc,n,gram) count, per-(doc,n) top-1 window, per-doc
+    // pivot) — docs are small, so per-doc co-location cannot skew.
     "q107_top_ngram" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val w = Window.partitionBy(col("doc_id"), col("n"))
+        .orderBy(col("c").desc, col("g"))
+      def pick(n: Int, c: org.apache.spark.sql.Column) =
+        max(when(col("n") === n, c))
+      table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), T.tokens(col("text")).as("toks"))
-      def top(n: Int): DataFrame = {
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col(s"top${n}_n").desc, col(s"top${n}_gram"))
-        docs.select(col("doc_id"), col("n_chars"),
-            explode(T.ngramsFast(col("toks"), n)).as(s"top${n}_gram"))
-          .groupBy(col("doc_id"), col("n_chars"), col(s"top${n}_gram"))
-          .agg(count(lit(1)).as(s"top${n}_n"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("doc_id"), col(s"top${n}_gram"), col(s"top${n}_n"),
-            round(col(s"top${n}_n") * length(col(s"top${n}_gram")) /
-              col("n_chars").cast("double"), 4).as(s"top${n}_frac"))
-      }
-      top(2)
-        .join(top(3).select(col("doc_id"), col("top3_frac")), "doc_id")
-        .join(top(4).select(col("doc_id"), col("top4_frac")), "doc_id")
+        .select(col("doc_id"), col("n_chars"),
+          explode(T.taggedNgramsFast(col("toks"), 2, 4)).as("ng"))
+        .select(col("doc_id"), col("n_chars"),
+          col("ng._1").as("n"), col("ng._2").as("g"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("frac",
+          round(col("c") * length(col("g")) / col("n_chars").cast("double"), 4))
+        .groupBy(col("doc_id"))
+        .agg(pick(2, col("g")).as("top2_gram"),
+          pick(2, col("c")).as("top2_n"),
+          pick(2, col("frac")).as("top2_frac"),
+          pick(3, col("frac")).as("top3_frac"),
+          pick(4, col("frac")).as("top4_frac"))
+        // docs too short for a size produce no row for it: drop them,
+        // matching the previous inner-join semantics (and the oracle)
+        .filter(col("top2_frac").isNotNull && col("top3_frac").isNotNull &&
+          col("top4_frac").isNotNull)
+        .select(col("doc_id"), col("top2_gram"), col("top2_n"),
+          col("top2_frac"), col("top3_frac"), col("top4_frac"))
         .orderBy(col("doc_id"))
     }),
 

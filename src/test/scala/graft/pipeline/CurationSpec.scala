@@ -101,6 +101,25 @@ class CurationSpec extends SparkSpec {
     assert(err <= (1.0 / 255.0) / 2 + 1e-12)
   }
 
+  test("taggedNgramsFast equals per-size ngrams composition") {
+    import graft.text.{TextFunctions => T}
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "z"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val toks = T.tokens($"text")
+    val kernel = df.select($"doc_id", explode(T.taggedNgramsFast(toks, 2, 4))
+        .as("ng"))
+      .select($"doc_id", $"ng._1".as("n"), $"ng._2".as("g"))
+      .as[(Long, Int, String)].collect().toSet
+    val composed = (2 to 4).flatMap { n =>
+      df.select($"doc_id", lit(n).as("n"), explode(T.ngramsFast(toks, n))
+          .as("g"))
+        .as[(Long, Int, String)].collect()
+    }.toSet
+    assert(kernel == composed)
+    assert(kernel.exists(_ == (1L, 4, "a b c d")))
+    assert(!kernel.exists(_._1 >= 3L)) // too short / null: no grams
+  }
+
   test("edge cases: nulls, short docs, empty benchmark, single class") {
     // null text and sub-n docs contribute no windows and never crash
     val docs = Seq((1L, null: String), (2L, "tiny doc"),
