@@ -241,6 +241,18 @@ object Streams {
       }
   }
 
+  /** Stream-static dimension enrichment: join an unbounded stream
+    * against a bounded dimension table. Stateless — the static side
+    * broadcasts to every task and each micro-batch joins map-side,
+    * so there is no state store, no watermark requirement, and no
+    * shuffle of the stream. The streaming twin of q05's star-join
+    * dimension legs; for a dimension too big to broadcast, drop the
+    * hint and each micro-batch runs a shuffle join instead.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Streaming curation chain — the ingestion form of
     * [[graft.pipeline.Pipelines.curate]]: quality gate → watermarked
     * exact dedup on the content digest → PII redaction, as one

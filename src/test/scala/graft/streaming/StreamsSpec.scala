@@ -78,6 +78,27 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrich: stream-static broadcast join, stateless per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "nation_id", "value")
+    val dim = Seq((1L, "fr"), (2L, "de")).toDF("nation_id", "name")
+    val query = Streams.enrich(events, dim, Seq("nation_id"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1L, 10.0), (ts(2), 3L, 20.0))
+      query.processAllAvailable()
+      input.addData((ts(3), 2L, 30.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .select(col("nation_id"), col("name"), col("value"))
+        .as[(Long, String, Double)].collect().toSet
+      // unmatched key 3 drops (inner); both batches enrich statelessly
+      assert(out == Set((1L, "fr", 10.0), (2L, "de", 30.0)))
+    } finally query.stop()
+  }
+
   test("curateStream: quality gate, cross-batch content dedup, PII masked") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
