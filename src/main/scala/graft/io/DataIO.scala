@@ -19,7 +19,14 @@ import org.apache.spark.sql.types.StructType
   */
 object DataIO {
 
-  val formats: Set[String] = Set("parquet", "orc", "json", "csv", "text", "libsvm")
+  /** Dispatchable formats. XML is Spark 4's built-in source (pass
+    * `rowTag`/`rootTag` via options). Avro's SQL module
+    * (`spark-avro`) is a separate deploy-time artifact not present
+    * in this environment — add "avro" here when it is on the
+    * classpath; the dispatch needs no other change.
+    */
+  val formats: Set[String] =
+    Set("parquet", "orc", "json", "csv", "text", "libsvm", "xml")
 
   /** Format-dispatched read (S19). `schema` skips inference — always
     * pass it in production paths (inference = an extra full scan for

@@ -16,10 +16,14 @@ class DataIOSpec extends SparkSpec {
   private def df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
     .toDF("id", "dt", "v")
 
-  test("format dispatch round-trips parquet, orc, json, csv") {
-    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+  test("format dispatch round-trips parquet, orc, json, csv, xml") {
+    for (fmt <- Seq("parquet", "orc", "json", "csv", "xml")) {
       val path = s"$tmp/rt_$fmt"
-      val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
+      val opts = fmt match {
+        case "csv" => Map("header" -> "true")
+        case "xml" => Map("rowTag" -> "row", "rootTag" -> "rows")
+        case _ => Map.empty[String, String]
+      }
       DataIO.write(df, fmt, path, options = opts)
       val back = DataIO.read(spark, fmt, path, options = opts)
         .select(col("id").cast("long"), col("dt"), col("v"))
