@@ -78,6 +78,39 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store provider") {
+    // The off-heap state backend for state that outgrows executor
+    // memory at scale — same results as the default HDFS-backed
+    // in-memory provider, flipped by config alone.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val events = input.toDF().toDF("ts", "doc_id", "payload")
+      val query = Streams.dedupStream(events, "ts", "10 seconds",
+        Seq("doc_id"))
+        .writeStream.format("memory").queryName("rocksdb_dedup_test")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((ts(1), 1L, "a"), (ts(2), 1L, "b"))
+        query.processAllAvailable()
+        input.addData((ts(3), 1L, "c"), (ts(4), 2L, "d"))
+        query.processAllAvailable()
+        val out = spark.table("rocksdb_dedup_test")
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, String)].collect().toSet
+        assert(out == Set((1L, "a"), (2L, "d")))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("enrich: stream-static broadcast join, stateless per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
