@@ -100,6 +100,25 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("k_bucket"))
     }),
 
+    // VariantType (Spark 4's binary semi-structured encoding): parse
+    // once into variant, extract typed paths — the scale path past
+    // re-parsing JSON strings per access (F6's get_json_object twin
+    // in the modern engine). The nested document is constructed
+    // deterministically from events.props so the oracle can verify
+    // the extraction without any JSON machinery of its own.
+    "q114_variant_json" -> ((s, dir) => {
+      val j = concat(lit("{\"meta\": "), col("props"),
+        lit(", \"type\": \""), col("event_type"), lit("\"}"))
+      table(s, dir, "events")
+        .select(parse_json(j).as("v"))
+        .select(
+          expr("variant_get(v, '$.type', 'string')").as("etype"),
+          (expr("variant_get(v, '$.meta.k', 'int')") % 10).as("k_bucket"))
+        .groupBy(col("etype"), col("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("etype"), col("k_bucket"))
+    }),
+
     // U2-U4: array set algebra (ref ReadAppPortrait.scala:66-89 UDFs
     // → native array_intersect/except/union).
     "q22_array_ops" -> ((s, dir) => {
@@ -203,6 +222,12 @@ object FunctionQueries extends QueryPack {
         | cast(count(*) as bigint) AS n,
         | round(cast(sum(cast(value as decimal(18,4))) as double) / count(*), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q114_variant_json" ->
+      """SELECT event_type AS etype,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) % 10
+        |   AS k_bucket,
+        | cast(count(*) as bigint) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY etype, k_bucket""".stripMargin,
     "q22_array_ops" ->
       """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words
         |           FROM part),
