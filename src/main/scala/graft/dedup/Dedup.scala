@@ -378,16 +378,18 @@ object Dedup {
     * holdout set) and is broadcast, so the big left corpus streams
     * through map-side with NO shuffle at all — the shape that lets a
     * decontamination pass ride along with a scan at 100 TB. For two
-    * large corpora, drop the broadcast hint and the same plan
+    * large corpora, pass `broadcastRight = false` and the same plan
     * becomes a shuffle equi-join on the band key.
     */
   def lshCandidatesAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String,
-      w: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      w: Int = 3, k: Int = 8, bands: Int = 4,
+      broadcastRight: Boolean = true): DataFrame = {
     def sigs(d: DataFrame, as: String) = d.select(col(idCol).as(as),
       minhashSignatureFast(shingles(col(textCol), w), k).as("__sig"))
     lshCandidatesFromSigs(sigs(left, "left_id"), "left_id",
-      sigs(right, "right_id"), "right_id", "__sig", k, bands)
+      sigs(right, "right_id"), "right_id", "__sig", k, bands,
+      broadcastRight)
   }
 
   /** [[lshCandidatesAcross]] over PRECOMPUTED minhash signature
@@ -400,11 +402,16 @@ object Dedup {
     */
   def lshCandidatesFromSigs(leftSigs: DataFrame, leftId: String,
       rightSigs: DataFrame, rightId: String, sigCol: String,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, broadcastRight: Boolean = true): DataFrame = {
     def banded(d: DataFrame, idc: String) = d.select(col(idc),
       explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
+    val rightBanded = banded(rightSigs, rightId)
+    // broadcastRight = false is the two-large-corpora mode: no hint,
+    // so the band-key equi-join shuffles both sides (AQE still
+    // promotes it back to broadcast if the right side turns out small).
+    val r = if (broadcastRight) broadcast(rightBanded) else rightBanded
     banded(leftSigs, leftId)
-      .join(broadcast(banded(rightSigs, rightId)), "band")
+      .join(r, "band")
       .select(col(leftId), col(rightId))
       .distinct()
   }

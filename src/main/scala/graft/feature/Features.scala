@@ -132,9 +132,7 @@ object Features {
     val fLen = least(nToks, lit(500.0)) / 500.0
     val meanWlen = length(regexp_replace(text, " ", "")) / nToks
     val fWlen = least(meanWlen, lit(10.0)) / 10.0
-    val fStop = size(filter(toks, t =>
-      array_contains(array(TextFunctions.stopwordsEn.map(lit): _*), t)))
-      .cast("double") / nToks
+    val fStop = TextFunctions.stopwordRatioRaw(toks)
     val fDigit = length(regexp_replace(text, "[^0-9]", "")) /
       length(text).cast("double")
     lit(0.2) + lit(0.5) * fLen + lit(0.3) * fWlen +

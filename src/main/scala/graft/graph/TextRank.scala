@@ -11,19 +11,19 @@ import graft.text.TextFunctions
   * TextRank.scala:20-125 builds a GraphX graph and calls
   * `pageRank(0.0001)`).
   *
-  * Here the co-occurrence graph is a DataFrame of edges and PageRank
-  * is a fixed-iteration power loop of join+aggregate — the same
-  * shuffle pattern GraphX's Pregel produces, but visible to Catalyst
-  * (AQE sizes each iteration's shuffle) and exactly reproducible by
-  * any engine, which makes the scores oracle-verifiable. Fixed
-  * iteration count (not a convergence tolerance) keeps the result
-  * deterministic across cluster sizes.
+  * Here the co-occurrence graph is built as a DataFrame of edges and
+  * PageRank is a fixed-iteration co-partitioned power loop — the same
+  * shuffle pattern GraphX's Pregel produces, and exactly reproducible
+  * by any engine (sum/divide algebra, fixed iterations), which makes
+  * the scores oracle-verifiable. Fixed iteration count (not a
+  * convergence tolerance) keeps the result deterministic across
+  * cluster sizes.
   *
-  * Scale notes: edges/out-degrees are computed once and persisted;
-  * each iteration shuffles only (word, score) pairs — the graph
-  * stays partitioned by source word. For web-scale graphs swap in
-  * GraphX's pageRank; for vocabulary graphs (≤ millions of nodes)
-  * this loop is simpler and plans better.
+  * Scale notes: adjacency lists are partitioned once and cached;
+  * each iteration shuffles only (word, contribution) pairs with
+  * map-side combine — the graph itself never re-shuffles. For
+  * web-scale graphs swap in GraphX's pageRank; for vocabulary graphs
+  * (≤ millions of nodes) this loop is simpler and plans better.
   */
 object TextRank {
 
@@ -44,60 +44,63 @@ object TextRank {
 
   /** Fixed-iteration PageRank over an edge list. Returns
     * (word, score) with scores rounded to `roundTo`.
+    *
+    * Implemented as the classic co-partitioned RDD power loop rather
+    * than a DataFrame join loop: adjacency lists are hash-partitioned
+    * ONCE and cached; ranks inherit the same partitioner, so the
+    * per-iteration `join` is narrow (zero shuffle) and the only
+    * exchange per round is the map-side-combined `reduceByKey` of
+    * (word, contribution) pairs. Crucially the whole `iterations`-deep
+    * chain is ONE lazy job: the earlier DataFrame formulation needed a
+    * broadcast-build job plus a localCheckpoint job per iteration —
+    * 20+ serial driver barriers whose scheduling latency multiplied
+    * under load (24 s on a contended host vs 5 s idle for the same
+    * work, BENCH_r05 vs the r6 repro). RDD lineage is cheap to
+    * analyze (no Catalyst re-planning per round), so 10 chained
+    * iterations need no checkpointing at all. This is the canonical
+    * "genuinely iterative" case where RDDs beat DataFrames — the same
+    * machinery GraphX's Pregel uses under the hood.
     */
   def pagerank(edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85, roundTo: Int = 4,
-      checkpointEvery: Int = 1): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      damping: Double = 0.85, roundTo: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // Adjacency lists: source degree is the array length, so the
+    // degree "join" of the reference (and our first cut) is free.
+    val links = edges.select(col("a"), col("b")).as[(String, String)]
+      .rdd
+      .groupByKey(part)
+      .mapValues(_.toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = outdeg.count()
-    // Source degree folded into the edge list once, outside the loop —
-    // the reference (and our first cut) re-joined degrees every
-    // iteration, tripling the per-round shuffle count.
-    val ej = e.join(outdeg, "a")
-      .select(col("a"), col("b"), col("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var scores = outdeg.select(col("a").as("word"),
-      lit(1.0 / n).as("score"))
-    for (i <- 1 to iterations) {
-      scores = ej
-        // Scores are |vocab|-sized — orders of magnitude smaller than
-        // the edge list — so they broadcast and the cached edges never
-        // re-shuffle; the only exchange per round is the groupBy(b).
-        .join(broadcast(scores), ej("a") === scores("word"))
-        .select(col("b"), (col("score") / col("deg")).as("contrib"))
-        .groupBy(col("b"))
-        .agg(sum(col("contrib")).as("mass"))
-        .select(col("b").as("word"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("score"))
-      // Eager per-iteration materialization truncates the lineage:
-      // without it the final plan is an `iterations`-deep join tree
-      // that Catalyst re-analyzes in full each round (quadratic
-      // planning). Same per-superstep persist GraphX does; on a real
-      // cluster swap for checkpoint() to a reliable store.
-      // checkpointEvery > 1 was MEASURED SLOWER (9.3 s vs 7.3 s for
-      // the sf0.1 corpus): between checkpoints `broadcast(scores)`
-      // re-executes the unmaterialized previous iterations, so the
-      // saved job-scheduling overhead is repaid with redundant
-      // compute. Kept as a knob for graphs where a broadcast is
-      // replaced by a shuffle join and the trade flips.
-      if (i % checkpointEvery == 0 || i == iterations)
-        scores = scores.localCheckpoint()
+    val n = links.count() // materializes the cache; |vocab|
+    var ranks = links.mapValues(_ => 1.0 / n) // co-partitioned: narrow
+    for (_ <- 1 to iterations) {
+      val contribs = links.join(ranks, part) // narrow: same partitioner
+        .values
+        .flatMap { case (dsts, r) =>
+          val c = r / dsts.length
+          dsts.iterator.map(d => (d, c))
+        }
+      ranks = contribs
+        .reduceByKey(part, _ + _) // map-side combine; keeps partitioner
+        .mapValues(m => (1.0 - damping) / n + damping * m)
     }
-    // The eager localCheckpoint above cut `scores`' lineage, so the
-    // graph-side caches can be released now — a long-lived session
-    // running many pagerank calls would otherwise accumulate them
-    // until the ContextCleaner got around to it.
-    ej.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    // Persist the converged scores: downstream consumers (phrase
-    // scoring joins both sides against them, broadcasts recompute
-    // their subplan) would otherwise re-run all `iterations` rounds
-    // per reference. Same pattern as GraphX's per-superstep persist.
-    scores.select(col("word"), round(col("score"), roundTo).as("score"))
+    // Persist + materialize the converged scores, THEN release the
+    // graph cache: downstream consumers (phrase scoring joins both
+    // sides, broadcasts recompute their subplan) would otherwise
+    // re-run all `iterations` rounds per reference, and a long-lived
+    // session running many pagerank calls would accumulate edge
+    // caches until the ContextCleaner got around to it. Rounding is
+    // applied with the same Column `round` as before (HALF_UP), so
+    // scores are bit-identical to the DataFrame loop's.
+    val out = ranks.toDF("word", "score")
+      .select(col("word"), round(col("score"), roundTo).as("score"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    links.unpersist(blocking = false)
+    out
   }
 
   /** Corpus-level word scores for a tokenized document table. */
@@ -121,21 +124,37 @@ object TextRank {
     import spark.implicits._
     val edgesDf = coocEdges(docs, tokensCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = edgesDf.select(col("a").as("word")).distinct()
-      .rdd.map(_.getString(0)).zipWithIndex().collectAsMap()
-    val idOf = spark.sparkContext.broadcast(vocab)
-    val n = vocab.size
-    val edgeRdd = edgesDf.rdd.map { r =>
-      Edge(idOf.value(r.getString(0)), idOf.value(r.getString(1)), 1.0)
-    }
+    // Distributed id assignment: word → long via zipWithIndex, joined
+    // onto both edge endpoints. An earlier cut collectAsMap'd the
+    // vocab to the driver and broadcast it — vocab-sized today, but a
+    // driver-side materialization of an unbounded-cardinality table
+    // is exactly the maxResultSize failure the reference hit at
+    // web-corpus vocab. zipWithIndex costs one extra pass (partition
+    // offsets) + two vocab-sized shuffle joins; nothing touches the
+    // driver.
+    val vocabIds = edgesDf.select(col("a").as("word")).distinct()
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vocabIds.count()
+    val edgeRdd = edgesDf.rdd
+      .map(r => (r.getString(0), r.getString(1)))
+      .join(vocabIds) // (a, (b, aId))
+      .map { case (_, (b, aId)) => (b, aId) }
+      .join(vocabIds) // (b, (aId, bId))
+      .map { case (_, (aId, bId)) => Edge(aId, bId, 1.0) }
     val graph = Graph.fromEdges[Double, Double](edgeRdd, 1.0)
     val ranks = graph.staticPageRank(iterations, resetProb = 0.15).vertices
-    val back = idOf.value.map(_.swap)
-    val backB = spark.sparkContext.broadcast(back)
-    ranks.map { case (vid, score) =>
-      (backB.value(vid), math.rint(score / n * math.pow(10, roundTo))
-        / math.pow(10, roundTo))
-    }.toDF("word", "score")
+    val idToWord = vocabIds.map { case (w, id) => (id, w) }
+    val out = ranks.join(idToWord)
+      .map { case (_, (score, word)) =>
+        (word, math.rint(score / n * math.pow(10, roundTo))
+          / math.pow(10, roundTo))
+      }.toDF("word", "score")
+    out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    vocabIds.unpersist(blocking = false)
+    edgesDf.unpersist(blocking = false)
+    out
   }
 
   /** Top-k 2-gram phrases per document scored by summed node scores

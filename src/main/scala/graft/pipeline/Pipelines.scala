@@ -182,7 +182,8 @@ object Pipelines {
     * the same corpus always yields the same mix on any partitioning.
     *
     * Determinism across engines: weights are √n floored to integer
-    * millionths, so the cross-class sum is exact integer arithmetic
+    * thousandths (floor(sqrt(n·10⁶)) = floor(1000·√n)), so the
+    * cross-class sum is exact integer arithmetic
     * (no float summation-order dependence), and each target is one
     * exactly-rounded IEEE divide. Plan shape: one per-class count
     * (partial+final aggregate), a broadcast of the tiny class→target

@@ -114,8 +114,12 @@ object CurationQueries extends QueryPack {
       val cont = bench.select((col("doc_id") + 300000L).as("doc_id"),
         concat(col("text"), lit(" zq1 zq2")).as("text"))
       val train = d.filter(col("doc_id") >= 20).unionByName(cont)
-      // signatures computed ONCE per side (persisted), bands derived
-      // from them — the shingle→8-hash kernel never runs twice
+      // train-side signatures computed ONCE (persisted) with bands
+      // derived from them — the expensive corpus-side shingle→8-hash
+      // kernel never runs twice. The bench side is 20 rows, so its
+      // kernel recomputing for the band join and the Jaccard estimate
+      // is cheaper than a persist round-trip; at a real benchmark-set
+      // size, persist sigB the same way.
       def sig(df: DataFrame, as: String) = df.select(col("doc_id").as(as),
         Dedup.minhashSignatureFast(Dedup.shingles(col("text"), 3), 8)
           .as(s"__sig_$as"))

@@ -132,6 +132,20 @@ object MlQueries extends QueryPack {
         .orderBy(col("topic"))
     }),
 
+    // M13 full surface: the reference's online-optimizer fit with
+    // explicit Dirichlet concentrations (α=β=3) plus the model
+    // metrics it reports — logLikelihood / logPerplexity
+    // (NewsLDAModel.scala:50-65). Rows-only: seeded fit metrics are
+    // not SQL-replayable. Small k/maxIter keep the bench honest; the
+    // param surface, not the model size, is what's under test.
+    "q115_lda_metrics" -> ((s, dir) => {
+      Topics.ldaModelMetrics(
+        table(s, dir, "documents").select(toks.as("toks")), "toks",
+        k = 3, optimizer = "online",
+        docConcentration = 3.0, topicConcentration = 3.0,
+        maxIter = 5, checkpointInterval = 2, vocabSize = 500)
+    }),
+
     // M15: Word2Vec vocabulary embedding norms (rows-only).
     "q65_word2vec" -> ((s, dir) => {
       val norm = udf((v: org.apache.spark.ml.linalg.Vector) =>

@@ -125,16 +125,23 @@ object TextQueries extends QueryPack {
     // the shape of the reference's ngram corpus jobs (M1/M14).
     "q40_ngram_stats" -> ((s, dir) => {
       // Single scan: each n's grams are tagged (n, gram) and exploded
-      // together, then one grouped aggregate — the per-n union form
-      // scanned and tokenized the corpus three times.
+      // together by ONE compiled sliding pass (the q107 kernel — the
+      // earlier flatten-of-transforms struct tagging ran interpreted),
+      // then one grouped aggregate. The distinct key is xxhash64 of
+      // the gram, not the gram text: the distinct shuffle moves 8-byte
+      // longs instead of n-gram strings (the project's digest-not-text
+      // rule), and count(DISTINCT digest) = count(DISTINCT gram) as
+      // long as the digest is injective on the observed domain —
+      // expected 64-bit collisions at the ~1e6 distinct grams here are
+      // ~1e-7. At corpora where 64-bit collisions become material
+      // (~1e9+ distinct), the right answer is approx_count_distinct
+      // with a tuned rsd, not a wider exact shuffle.
       table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
-        .select(explode(flatten(array((1 to 3).map(n =>
-          transform(T.ngramsFast(col("toks"), n),
-            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
-        .groupBy(col("t.n").as("n"))
+        .select(explode(T.taggedNgramsFast(col("toks"), 1, 3)).as("t"))
+        .groupBy(col("t._1").as("n"))
         .agg(count(lit(1)).as("occurrences"),
-          countDistinct(col("t.gram")).as("n_distinct"))
+          countDistinct(xxhash64(col("t._2"))).as("n_distinct"))
         .orderBy(col("n"))
     })
   )

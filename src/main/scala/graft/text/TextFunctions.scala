@@ -201,11 +201,18 @@ object TextFunctions {
     round(length(regexp_replace(text, "[a-z0-9 ]", "")) /
       length(text).cast("double"), 4)
 
+  /** Unrounded stopword-token ratio — shared by the rounded public
+    * form below and score formulas that fold it into their own
+    * discretization (Features.linearQualityScore).
+    */
+  def stopwordRatioRaw(toks: Column): Column =
+    size(filter(toks,
+      t => array_contains(array(stopwordsEn.map(lit): _*), t))) /
+      size(toks).cast("double")
+
   /** Ratio of stopword tokens — a floor on "natural" text. */
   def stopwordRatio(toks: Column): Column =
-    round(size(filter(toks,
-      t => array_contains(array(stopwordsEn.map(lit): _*), t))) /
-      size(toks).cast("double"), 4)
+    round(stopwordRatioRaw(toks), 4)
 
   /** Mean token length. */
   def avgTokenLen(toks: Column): Column =

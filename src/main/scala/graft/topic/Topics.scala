@@ -51,6 +51,49 @@ object Topics {
       .orderBy(col("topic"))
   }
 
+  /** Full-parameter LDA fit with model evaluation (M13 full surface;
+    * reference NewsLDAModel.scala:50 fits `k=500, online, α=β=3,
+    * checkpointInterval=2, maxIter=100` and reports
+    * `logLikelihood`/`logPerplexity`, NewsLDAModel.scala:58-65).
+    * Exposes the optimizer ("online"/"em"), the Dirichlet
+    * concentrations, and the checkpoint interval, and returns one
+    * metrics row: (optimizer, k, log_likelihood, log_perplexity,
+    * est_doc_concentration).
+    *
+    * logLikelihood is a lower bound (higher = better fit),
+    * logPerplexity an upper bound (lower = better) — both evaluated
+    * on the training corpus like the reference does. The vectorized
+    * corpus is persisted across the fit + two evaluation passes.
+    * Model metrics are seeded-deterministic but not SQL-replayable,
+    * so queries over this carry rows-only checks.
+    */
+  def ldaModelMetrics(df: DataFrame, tokensCol: String, k: Int,
+      optimizer: String = "online",
+      docConcentration: Double = 3.0, topicConcentration: Double = 3.0,
+      maxIter: Int = 20, checkpointInterval: Int = 2,
+      vocabSize: Int = 1000, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, vectorized) = countVectorize(df, tokensCol, vocabSize)
+    val feats = vectorized.select("features")
+      .coalesce(8) // see MlQueries.fittedLda: tiny per-iteration jobs
+      .persist()
+    val model = new LDA().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setOptimizer(optimizer)
+      .setDocConcentration(docConcentration)
+      .setTopicConcentration(topicConcentration)
+      .setCheckpointInterval(checkpointInterval)
+      .setFeaturesCol("features")
+      .fit(feats)
+    val ll = model.logLikelihood(feats)
+    val lp = model.logPerplexity(feats)
+    val estAlpha = model.estimatedDocConcentration.toArray.sum / k
+    feats.unpersist(blocking = false)
+    Seq((optimizer, k, ll, lp, estAlpha))
+      .toDF("optimizer", "k", "log_likelihood", "log_perplexity",
+        "est_doc_concentration")
+  }
+
   /** Per-document dominant topic from the fitted LDA model. */
   def ldaDominantTopic(df: DataFrame, idCol: String, tokensCol: String,
       k: Int, maxIter: Int = 10, vocabSize: Int = 1000,

@@ -71,7 +71,7 @@ class CurationSpec extends SparkSpec {
     assert(again == sel.select("doc_id").as[Long].collect().toSet)
   }
 
-  test("duplicateSpans plans one scan, no join, three key shuffles") {
+  test("duplicateSpans plans one scan, no join, two key shuffles") {
     val docs = Seq((1L, words(40, "a"))).toDF("doc_id", "text")
     val plan = Dedup.duplicateSpans(docs, "doc_id", "text", 13)
       .queryExecution.executedPlan.toString

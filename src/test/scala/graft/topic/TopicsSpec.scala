@@ -33,6 +33,35 @@ class TopicsSpec extends SparkSpec {
     assert(out(3L) == out(4L))
   }
 
+  test("ldaModelMetrics: online and em both converge with finite metrics") {
+    for (opt <- Seq("online", "em")) {
+      val row = Topics.ldaModelMetrics(docs, "toks", k = 2,
+        optimizer = opt, maxIter = 20, vocabSize = 100)
+        .as[(String, Int, Double, Double, Double)].collect()
+      assert(row.length == 1)
+      val (o, k, ll, lp, alpha) = row.head
+      assert(o == opt && k == 2)
+      // log likelihood of a discrete corpus is negative and finite;
+      // perplexity = -ll/tokens is positive and finite.
+      assert(!ll.isNaN && !ll.isInfinite && ll < 0.0, s"$opt ll=$ll")
+      assert(!lp.isNaN && !lp.isInfinite && lp > 0.0, s"$opt lp=$lp")
+      assert(alpha > 0.0)
+    }
+  }
+
+  test("ldaModelMetrics metrics are seed-stable to fit noise") {
+    // Online variational inference is seeded but not bit-stable
+    // across fits (mini-batch sampling interacts with partition
+    // layout), so assert the metrics land in a tight band rather
+    // than exact equality — catches an ignored seed or divergence.
+    def fit() = Topics.ldaModelMetrics(docs, "toks", k = 2,
+      optimizer = "online", maxIter = 10, vocabSize = 100)
+      .as[(String, Int, Double, Double, Double)].collect().head
+    val (a, b) = (fit(), fit())
+    assert(math.abs(a._3 - b._3) < 1.0, s"ll ${a._3} vs ${b._3}")
+    assert(math.abs(a._4 - b._4) < 0.1, s"lp ${a._4} vs ${b._4}")
+  }
+
   test("word2vec embeds every above-threshold word at the set dim") {
     val vecs = Topics.word2vec(docs, "toks", dim = 4, minCount = 2)
       .as[(String, org.apache.spark.ml.linalg.Vector)].collect().toMap
