@@ -167,10 +167,10 @@ object NlpQueries extends QueryPack {
         |                  '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
         |                '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |              '<[^>]+>', ' ', 'g'),
-        |            '&amp;', '&', 'g'),
-        |          '&lt;', '<', 'g'),
-        |        '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'),
+        |            '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |        '&quot;', '"', 'g'),
+        |      '&amp;', '&', 'g'),
         |    '\s+', ' ', 'g'))
         |  AS clean
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,

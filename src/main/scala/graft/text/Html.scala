@@ -19,14 +19,21 @@ object Html {
 
   /** html → visible text: drop script/style subtrees, strip tags,
     * unescape the common entities, squash whitespace.
+    *
+    * Entity order matters for jsoup fidelity: `&amp;` is unescaped
+    * LAST, so pre-escaped text survives one level of unescaping the
+    * way a real parser does — `&amp;lt;` → `&lt;` (what jsoup's
+    * `.text()` returns), not `<` (what an `&amp;`-first chain
+    * produced; caught by HtmlFidelitySpec).
     */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
     val unescaped = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
         regexp_replace(c, from, to)
       }
@@ -42,14 +49,36 @@ object Html {
     * broadcast once per executor, zero per-row cost beyond the match.
     * Keywords are alternated longest-first so multi-word entities win
     * over their prefixes.
+    *
+    * Boundary semantics, two modes:
+    *  - default (`letterBoundaries = false`): `\b` word boundaries.
+    *    Replayable by RE2-class engines (the q51 DuckDB oracle), but
+    *    digits/underscores count as word characters, so "covid" is
+    *    NOT tagged inside "covid19".
+    *  - `letterBoundaries = true`: the reference's rule
+    *    (NewsMarkProcess.scala:181 — lookbehind/lookahead on
+    *    non-LETTERS, with the `'s`/`` `s ``/`‘s` possessive
+    *    alternatives, which are subsumed by "next char is a
+    *    non-letter"). Digits and underscores are boundaries, so
+    *    "covid19" tags "covid" — jsoup-tagger-faithful, but not
+    *    expressible in RE2 (lookbehind), hence not the oracle mode.
+    *    Zero-width lookarounds also never consume the boundary
+    *    character, so adjacent keywords both tag.
+    * Deliberate divergence in both modes: the reference emits
+    * `<i ...> w </i>` with spaces padding the keyword (an artifact of
+    * its string-splicing); we emit the keyword unpadded.
     */
-  def tagEntities(text: Column, keywords: Seq[String]): Column = {
+  def tagEntities(text: Column, keywords: Seq[String],
+      letterBoundaries: Boolean = false): Column = {
     require(keywords.nonEmpty, "empty entity dictionary")
     val alternation = keywords.distinct
       .sortBy(k => (-k.length, k))
       .map(java.util.regex.Pattern.quote)
       .mkString("|")
-    regexp_replace(text, s"\\b($alternation)\\b", s"$entityOpen$$1$entityClose")
+    val pattern =
+      if (letterBoundaries) s"(?<!\\p{L})($alternation)(?!\\p{L})"
+      else s"\\b($alternation)\\b"
+    regexp_replace(text, pattern, s"$entityOpen$$1$entityClose")
   }
 
   /** Count of tagged entities in already-tagged text. */

@@ -28,6 +28,31 @@ class TextRankSpec extends SparkSpec {
     assert(scores("c") == scores("d")) // symmetric leaves tie exactly
   }
 
+  test("pagerank runs a bounded job count (no per-iteration barrier)") {
+    // The power loop must stay ONE lazy chain: links materialization,
+    // the rank computation, and the score-persist count — plus the
+    // handful of jobs coocEdges' distinct needs. A regression to
+    // per-iteration broadcast/checkpoint would add 2 jobs × 10
+    // iterations and multiply scheduling latency under host load
+    // (BENCH_r05's 24 s q66). Counted via listener, generous slack
+    // for AQE's internal stages.
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      TextRank.wordScores(docs, "toks").count()
+      // listener events are async; small settle window
+      Thread.sleep(500)
+      val n = counter.jobs.get()
+      assert(n <= 8, s"pagerank launched $n jobs — eager iteration crept back")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("pagerank is deterministic across runs") {
     val a = TextRank.wordScores(docs, "toks").as[(String, Double)]
       .collect().toMap
