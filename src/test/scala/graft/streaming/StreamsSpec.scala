@@ -337,6 +337,47 @@ class StreamsSpec extends SparkSpec {
     assert(batches.map(_._1).distinct.length == batches.length)
   }
 
+  test("socketSource streams loopback lines end-to-end (S14)") {
+    // The sandbox has no egress but loopback works, so the socket
+    // source is testable end-to-end: a local ServerSocket feeds
+    // lines, the source micro-batches them into a memory sink.
+    import java.net.{InetAddress, ServerSocket}
+    val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var serveErr: Throwable = null
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new java.io.PrintWriter(sock.getOutputStream, true)
+        Seq("alpha", "beta", "gamma").foreach(w.println)
+        w.flush()
+        // keep the connection open until the source has read the
+        // lines; closing early would fail the running query
+        Thread.sleep(15000)
+        sock.close()
+      } catch { case t: Throwable => serveErr = t }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = Streams.memorySink(
+      Streams.socketSource(spark, "127.0.0.1", port), "sock_lines")
+    try {
+      // socket is a continuous (non-replayable) source —
+      // processAllAvailable can't know the feeder is done, so poll
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.table("sock_lines").as[String].collect().sorted
+      while (rows().length < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(serveErr == null, s"feeder failed: $serveErr")
+      assert(rows().toSeq == Seq("alpha", "beta", "gamma"))
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("parquetSink is exactly-once across a checkpointed restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
