@@ -160,6 +160,32 @@ object CurationQueries extends QueryPack {
             (x, qi) => abs(x - (col("mn") + qi * col("scale")))))
             * 1000000.0).as("err_e6"))
         .orderBy(col("vec_id"))
+    }),
+
+    // DSIR importance weights: per-doc fixed-point log-likelihood
+    // ratio of hashed unigram+bigram features, target = English
+    // corpus vs raw = everything (pipeline.Dsir). Exact integer
+    // scores — the whole featurize→weight→score chain replays in SQL.
+    "q116_dsir_scores" -> ((s, dir) => {
+      graft.pipeline.Dsir.importanceScores(
+        table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: deterministic Gumbel-top-k over the scores
+    // (hashed noise, sample ∝ exp(score) without replacement), then
+    // the per-language mix of the selected set — the report a
+    // curation run emits to show the target language was up-weighted.
+    "q117_dsir_select" -> ((s, dir) => {
+      val scores = graft.pipeline.Dsir.importanceScores(
+        table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      graft.pipeline.Dsir.gumbelTopK(scores, "doc_id", 50)
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -311,6 +337,52 @@ object CurationQueries extends QueryPack {
         |  CAST(floor(list_max(list_transform(range(1, len(v) + 1),
         |      i -> abs(v[i] - (mn + q[i] * scale)))) * 1000000.0) AS BIGINT)
         |    AS err_e6
-        |FROM qz ORDER BY vec_id""".stripMargin
+        |FROM qz ORDER BY vec_id""".stripMargin,
+    "q116_dsir_scores" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q117_dsir_select" ->
+      s"""WITH $dsirScoreCtes,
+         |keyed AS (
+         |  SELECT doc_id, score_e6
+         |    + CAST(floor(1000000.0 * -ln(-ln(
+         |        (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |           AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)))
+         |        AS BIGINT) AS key_e6
+         |  FROM s),
+         |sel AS (SELECT doc_id FROM keyed
+         |        ORDER BY key_e6 DESC, doc_id LIMIT 50)
+         |SELECT d.lang AS lang, cast(count(*) as bigint) AS n_selected
+         |FROM sel JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
+
+  /** Shared DSIR CTEs: hashed 1-2gram buckets, smoothed log-ratio
+    * weights (floored millionths), per-doc integer scores — the SQL
+    * replay of `pipeline.Dsir.importanceScores` with target lang='en'
+    * and B=4096.
+    */
+  private def dsirScoreCtes: String =
+    s"""t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, gram FROM (
+       |    SELECT doc_id, lang, unnest(tk) AS gram FROM t
+       |    UNION ALL
+       |    SELECT doc_id, lang, unnest(${ngramSql("tk", 2)}) AS gram FROM t)),
+       |b AS (SELECT doc_id, lang,
+       |        CAST(CAST('0x' || substr(md5(gram), 1, 8) AS UBIGINT) % 4096
+       |          AS BIGINT) AS bucket
+       |      FROM g),
+       |d AS (SELECT bucket, count(*) AS n_r,
+       |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+       |      FROM b GROUP BY bucket),
+       |tot AS (SELECT sum(n_r) AS nr, sum(n_t) AS nt FROM d),
+       |w AS (SELECT bucket,
+       |        CAST(floor(1000000.0 * ln(
+       |          ((n_t + 1.0) / (nt + 4096.0)) /
+       |          ((n_r + 1.0) / (nr + 4096.0)))) AS BIGINT) AS l_e6
+       |      FROM d, tot),
+       |s AS (SELECT doc_id, sum(l_e6) AS score_e6
+       |      FROM b JOIN w USING (bucket) GROUP BY doc_id)""".stripMargin
 }
