@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * ArticleInfoProcess.scala:61 `Jsoup.parse(html).text()` and
   * NewsMarkProcess.scala:153-203 DOM-walking entity tagger).
   *
-  * The reference shells out to jsoup per row. Here both kernels are
-  * regexp chains over built-in functions — fully codegen'd, no UDF,
-  * no per-row parser allocation — which is what lets them run as a
-  * map-side-only pass over 100 TB of html. The contract is the
-  * reference's observable behavior (tags stripped, entities
-  * unescaped, whitespace squashed; keywords wrapped word-boundary
-  * safely), not jsoup's DOM model.
+  * The reference shells out to jsoup per row. Here the default
+  * kernels are regexp chains over built-in functions — fully
+  * codegen'd, no UDF, no per-row parser allocation — which is what
+  * lets them run as a map-side-only pass over 100 TB of html. The
+  * contract is the reference's observable behavior (tags stripped,
+  * entities unescaped, whitespace squashed; keywords wrapped
+  * word-boundary safely), not jsoup's DOM model. Where full entity
+  * fidelity matters, [[htmlToTextFull]] swaps the 6-entity regexp
+  * unescape for a compiled commons-text HTML4 kernel.
   */
 object Html {
 
@@ -38,6 +40,31 @@ object Html {
         regexp_replace(c, from, to)
       }
     trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Full-fidelity variant of [[htmlToText]]: same tag stripping,
+    * but entities are unescaped by a compiled kernel over
+    * commons-text's HTML4 table — ALL named entities (&eacute;,
+    * &mdash;, …) and decimal/hex numeric references (&#8217;,
+    * &#x2019;), one level, exactly like a real parser. &nbsp;
+    * (U+00A0) is normalized to a plain space the way jsoup's
+    * `.text()` renders it. Use this when document fidelity beats
+    * plan purity: the kernel is a per-row library call (documented
+    * compiled-kernel exception, cf. §2.10 UDF policy), so the
+    * regexp-chain [[htmlToText]] stays the default for the
+    * oracle-replayable scan path.
+    */
+  def htmlToTextFull(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    trim(regexp_replace(unescapeHtml4Kernel(noTags), "\\s+", " "))
+  }
+
+  private val unescapeHtml4Kernel = udf { (s: String) =>
+    if (s == null) null
+    else org.apache.commons.text.StringEscapeUtils.unescapeHtml4(s)
+      .replace('\u00A0', ' ')
   }
 
   val entityOpen = "<i class=\"graft-entity-words\">"

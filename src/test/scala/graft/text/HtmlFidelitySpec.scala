@@ -47,6 +47,31 @@ class HtmlFidelitySpec extends SparkSpec {
       == "a & b <tag> \"q\" 's'")
   }
 
+  private def cleanFull(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlToTextFull(col("h")).as("t"))
+      .as[String].head()
+
+  test("htmlToTextFull agrees with htmlToText on the common entities") {
+    for (html <- Seq(
+      "<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>",
+      "<script>drop()</script><b>x &nbsp; y</b>",
+      "<p>&amp;lt;one level&amp;gt;</p>"))
+      assert(cleanFull(html) == clean(html), html)
+  }
+
+  test("htmlToTextFull resolves named and numeric entities (jsoup-grade)") {
+    // the regexp chain knows 6 entities; the kernel knows the HTML4
+    // table and numeric references — caf&eacute;, em&mdash;dash,
+    // decimal &#8217; and hex &#x2019; right single quotes
+    assert(cleanFull("<p>caf&eacute; &mdash; it&#8217;s &#x2019;ok&#x2019;</p>")
+      == "café — it’s ’ok’")
+    // &nbsp; renders as a plain space like jsoup .text()
+    assert(cleanFull("<p>a&nbsp;b</p>") == "a b")
+    // the 6-entity chain leaves exotic entities escaped — documented
+    // boundary between the scan-path default and the fidelity kernel
+    assert(clean("<p>caf&eacute;</p>") == "caf&eacute;")
+  }
+
   test("entity tagging never reaches markup (tagger runs on text)") {
     // The reference walks DOM text nodes so <i>/class attributes are
     // never keyword-matched; our pipeline order (htmlToText BEFORE
