@@ -61,18 +61,24 @@ object Dsir {
     */
   def logRatioWeights(docs: DataFrame, idCol: String, toks: Column,
       targetPred: Column, buckets: Int = DefaultBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dist = gramStream(docs, idCol, toks, targetPred, buckets)
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("n_r"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"))
-    val tot = dist.agg(sum(col("n_r")).as("nr"), sum(col("n_t")).as("nt"))
+    // Corpus totals as a window over the B-row histogram, not a
+    // separate aggregate: a crossJoin(broadcast(agg)) formulation
+    // re-inlined the whole dist subtree — a third corpus scan (plan
+    // audit, PLANS.md). The unpartitioned window moves exactly B
+    // rows (≤ 4096) to one task, a constant regardless of corpus
+    // size, and keeps the query at two scans total.
+    val tot = Window.partitionBy()
     val b = lit(buckets.toDouble)
-    dist.crossJoin(broadcast(tot))
-      .select(col("__b").as("bucket"),
-        floor(lit(1000000.0) * log(
-          ((col("n_t") + lit(1.0)) / (col("nt") + b)) /
-            ((col("n_r") + lit(1.0)) / (col("nr") + b))))
-          .cast("long").as("l_e6"))
+    dist.select(col("__b").as("bucket"),
+      floor(lit(1000000.0) * log(
+        ((col("n_t") + lit(1.0)) / (sum(col("n_t")).over(tot) + b)) /
+          ((col("n_r") + lit(1.0)) / (sum(col("n_r")).over(tot) + b))))
+        .cast("long").as("l_e6"))
   }
 
   /** Per-document importance score `Σ L_bucket(gram)` (fixed-point
