@@ -108,13 +108,20 @@ object Topics {
 
   /** Word2Vec embeddings (M15): token sequences → word vectors,
     * fixed seed, returned as (word, vector) rows.
+    *
+    * `numPartitions` is the explicit determinism/speed trade:
+    * 1 (default) serializes the fit so the vectors are exactly
+    * reproducible run-to-run; at corpus scale set it toward the
+    * executor count and accept seed-level (not bit-level)
+    * stability — the same trade mllib documents.
     */
   def word2vec(df: DataFrame, tokensCol: String, dim: Int = 8,
-      minCount: Int = 5, seed: Long = 42L): DataFrame = {
+      minCount: Int = 5, seed: Long = 42L,
+      numPartitions: Int = 1): DataFrame = {
     val w2v = new Word2Vec()
       .setInputCol(tokensCol).setOutputCol("vec")
       .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
-      .setNumPartitions(1) // >1 trades determinism for speed; callers raise it at scale
+      .setNumPartitions(numPartitions)
     w2v.fit(df).getVectors
   }
 }
