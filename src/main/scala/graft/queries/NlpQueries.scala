@@ -47,6 +47,29 @@ object NlpQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // F13 URL site extraction: root → IP filter → public-suffix
+    // reduction (text.Urls, the reference's filterSLD(filterIP(
+    // extractRoot())) pipeline). URLs are synthesized
+    // deterministically from (doc_id, source) — .com subdomains,
+    // multi-part .co.uk suffixes, deep subdomains, an IP host, a
+    // non-URL, and an SLD differing from its subdomain — and the
+    // oracle replays the fixture's suffix set with regexps.
+    "q118_url_sites" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(6))
+      val url = when(m === 0, concat(lit("https://news."), col("source"),
+          lit(".com/a/"), col("doc_id")))
+        .when(m === 1, concat(lit("http://"), col("source"), lit(".co.uk/path")))
+        .when(m === 2, concat(lit("https://sub.blog."), col("source"),
+          lit(".org/x?q=1")))
+        .when(m === 3, lit("http://192.168.0.1:8080/admin"))
+        .when(m === 4, lit("not a url"))
+        .otherwise(concat(lit("https://"), col("source"), lit(".example.net/y")))
+      table(s, dir, "documents")
+        .select(graft.text.Urls.site(url).as("site"))
+        .groupBy(col("site")).agg(count(lit(1)).as("n"))
+        .orderBy(col("site"))
+    }),
+
     // M2 longest-match: unigrams∪bigrams, drop contained keywords.
     "q52_longest_match" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -176,6 +199,34 @@ object NlpQueries extends QueryPack {
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
         // &#39;/&nbsp; unescape steps are omitted from the oracle:
         // the fixture html contains neither entity.
+    "q118_url_sites" ->
+      """WITH u AS (
+        |  SELECT CASE doc_id % 6
+        |    WHEN 0 THEN 'https://news.' || source || '.com/a/'
+        |                || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'http://' || source || '.co.uk/path'
+        |    WHEN 2 THEN 'https://sub.blog.' || source || '.org/x?q=1'
+        |    WHEN 3 THEN 'http://192.168.0.1:8080/admin'
+        |    WHEN 4 THEN 'not a url'
+        |    ELSE 'https://' || source || '.example.net/y' END AS url
+        |  FROM documents),
+        |r AS (SELECT regexp_extract(url, '^https?://[^/?#]+') AS root FROM u),
+        |f AS (SELECT CASE WHEN regexp_matches(root,
+        |        '^https?://([0-9]{1,3}\.){3}[0-9]{1,3}(:[0-9]{1,4})?$')
+        |        THEN '' ELSE root END AS root
+        |      FROM r),
+        |h AS (SELECT root, string_split(
+        |        regexp_replace(root, '^https?://', ''), '.') AS p
+        |      FROM f),
+        |s AS (SELECT CASE WHEN root = '' THEN ''
+        |        WHEN root LIKE '%.co.uk' THEN
+        |          regexp_extract(root, '^(https?:)', 1) || '//'
+        |            || array_to_string(p[-3:], '.')
+        |        ELSE regexp_extract(root, '^(https?:)', 1) || '//'
+        |            || array_to_string(p[-2:], '.') END AS site
+        |      FROM h)
+        |SELECT site, cast(count(*) as bigint) AS n
+        |FROM s GROUP BY site ORDER BY site""".stripMargin,
     "q51_entity_tag" ->
       """SELECT doc_id,
         |  regexp_replace(text, '\b(hash join|row scan|merge|batch)\b',
