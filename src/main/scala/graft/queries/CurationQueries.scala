@@ -170,6 +170,17 @@ object CurationQueries extends QueryPack {
       dsirScores(s, dir).orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM perplexity filter (text.NgramLm): interpolated
+    // bigram LM fitted on a trusted target slice (every 7th English
+    // doc), all docs scored by mean bigram NLL in floored millionths.
+    // Exact fixed-point — the fit AND the scoring replay in SQL.
+    "q119_lm_perplexity" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.text.NgramLm.perplexityScores(d, "doc_id", "text",
+        d.filter(col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR selection: deterministic Gumbel-top-k over the scores
     // (hashed noise, sample ∝ exp(score) without replacement), then
     // the per-language mix of the selected set — the report a
@@ -346,6 +357,33 @@ object CurationQueries extends QueryPack {
         |      i -> abs(v[i] - (mn + q[i] * scale)))) * 1000000.0) AS BIGINT)
         |    AS err_e6
         |FROM qz ORDER BY vec_id""".stripMargin,
+    "q119_lm_perplexity" ->
+      s"""WITH tgt AS (SELECT $toks AS tk FROM documents
+         |             WHERE lang = 'en' AND doc_id % 7 = 0),
+         |uni AS (SELECT w, count(*) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tgt) GROUP BY w),
+         |bi AS (SELECT g, count(*) AS c12
+         |       FROM (SELECT unnest(${ngramSql("tk", 2)}) AS g FROM tgt)
+         |       GROUP BY g),
+         |tot AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM uni),
+         |st AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS g
+         |       FROM (SELECT doc_id, $toks AS tk FROM documents)),
+         |j AS (SELECT st.doc_id,
+         |        0.9 * (CASE WHEN u1.c1 IS NOT NULL AND u1.c1 > 0
+         |          THEN COALESCE(bi.c12, 0)::DOUBLE / u1.c1 ELSE 0.0 END)
+         |        + (1.0 - 0.9) * (COALESCE(u2.c1, 0) + 1.0)
+         |          / (tot.n_tok + tot.v) AS p
+         |      FROM st
+         |      LEFT JOIN bi ON bi.g = st.g
+         |      LEFT JOIN uni u1 ON u1.w = split_part(st.g, ' ', 1)
+         |      LEFT JOIN uni u2 ON u2.w = split_part(st.g, ' ', 2)
+         |      CROSS JOIN tot),
+         |n AS (SELECT doc_id,
+         |        CAST(floor(-1000000.0 * ln(p)) AS BIGINT) AS nll_e6
+         |      FROM j)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+         |  CAST(floor(sum(nll_e6) / count(*)) AS BIGINT) AS nll_e6
+         |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q116_dsir_scores" ->
       s"""WITH $dsirScoreCtes
          |SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6
