@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables.table
-import graft.similarity.Ann
+import graft.similarity.{Ann, Clustering}
 
 /** Vector-at-scale surface beyond q48/q49: IVF cluster-then-probe
   * ANN (the index shape that bounds the candidate shuffle at 100 TB)
@@ -97,6 +97,15 @@ object VectorQueries extends QueryPack {
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
         .orderBy(col("query_id"))
+    }),
+
+    // Embedding domain clustering (similarity.Clustering): seeded
+    // k-means cluster-size histogram — the domain-mixing input when
+    // no explicit domain labels exist (SemDeDup/DoReMi shape).
+    // Rows-only: a seeded fit, like LDA/Word2Vec.
+    "q120_embed_clusters" -> ((s, dir) => {
+      Clustering.clusterSizes(table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)
     })
   )
 
