@@ -53,7 +53,12 @@ object NgramLm {
     */
   def perplexityScores(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, lambdaE6: Long = DefaultLambdaE6): DataFrame = {
-    val (uni, bi) = fit(target, textCol)
+    val (uniRaw, bi) = fit(target, textCol)
+    // the unigram table feeds THREE consumers (totals + two joins);
+    // persisting the vocab-sized aggregate keeps the target corpus
+    // at two scans (uni, bi) instead of four
+    val uni = uniRaw.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (N, V) as a broadcast 1-row crossJoin: it re-aggregates the
     // TARGET corpus (small by construction), never the raw stream —
     // a window-over-the-gram-stream backfill would single-partition
@@ -71,7 +76,7 @@ object NgramLm {
         .otherwise(lit(0.0)) +
       (lit(1.0) - lam) * (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
         (col("n_tok") + col("v"))
-    stream
+    val out = stream
       .join(broadcast(bi), Seq("g"), "left")
       .join(broadcast(uni.select(col("w").as("w1"), col("c1"))),
         Seq("w1"), "left")
@@ -82,5 +87,12 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         floor(sum(col("nll_e6")) / count(lit(1))).cast("long").as("nll_e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the model cache — a long-lived
+    // session scoring many corpora would otherwise accumulate
+    // vocab-sized caches (the pagerank lifecycle idiom)
+    out.count()
+    uni.unpersist(blocking = false)
+    out
   }
 }
