@@ -123,6 +123,19 @@ object TextQueries extends QueryPack {
 
     // Corpus n-gram statistics for n=1..3 (occurrences + distinct),
     // the shape of the reference's ngram corpus jobs (M1/M14).
+    // Unicode accent folding (T.foldAccents, NFKD kernel): applied
+    // to a synthesized diacritics prefix + each doc's text so the
+    // normalization itself is what the oracle hash-checks
+    // (DuckDB replays with lower(strip_accents(...))).
+    "q121_fold_accents" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), T.foldAccents(
+          concat(lit("Café NAÏVE Zürich señor Çedilla ÀÈÌÒÙ #"),
+            col("text"))).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q40_ngram_stats" -> ((s, dir) => {
       // Single scan: each n's grams are tagged (n, gram) and exploded
       // together by ONE compiled sliding pass (the q107 kernel — the
@@ -276,6 +289,11 @@ object TextQueries extends QueryPack {
          |      WHEN fr>=de THEN 'fr'
          |      ELSE 'de' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q121_fold_accents" ->
+      """SELECT doc_id,
+        |  lower(strip_accents('Café NAÏVE Zürich señor Çedilla ÀÈÌÒÙ #'
+        |    || text)) AS norm
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q40_ngram_stats" ->
       s"""WITH t AS (SELECT $splitToks AS toks FROM documents),
          |grams AS (

@@ -101,6 +101,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq("fox", "quick"))
   }
 
+  test("foldAccents strips diacritics, folds compatibility forms, lowers") {
+    val out = Seq("Café ﬁne ＦＵＬＬ Ñaïve").toDF("t")
+      .select(TextFunctions.foldAccents(col("t")).as("n"))
+      .as[String].head()
+    // NFKD folds the fi ligature and full-width letters too —
+    // superset of plain accent stripping (documented)
+    assert(out == "cafe fine full naive")
+    val nul = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextFunctions.foldAccents(col("t")).as("n"))
+      .as[String].head()
+    assert(nul == null)
+  }
+
   test("fingerprint is order- and duplicate-independent") {
     val fps = Seq("b a c a", "a b c", "c b a").toDF("t")
       .select(TextFunctions.fingerprint(TextFunctions.tokens(col("t"))).as("f"))
