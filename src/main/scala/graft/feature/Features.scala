@@ -76,13 +76,15 @@ object Features {
   /** Stable vocabulary: distinct terms sorted, 1-based contiguous
     * ids (M14's `wid` dictionary; reference builds it with RDD
     * zipWithIndex over an unspecified order — we fix the order so
-    * ids are reproducible).
+    * ids are reproducible). Ids come from the gapless distributed
+    * zipWithIndex (ops.Relational): a `row_number` over an empty
+    * window funnels the whole vocabulary through ONE partition —
+    * fine at fixture scale, a bottleneck at a web-corpus vocab.
     */
-  def vocabulary(tf: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("term"))
-    tf.select(col("term")).distinct()
-      .withColumn("wid", row_number().over(w).cast("long"))
-  }
+  def vocabulary(tf: DataFrame): DataFrame =
+    graft.ops.Relational.zipWithIndex(
+      tf.select(col("term")).distinct(), "wid", Seq(col("term")))
+      .select(col("term"), col("wid"))
 
   /** UCI docword triples (M14): (did, wid, tf) sorted. */
   def uciDocword(df: DataFrame, entityCol: String,
