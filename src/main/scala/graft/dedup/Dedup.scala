@@ -415,4 +415,46 @@ object Dedup {
       .select(col(leftId), col(rightId))
       .distinct()
   }
+
+  /** Boilerplate paragraph removal — the line-level dedup step of
+    * CCNet/RefinedWeb-style curation: any paragraph (a `sep`-
+    * delimited segment of `textCol`) that appears in at least
+    * `minDocs` distinct documents is corpus-wide boilerplate (cookie
+    * banners, navigation, footers) and is stripped from every
+    * document in place.
+    *
+    * Output: (idCol, n_paras, n_removed, clean) with `clean` the
+    * document re-joined from its surviving paragraphs in original
+    * order.
+    *
+    * Scale shape: pass 1 explodes paragraphs but shuffles only their
+    * 16-byte md5 digests (the digest-not-text rule) to count
+    * distinct docs per paragraph; the surviving hot set is bounded
+    * by the amount of distinct boilerplate in the corpus — small by
+    * nature, independent of corpus size — so it collapses into a
+    * single array row that broadcasts to pass 2, which filters each
+    * document's paragraph array in place with NO second shuffle and
+    * no join on text. If the hot set ever outgrew a broadcast, the
+    * fallback is a broadcast Bloom filter over the digests (the
+    * decontamination idiom in pipeline.Pipelines.bloomDecontaminate).
+    */
+  def stripHotParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val hot = docs
+      .select(col(idCol), explode(paras).as("__p"))
+      .groupBy(md5(col("__p")).as("__dig"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .agg(collect_list(col("__dig")).as("__hot"))
+    docs.crossJoin(broadcast(hot))
+      .select(col(idCol), paras.as("__ps"), col("__hot"))
+      .select(col(idCol),
+        size(col("__ps")).cast("long").as("n_paras"),
+        size(filter(col("__ps"),
+          p => array_contains(col("__hot"), md5(p))))
+          .cast("long").as("n_removed"),
+        array_join(filter(col("__ps"),
+          p => !array_contains(col("__hot"), md5(p))), sep).as("clean"))
+  }
 }

@@ -191,6 +191,39 @@ object CurationQueries extends QueryPack {
           "doc_id")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"))
         .orderBy(col("lang"))
+    }),
+
+    // Boilerplate paragraph removal (Dedup.stripHotParagraphs — the
+    // RefinedWeb/CCNet line-dedup shape): boilerplate paragraphs are
+    // injected deterministically (a global cookie banner on
+    // doc_id%3==0, a per-source footer on doc_id%5==0), then any
+    // paragraph appearing in >=100 distinct docs is stripped in
+    // place. The clean text is md5'd for the hash-compare.
+    "q122_para_dedup" -> ((s, dir) => {
+      val boiler =
+        "please accept our cookie policy and subscribe to the newsletter"
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit("\n" + boiler))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("\nfooter "), col("source"))).otherwise(lit("")))
+            .as("t"))
+      Dedup.stripHotParagraphs(docs, "doc_id", "t", minDocs = 100)
+        .select(col("doc_id"), col("n_paras"), col("n_removed"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // First BPE-training iteration (text.Bpe): adjacent symbol-pair
+    // counts over the distinct word table weighted by frequency —
+    // pair work scales with |vocab|, not corpus tokens.
+    "q123_bpe_pairs" -> ((s, dir) => {
+      graft.text.Bpe.pairCounts(
+          graft.text.Bpe.wordCounts(table(s, dir, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
     })
   )
 
@@ -227,6 +260,37 @@ object CurationQueries extends QueryPack {
       s"i -> array_to_string($l[i:i+${n - 1}], ' '))"
 
   def oracles: Map[String, String] = Map(
+    "q122_para_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |         'please accept our cookie policy and subscribe to the newsletter'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'footer ' || source
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS p FROM docs),
+        |hotq AS (SELECT md5(p) AS dig FROM p
+        |         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 100),
+        |hot AS (SELECT coalesce(list(dig), []) AS hl FROM hotq)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(string_split(t, chr(10)),
+        |    x -> list_contains(hl, md5(x)))) AS BIGINT) AS n_removed,
+        |  md5(array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(hl, md5(x))), chr(10))) AS clean_md5
+        |FROM docs, hot ORDER BY doc_id""".stripMargin,
+    "q123_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM words, range(1, 40) r(i) WHERE i <= length(w) - 1)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "q106_substr_spans" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
          |corpus AS (

@@ -106,6 +106,18 @@ object VectorQueries extends QueryPack {
     "q120_embed_clusters" -> ((s, dir) => {
       Clustering.clusterSizes(table(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8)
+    }),
+
+    // SemDeDup (Clustering.semDedup): cluster first (8 deterministic
+    // IVF-convention centroids so the whole verdict replays in SQL),
+    // then flag cosine >= 0.95 against any lower-id vector WITHIN
+    // the cluster. Injected exact copies (q80's corpus) are the
+    // planted semantic dups; the clustering bounds the pair pass at
+    // N²/k instead of N².
+    "q124_semdedup" -> ((s, dir) => {
+      Clustering.semDedup(withInjectedDups(s, dir), "vec_id", "embedding",
+        nCentroids = 8, tau = 0.95)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -207,6 +219,35 @@ object VectorQueries extends QueryPack {
          |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s
          |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    "q124_semdedup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id + 200000, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM u),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |          WHERE vec_id < 8),
+         |ac AS (
+         |  SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM (
+         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cluster, e.v
+         |       FROM assigned a JOIN e USING (vec_id)),
+         |d AS (SELECT DISTINCT x.vec_id FROM av x JOIN av y
+         |        ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |      WHERE ${cosSql("x.v", "y.v")} >= 0.95)
+         |SELECT av.vec_id, av.cluster AS cluster,
+         |  av.vec_id IN (SELECT vec_id FROM d) AS is_dup
+         |FROM av ORDER BY av.vec_id""".stripMargin,
     "q103_knn_classify" ->
       s"""WITH $cosineCte,
          |q AS (SELECT * FROM e WHERE vec_id >= 20 AND vec_id < 40),

@@ -141,4 +141,44 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.simhash60($"t").as("s")).as[Long].head()
     assert(nullCase == 0L)
   }
+
+  test("stripHotParagraphs removes corpus-wide boilerplate in place") {
+    val corpus = Seq(
+      (1L, "unique text one\nCOOKIE BANNER\nmore body"),
+      (2L, "second doc body\nCOOKIE BANNER"),
+      (3L, "COOKIE BANNER\nthird body text"),
+      (4L, "no banner here at all"),
+      // same paragraph twice in ONE doc: repeats within a doc do not
+      // make it hot (distinct-doc count, not occurrence count)
+      (5L, "repeated para\nrepeated para\nown body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripHotParagraphs(corpus, "doc_id", "text", minDocs = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // banner (in 3 distinct docs) stripped, order of survivors kept
+    assert(out(0) == ((1L, 3L, 1L, "unique text one\nmore body")))
+    assert(out(1) == ((2L, 2L, 1L, "second doc body")))
+    assert(out(2) == ((3L, 2L, 1L, "third body text")))
+    assert(out(3) == ((4L, 1L, 0L, "no banner here at all")))
+    // within-doc repeat survives: only 1 distinct doc carries it
+    assert(out(4) == ((5L, 3L, 0L, "repeated para\nrepeated para\nown body")))
+  }
+
+  test("stripHotParagraphs is a no-op plan-wise safe when nothing is hot") {
+    val corpus = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+    val out = Dedup.stripHotParagraphs(corpus, "doc_id", "text", minDocs = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0L, "a\nb"), (2L, 2L, 0L, "c\nd")))
+  }
+
+  test("stripHotParagraphs never shuffles paragraph text, broadcasts the hot set") {
+    val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = Dedup.stripHotParagraphs(corpus, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // pass 2 joins the one-row hot set by broadcast, never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

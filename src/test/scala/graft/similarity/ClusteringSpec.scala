@@ -27,4 +27,35 @@ class ClusteringSpec extends SparkSpec {
     assert(r.map(_._2).sorted == Seq(10L, 10L))
     assert(r == run())
   }
+
+  test("semDedup flags lower-id near-twins within a cluster only") {
+    // ids 0/1 seed the two centroids; 2 is a near-twin of 0, 3 a
+    // near-twin of 1, 4 lands in cluster 0 but below tau vs everyone.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // centroid 0
+      (1L, Array(0f, 1f, 0f, 0f)),   // centroid 1
+      (2L, Array(0.999f, 0.01f, 0f, 0f)), // dup of 0
+      (3L, Array(0.01f, 0.999f, 0f, 0f)), // dup of 1
+      (4L, Array(0.7f, 0.2f, 0.68f, 0f))  // cluster 0, but cos < tau
+    ).toDF("id", "vec")
+    val out = Clustering.semDedup(vecs, "id", "vec",
+      nCentroids = 2, tau = 0.95)
+      .orderBy($"id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(x => x._1 -> x._3).toMap ==
+      Map(0L -> false, 1L -> false, 2L -> true, 3L -> true, 4L -> false))
+    // twins share their source's cluster
+    val cl = out.map(x => x._1 -> x._2).toMap
+    assert(cl(2L) == cl(0L) && cl(3L) == cl(1L) && cl(4L) == cl(0L))
+  }
+
+  test("semDedup keep-lowest-id: the source of a twin is never flagged") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (5L, Array(1f, 0f)), (6L, Array(1f, 0f))  // two exact copies of 0
+    ).toDF("id", "vec")
+    val out = Clustering.semDedup(vecs, "id", "vec", 2, 0.99)
+      .orderBy($"id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(x => x._1 -> x._3).toMap ==
+      Map(0L -> false, 1L -> false, 5L -> true, 6L -> true))
+  }
 }
