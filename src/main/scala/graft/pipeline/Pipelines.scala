@@ -130,7 +130,10 @@ object Pipelines {
     * LLM-data operators exist for: quality floor → exact dedup →
     * SimHash near-dup clustering (keep each cluster's min-id doc) →
     * trigram decontamination against a benchmark set → deterministic
-    * per-class cap by hash rank.
+    * per-class cap by hash rank. For web-scraped corpora, run
+    * [[graft.dedup.Dedup.stripHotParagraphs]] (line-level boilerplate
+    * removal) before the quality floor so banners/footers don't
+    * inflate length past `minChars` or drag near-dup similarity.
     *
     * Scale shape of each stage: the quality gate fuses into the scan;
     * exact dedup shuffles digests; near-dup pairs come from bucketed
