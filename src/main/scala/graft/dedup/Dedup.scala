@@ -416,6 +416,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Keep-first paragraph dedup — the C4 rule: every repeated
+    * paragraph keeps ONLY its first occurrence corpus-wide (first =
+    * smallest (id, position)), unlike [[stripHotParagraphs]] which
+    * drops every occurrence once a threshold is crossed. The rule is
+    * order-dependent, which is exactly what makes it deterministic:
+    * the same corpus always keeps the same occurrences, on any
+    * partitioning.
+    *
+    * Output: (idCol, n_paras, n_kept, clean), `clean` re-joined from
+    * the kept occurrences in original order (empty string when every
+    * paragraph appeared earlier).
+    *
+    * Scale shape: the global keep-or-drop decision never touches
+    * paragraph text — occurrences shuffle as (16-byte md5, id, pos)
+    * triples, winners are one hash-aggregate (min struct) on the
+    * digest, and the winner join is digest-keyed. Text moves exactly
+    * once: the per-doc kept-position arrays (ints) join back to the
+    * document table on the id — the one corpus shuffle any
+    * re-association of a global verdict with its documents costs.
+    * Digest collisions (~1e-18 per pair at md5 width) would merge
+    * two distinct paragraphs' occurrence lists; acceptable for
+    * dedup, same trade as [[exactGroups]].
+    */
+  def keepFirstParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val occ = docs
+      .select(col(idCol), posexplode(paras).as(Seq("__pos0", "__p")))
+      .select(col(idCol), (col("__pos0") + 1).as("__pos"),
+        md5(col("__p")).as("__dig"))
+    val winners = occ
+      .groupBy(col("__dig"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+      .select(col("__dig"), col("__w")(idCol).as("__wid"),
+        col("__w")("__pos").as("__wpos"))
+    val keeps = occ.join(winners, "__dig")
+      .filter(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    docs.join(keeps, Seq(idCol), "left")
+      .select(col(idCol),
+        size(paras).cast("long").as("n_paras"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        array_join(filter(paras, (p, i) =>
+          array_contains(coalesce(col("__keep"), typedLit(Seq.empty[Int])),
+            i + 1)), sep).as("clean"))
+  }
+
   /** Boilerplate paragraph removal — the line-level dedup step of
     * CCNet/RefinedWeb-style curation: any paragraph (a `sep`-
     * delimited segment of `textCol`) that appears in at least

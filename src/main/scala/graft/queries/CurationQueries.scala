@@ -224,6 +224,30 @@ object CurationQueries extends QueryPack {
           graft.text.Bpe.wordCounts(table(s, dir, "documents"), "text"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(50)
+    }),
+
+    // C4 keep-first paragraph dedup (Dedup.keepFirstParagraphs) over
+    // the same boilerplate-injected corpus as q122: every repeated
+    // paragraph keeps only its first (doc_id, position) occurrence —
+    // so exactly ONE doc keeps the cookie banner, one keeps each
+    // footer, and the natural full-text duplicate docs collapse to
+    // their first copies. Contrast q122, which strips hot paragraphs
+    // from every doc including the first.
+    "q125_c4_keep_first" -> ((s, dir) => {
+      val boiler =
+        "please accept our cookie policy and subscribe to the newsletter"
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit("\n" + boiler))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("\nfooter "), col("source"))).otherwise(lit("")))
+            .as("t"))
+      Dedup.keepFirstParagraphs(docs, "doc_id", "t")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -281,6 +305,36 @@ object CurationQueries extends QueryPack {
         |  md5(array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(hl, md5(x))), chr(10))) AS clean_md5
         |FROM docs, hot ORDER BY doc_id""".stripMargin,
+    "q125_c4_keep_first" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |         'please accept our cookie policy and subscribe to the newsletter'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'footer ' || source
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.i AS pos, u.p AS para, md5(u.p) AS dig
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |          string_split(t, chr(10)),
+        |          (x, i) -> struct_pack(p := x, i := i))) AS u
+        |        FROM docs)),
+        |keep AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para, row_number() OVER (
+        |      PARTITION BY dig ORDER BY doc_id, pos) AS rn FROM occ)
+        |  WHERE rn = 1),
+        |k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(para, chr(10) ORDER BY pos)) AS clean_md5
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_paras,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.clean_md5, md5('')) AS clean_md5
+        |FROM docs d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q123_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w, count(*) AS freq

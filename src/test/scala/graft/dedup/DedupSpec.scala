@@ -172,6 +172,40 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0L, "a\nb"), (2L, 2L, 0L, "c\nd")))
   }
 
+  test("keepFirstParagraphs keeps exactly the first (id, pos) occurrence") {
+    val corpus = Seq(
+      (1L, "A\nB"),
+      (2L, "B\nC"),   // B already seen in doc 1
+      (3L, "A")       // fully deduped away
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepFirstParagraphs(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "A\nB"),
+      (2L, 2L, 1L, "C"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("keepFirstParagraphs dedups repeats within one doc to the first") {
+    val corpus = Seq((1L, "X\nY\nX")).toDF("doc_id", "text")
+    val out = Dedup.keepFirstParagraphs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 3L, 2L, "X\nY")))
+  }
+
+  test("keepFirstParagraphs is idempotent on its own output") {
+    val corpus = Seq((1L, "A\nB"), (2L, "B\nC"), (3L, "A\nC\nD"))
+      .toDF("doc_id", "text")
+    val once = Dedup.keepFirstParagraphs(corpus, "doc_id", "text")
+      .select($"doc_id", $"clean".as("text"))
+    // after one pass every surviving paragraph is globally unique,
+    // so a second pass removes nothing
+    val again = Dedup.keepFirstParagraphs(once, "doc_id", "text")
+      .filter($"n_kept" < $"n_paras")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(again.isEmpty)
+  }
+
   test("stripHotParagraphs never shuffles paragraph text, broadcasts the hot set") {
     val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
     val plan = Dedup.stripHotParagraphs(corpus, "doc_id", "text", 2)
