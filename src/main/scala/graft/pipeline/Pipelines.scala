@@ -225,7 +225,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -256,6 +256,13 @@ object PipelineDriver {
       case "tempmix" =>
         Pipelines.temperatureSample(docs, "lang", "doc_id", "text",
           budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "1000").toLong)
+      case "paradedup" =>
+        // threshold via SPARK_GRAFT_MINDOCS (boilerplate strip);
+        // keep-first C4 variant under "parakeepfirst"
+        graft.dedup.Dedup.stripHotParagraphs(docs, "doc_id", "text",
+          minDocs = sys.env.getOrElse("SPARK_GRAFT_MINDOCS", "100").toLong)
+      case "parakeepfirst" =>
+        graft.dedup.Dedup.keepFirstParagraphs(docs, "doc_id", "text")
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)
