@@ -193,6 +193,28 @@ class DedupSpec extends SparkSpec {
     assert(out == ((1L, 3L, 2L, "X\nY")))
   }
 
+  test("keepFirstParagraphs keeps each distinct paragraph exactly once, corpus-wide") {
+    // pseudo-random corpus from a small paragraph alphabet so repeats
+    // are dense; deterministic seed
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("p0", "p1", "p2", "p3", "p4", "p5")
+    val corpus = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(4)
+      (id, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.keepFirstParagraphs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    val distinctParas = corpus.as[(Long, String)].collect()
+      .flatMap(_._2.split("\n", -1)).toSet
+    // total kept across the corpus = number of distinct paragraphs
+    assert(out.map(_._3).sum == distinctParas.size)
+    // and the kept texts reassemble exactly that set, no repeats
+    val keptAll = out.flatMap(r =>
+      if (r._4.isEmpty) Nil else r._4.split("\n", -1).toSeq)
+    assert(keptAll.length == keptAll.distinct.length)
+    assert(keptAll.toSet == distinctParas)
+  }
+
   test("keepFirstParagraphs is idempotent on its own output") {
     val corpus = Seq((1L, "A\nB"), (2L, "B\nC"), (3L, "A\nC\nD"))
       .toDF("doc_id", "text")
