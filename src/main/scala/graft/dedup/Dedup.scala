@@ -487,22 +487,57 @@ object Dedup {
     * decontamination idiom in pipeline.Pipelines.bloomDecontaminate).
     */
   def stripHotParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Long, sep: String = "\n"): DataFrame = {
-    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val hot = docs
-      .select(col(idCol), explode(paras).as("__p"))
-      .groupBy(md5(col("__p")).as("__dig"))
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    stripParagraphsByDigest(docs.select(col(idCol), col(textCol)),
+      textCol, hotParagraphDigests(docs, idCol, textCol, minDocs, sep), sep)
+      .select(col(idCol), col("n_paras"), col("n_removed"),
+        col(textCol).as("clean"))
+
+  /** Pass 1 of [[stripHotParagraphs]], exposed for lambda-style
+    * pipelines: the digests (single column `dig`) of every paragraph
+    * appearing in at least `minDocs` distinct documents. A batch
+    * aggregation — run it over the historical corpus, persist it,
+    * and feed it to [[stripParagraphsByDigest]] (batch) or
+    * [[graft.streaming.Streams.stripBoilerplateStream]] (ingestion).
+    */
+  def hotParagraphDigests(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("__p"))
+      .groupBy(md5(col("__p")).as("dig"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
+      .select(col("dig"))
+
+  /** Pass 2 of [[stripHotParagraphs]]: strip every paragraph whose
+    * md5 is in `hotDigests` (single string column), IN PLACE —
+    * `textCol` is replaced by the cleaned text and (n_paras,
+    * n_removed) are appended; all other input columns pass through.
+    *
+    * Contains no aggregation or shuffle of `docs` itself: the hot
+    * set collapses to one broadcast row and attaches by a
+    * constant-key broadcast equi-join, so `docs` may be an unbounded
+    * STREAM (stream-static joins are stateless) just as well as a
+    * batch table — this is the streaming boilerplate filter's whole
+    * body.
+    */
+  def stripParagraphsByDigest(docs: DataFrame, textCol: String,
+      hotDigests: DataFrame, sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val hot = hotDigests.select(col(hotDigests.columns.head).as("__dig"))
       .agg(collect_list(col("__dig")).as("__hot"))
-    docs.crossJoin(broadcast(hot))
-      .select(col(idCol), paras.as("__ps"), col("__hot"))
-      .select(col(idCol),
-        size(col("__ps")).cast("long").as("n_paras"),
-        size(filter(col("__ps"),
-          p => array_contains(col("__hot"), md5(p))))
-          .cast("long").as("n_removed"),
-        array_join(filter(col("__ps"),
-          p => !array_contains(col("__hot"), md5(p))), sep).as("clean"))
+      .withColumn("__k", lit(1))
+    docs.withColumn("__k", lit(1))
+      .join(broadcast(hot), Seq("__k"))
+      .withColumn("n_paras", size(paras).cast("long"))
+      .withColumn("n_removed",
+        size(filter(paras, p => array_contains(col("__hot"), md5(p))))
+          .cast("long"))
+      .withColumn(textCol,
+        array_join(filter(paras,
+          p => !array_contains(col("__hot"), md5(p))), sep))
+      .drop("__hot", "__k")
   }
 }

@@ -275,6 +275,21 @@ object Streams {
       .drop("__digest")
   }
 
+  /** Streaming boilerplate paragraph filter — the ingestion form of
+    * [[graft.dedup.Dedup.stripHotParagraphs]] in the standard lambda
+    * shape: the hot set is computed OFFLINE by a batch pass over the
+    * historical corpus ([[graft.dedup.Dedup.hotParagraphDigests]],
+    * re-run on whatever cadence boilerplate drifts), and every
+    * arriving document is scrubbed against it map-side. Stateless —
+    * the digest list rides one broadcast row through a stream-static
+    * equi-join; no state store, no watermark, no shuffle of the
+    * stream. `textCol` is replaced by the cleaned text; (n_paras,
+    * n_removed) are appended for monitoring.
+    */
+  def stripBoilerplateStream(docs: DataFrame, textCol: String,
+      hotDigests: DataFrame, sep: String = "\n"): DataFrame =
+    graft.dedup.Dedup.stripParagraphsByDigest(docs, textCol, hotDigests, sep)
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

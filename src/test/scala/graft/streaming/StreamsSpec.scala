@@ -406,4 +406,35 @@ class StreamsSpec extends SparkSpec {
     assert(ids.length == 150)
     assert(ids.toSet.size == 150) // exactly-once: no replays
   }
+
+  test("stripBoilerplateStream scrubs arriving docs against a batch hot set") {
+    implicit val sqlCtx = spark.sqlContext
+    // offline pass: banner appears in 3 historical docs → hot
+    val history = Seq(
+      (1L, "alpha body\nCOOKIE BANNER"),
+      (2L, "beta body\nCOOKIE BANNER"),
+      (3L, "COOKIE BANNER\ngamma body"),
+      (4L, "delta body")
+    ).toDF("doc_id", "text")
+    val hot = graft.dedup.Dedup.hotParagraphDigests(
+      history, "doc_id", "text", minDocs = 3)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val query = Streams.stripBoilerplateStream(stream, "text", hot)
+      .writeStream.format("memory").queryName("boiler_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (10L, "fresh doc\nCOOKIE BANNER\nmore text"),
+        (11L, "clean doc entirely"))
+      query.processAllAvailable()
+      val out = spark.table("boiler_test")
+        .select(col("doc_id"), col("text"), col("n_paras"), col("n_removed"))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out(10L) == (("fresh doc\nmore text", 3L, 1L)))
+      assert(out(11L) == (("clean doc entirely", 1L, 0L)))
+    } finally query.stop()
+  }
 }
