@@ -215,6 +215,51 @@ object Pipelines {
       .filter(col("__rn") <= col("target_n"))
       .drop("__rn")
   }
+
+  /** Budget-constrained selection: keep the best-scored rows until a
+    * cumulative cost budget is spent — "take the highest-quality
+    * documents up to N tokens", the data-constrained cousin of
+    * [[temperatureSample]]'s count budget. Rows are taken in
+    * (`scoreCol` DESC, `idCol` ASC) order; a row is kept iff the
+    * running cost through it (returned as `cum_cost`) stays within
+    * `budget`.
+    *
+    * The running total is a corpus-wide prefix sum, and the naive
+    * form — one unpartitioned window — serializes the corpus into a
+    * single task. Instead the prefix sum is two-level: rows bucket by
+    * score band (`bucketWidth` of the score's fixed-point units);
+    * per-band totals (one row per band, bounded by the score DOMAIN,
+    * not the corpus) take an ordered carry-in window; each band then
+    * cumsums internally, partitioned by band, with its carry added.
+    * Because (band ASC) is a prefix-respecting coarsening of
+    * (score DESC, id ASC), carry + within-band prefix equals the
+    * global prefix exactly — same answer, no single-partition pass
+    * over data that scales with the corpus. (The same carry-in trick
+    * as `ops.TimeJoins.asofJoinBucketed`, applied to selection.)
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // band ASC == score-band DESC; floor (not int division) so
+    // negative scores band correctly
+    val band = -floor(col(scoreCol).cast("double") / bucketWidth.toDouble)
+      .cast("long")
+    val withB = docs.withColumn("__b", band)
+    val carryW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = withB.groupBy(col("__b"))
+      .agg(sum(col(costCol)).as("__bt"))
+      .withColumn("__carry", coalesce(sum(col("__bt")).over(carryW), lit(0L)))
+      .select(col("__b"), col("__carry"))
+    val inBand = Window.partitionBy(col("__b"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB.join(broadcast(carries), "__b")
+      .withColumn("cum_cost", col("__carry") + sum(col(costCol)).over(inBand))
+      .filter(col("cum_cost") <= budget)
+      .drop("__b", "__carry")
+  }
 }
 
 /** CLI driver: `runMain graft.pipeline.PipelineDriver <name> <in> <out>`
@@ -225,7 +270,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -263,6 +308,15 @@ object PipelineDriver {
           minDocs = sys.env.getOrElse("SPARK_GRAFT_MINDOCS", "100").toLong)
       case "parakeepfirst" =>
         graft.dedup.Dedup.keepFirstParagraphs(docs, "doc_id", "text")
+      case "budgetselect" =>
+        val toks = TextFunctions.tokens(col("text"))
+        Pipelines.budgetSelect(
+          docs.withColumn("score_e4",
+              floor(graft.feature.Features.linearQualityScore(
+                col("text"), toks) * 10000.0).cast("long"))
+            .withColumn("n_tokens", size(toks).cast("long")),
+          "doc_id", "score_e4", "n_tokens",
+          budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "10000").toLong)
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)

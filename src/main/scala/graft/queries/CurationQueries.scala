@@ -226,6 +226,26 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Budget-constrained selection (Pipelines.budgetSelect): take the
+    // highest-quality docs (q108's fixed-point linear score) until a
+    // 10k-token budget is spent. The corpus-wide running total is the
+    // two-level bucketed prefix sum — per-score-band carry + within-
+    // band window — never a single-partition global window; the
+    // oracle replays it as the plain SQL cumulative it equals.
+    "q126_budget_select" -> ((s, dir) => {
+      val toks = T.tokens(col("text"))
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(Features.linearQualityScore(col("text"), toks) * 10000.0)
+            .cast("long").as("score_e4"),
+          size(toks).cast("long").as("n_tokens"))
+      Pipelines.budgetSelect(scored, "doc_id", "score_e4", "n_tokens",
+          budget = 10000L, bucketWidth = 500L)
+        .select(col("doc_id"), col("score_e4"), col("n_tokens"),
+          col("cum_cost").as("cum_tokens"))
+        .orderBy(col("score_e4").desc, col("doc_id"))
+    }),
+
     // C4 keep-first paragraph dedup (Dedup.keepFirstParagraphs) over
     // the same boilerplate-injected corpus as q122: every repeated
     // paragraph keeps only its first (doc_id, position) occurrence —
@@ -305,6 +325,32 @@ object CurationQueries extends QueryPack {
         |  md5(array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(hl, md5(x))), chr(10))) AS clean_md5
         |FROM docs, hot ORDER BY doc_id""".stripMargin,
+    "q126_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit,
+         |  CAST(len(l) AS BIGINT) AS n_tokens
+         |  FROM t),
+         |scored AS (SELECT doc_id,
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
+         |    AS score_e4, n_tokens FROM f),
+         |cum AS (SELECT doc_id, score_e4, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY score_e4 DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM scored)
+         |SELECT doc_id, score_e4, n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum WHERE cum_tokens <= 10000
+         |ORDER BY score_e4 DESC, doc_id""".stripMargin,
     "q125_c4_keep_first" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -143,4 +143,39 @@ class PipelinesSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 9L))
   }
+
+  test("budgetSelect equals the naive global-window prefix sum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // scores spanning several buckets at width 100, incl. negatives
+    // and within-bucket ties broken by id
+    val rows = (1L to 200L).map(id =>
+      (id, (rnd.nextInt(1200) - 200).toLong, (1 + rnd.nextInt(50)).toLong))
+    val docs = rows.toDF("id", "score", "cost")
+    val budget = 2500L
+
+    val fast = Pipelines.budgetSelect(docs, "id", "score", "cost",
+      budget, bucketWidth = 100L)
+      .select($"id", $"cum_cost").as[(Long, Long)].collect().toMap
+
+    val w = Window.orderBy($"score".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = docs.withColumn("cum", sum($"cost").over(w))
+      .filter($"cum" <= budget)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+
+    assert(fast == naive)
+    assert(fast.nonEmpty && fast.size < rows.size) // budget actually binds
+  }
+
+  test("budgetSelect keeps a row only while the running cost fits") {
+    val docs = Seq(
+      (1L, 30L, 4L), (2L, 20L, 4L), (3L, 10L, 4L)
+    ).toDF("id", "score", "cost")
+    // budget 8: rows 1 and 2 fit (cum 4, 8); row 3 would hit 12
+    val out = Pipelines.budgetSelect(docs, "id", "score", "cost",
+      budget = 8L, bucketWidth = 5L)
+      .select($"id", $"cum_cost").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 8L))
+  }
 }
