@@ -175,9 +175,25 @@ object CurationQueries extends QueryPack {
     // doc), all docs scored by mean bigram NLL in floored millionths.
     // Exact fixed-point — the fit AND the scoring replay in SQL.
     "q119_lm_perplexity" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      graft.text.NgramLm.perplexityScores(d, "doc_id", "text",
-        d.filter(col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 0))
+      lmScores(s, dir).orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail split: per-language perplexity terciles
+    // over the q119 scores (shared fit — the lmScores memo), head =
+    // most target-like. Exact rank terciles (ntile) so the split
+    // replays in SQL; at corpus scale the per-language window sort
+    // becomes broadcast tercile CUTOFFS computed by one aggregate —
+    // same buckets up to ties, no per-language sort (SCALE.md).
+    "q127_ccnet_parts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("nll_e6"), col("doc_id"))
+      lmScores(s, dir)
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("__t", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll_e6"),
+          when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+            .otherwise("tail").as("part"))
         .orderBy(col("doc_id"))
     }),
 
@@ -285,6 +301,20 @@ object CurationQueries extends QueryPack {
         col("lang") === "en", buckets = 4096)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** q119/q127 share the LM fit+scoring pass (perplexityScores
+    * persists its own output — this memo just keeps it to one fit
+    * per sfDir per session).
+    */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def lmScores(s: SparkSession, dir: String): DataFrame =
+    lmCache.computeIfAbsent(dir, _ => {
+      val d = table(s, dir, "documents")
+      graft.text.NgramLm.perplexityScores(d, "doc_id", "text",
+        d.filter(col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 0))
+    })
+
   // ---- oracle SQL ----
 
   private val toks = "string_split(text, ' ')"
@@ -302,6 +332,38 @@ object CurationQueries extends QueryPack {
   private def ngramSql(l: String, n: Int): String =
     s"list_transform(generate_series(1, len($l) - ${n - 1}), " +
       s"i -> array_to_string($l[i:i+${n - 1}], ' '))"
+
+  /** q119's full fit+score CTE chain, ending in
+    * `lmscores(doc_id, n_bigrams, nll_e6)` — shared with q127.
+    */
+  private lazy val lmScoreCtes =
+    s"""tgt AS (SELECT $toks AS tk FROM documents
+       |             WHERE lang = 'en' AND doc_id % 7 = 0),
+       |uni AS (SELECT w, count(*) AS c1
+       |        FROM (SELECT unnest(tk) AS w FROM tgt) GROUP BY w),
+       |bi AS (SELECT g, count(*) AS c12
+       |       FROM (SELECT unnest(${ngramSql("tk", 2)}) AS g FROM tgt)
+       |       GROUP BY g),
+       |tot AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM uni),
+       |st AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS g
+       |       FROM (SELECT doc_id, $toks AS tk FROM documents)),
+       |j AS (SELECT st.doc_id,
+       |        0.9 * (CASE WHEN u1.c1 IS NOT NULL AND u1.c1 > 0
+       |          THEN COALESCE(bi.c12, 0)::DOUBLE / u1.c1 ELSE 0.0 END)
+       |        + (1.0 - 0.9) * (COALESCE(u2.c1, 0) + 1.0)
+       |          / (tot.n_tok + tot.v) AS p
+       |      FROM st
+       |      LEFT JOIN bi ON bi.g = st.g
+       |      LEFT JOIN uni u1 ON u1.w = split_part(st.g, ' ', 1)
+       |      LEFT JOIN uni u2 ON u2.w = split_part(st.g, ' ', 2)
+       |      CROSS JOIN tot),
+       |n AS (SELECT doc_id,
+       |        CAST(floor(-1000000.0 * ln(p)) AS BIGINT) AS nll_e6
+       |      FROM j),
+       |lmscores AS (
+       |  SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+       |    CAST(floor(sum(nll_e6) / count(*)) AS BIGINT) AS nll_e6
+       |  FROM n GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q122_para_dedup" ->
@@ -522,32 +584,20 @@ object CurationQueries extends QueryPack {
         |    AS err_e6
         |FROM qz ORDER BY vec_id""".stripMargin,
     "q119_lm_perplexity" ->
-      s"""WITH tgt AS (SELECT $toks AS tk FROM documents
-         |             WHERE lang = 'en' AND doc_id % 7 = 0),
-         |uni AS (SELECT w, count(*) AS c1
-         |        FROM (SELECT unnest(tk) AS w FROM tgt) GROUP BY w),
-         |bi AS (SELECT g, count(*) AS c12
-         |       FROM (SELECT unnest(${ngramSql("tk", 2)}) AS g FROM tgt)
-         |       GROUP BY g),
-         |tot AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM uni),
-         |st AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS g
-         |       FROM (SELECT doc_id, $toks AS tk FROM documents)),
-         |j AS (SELECT st.doc_id,
-         |        0.9 * (CASE WHEN u1.c1 IS NOT NULL AND u1.c1 > 0
-         |          THEN COALESCE(bi.c12, 0)::DOUBLE / u1.c1 ELSE 0.0 END)
-         |        + (1.0 - 0.9) * (COALESCE(u2.c1, 0) + 1.0)
-         |          / (tot.n_tok + tot.v) AS p
-         |      FROM st
-         |      LEFT JOIN bi ON bi.g = st.g
-         |      LEFT JOIN uni u1 ON u1.w = split_part(st.g, ' ', 1)
-         |      LEFT JOIN uni u2 ON u2.w = split_part(st.g, ' ', 2)
-         |      CROSS JOIN tot),
-         |n AS (SELECT doc_id,
-         |        CAST(floor(-1000000.0 * ln(p)) AS BIGINT) AS nll_e6
-         |      FROM j)
-         |SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
-         |  CAST(floor(sum(nll_e6) / count(*)) AS BIGINT) AS nll_e6
-         |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_bigrams, nll_e6
+         |FROM lmscores ORDER BY doc_id""".stripMargin,
+    "q127_ccnet_parts" ->
+      s"""WITH $lmScoreCtes,
+         |parts AS (
+         |  SELECT sc.doc_id, d.lang, sc.nll_e6,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY sc.nll_e6, sc.doc_id) AS t
+         |  FROM lmscores sc JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, nll_e6,
+         |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS part
+         |FROM parts ORDER BY doc_id""".stripMargin,
     "q116_dsir_scores" ->
       s"""WITH $dsirScoreCtes
          |SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6
