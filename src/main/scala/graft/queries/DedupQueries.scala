@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.io.Tables.table
 import graft.similarity.Ann
+import graft.text.Winnow
 
 /** Deduplication + similarity-search surface (SURVEY.md M11 and the
   * LLM-pipeline extensions): exact dedup, MinHash+LSH, Jaccard
@@ -212,6 +213,32 @@ object DedupQueries extends QueryPack {
       Ann.lshTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 8, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Winnowing (MOSS) fingerprints per document — count/min/max/sum
+    // of the distinct window-min k-gram hashes pin the whole set
+    // order-independently. Pure per-row map: zero shuffle.
+    "q128_winnow_fp" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Winnow.fingerprintsFast(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"),
+          aggregate(col("fps"), lit(0L), _ + _).as("fp_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // Passage-reuse pairs over the dup-injected corpus: the injected
+    // exact copies surface at the top of the n_shared ranking (their
+    // whole df-capped fingerprint set agrees); natural near-dups and
+    // genuine passage reuse ride along, ambient template-phrase
+    // overlap (n_shared 2-7 on this corpus) stays below minShared.
+    "q129_winnow_pairs" -> ((s, dir) => {
+      Winnow.sharedFingerprintPairs(withInjectedDups(s, dir),
+        "doc_id", "text")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -258,6 +285,33 @@ object DedupQueries extends QueryPack {
   private val cosineCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings)""".stripMargin
+
+  /** Winnowing fingerprint CTE chain (k=8, w=4) over a (doc_id,
+    * text) relation `src`: replays graft.text.Winnow.fingerprints —
+    * md5-prefix k-gram hashes, window-of-4 minima via a frame'd
+    * window function (cnt = 4 keeps full windows only), DISTINCT
+    * hash values per doc. Ends with a `wfp(doc_id, h)` relation.
+    */
+  private def winnowCte(src: String): String =
+    s"""wd AS (SELECT doc_id,
+       |        regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |      FROM $src),
+       |wpos AS (
+       |  SELECT doc_id, unnest(range(1, greatest(length(s) - 6, 1))) AS p, s
+       |  FROM wd),
+       |wh AS (
+       |  SELECT doc_id, p,
+       |    CAST(CAST('0x' || substr(md5(substr(s, CAST(p AS INTEGER), 8)), 1, 8)
+       |         AS UBIGINT) AS BIGINT) AS h
+       |  FROM wpos),
+       |wwin AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY p
+       |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+       |  FROM wh),
+       |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q41_dedup_exact" ->
@@ -413,6 +467,32 @@ object DedupQueries extends QueryPack {
          |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q128_winnow_fp" ->
+      s"""WITH ${winnowCte("documents")},
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |         min(h) AS fp_min, max(h) AS fp_max,
+         |         CAST(sum(h) AS BIGINT) AS fp_sum
+         |  FROM wfp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+         |       a.fp_min, a.fp_max, coalesce(a.fp_sum, 0) AS fp_sum
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q129_winnow_pairs" -> {
+      val dupSrc =
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 100000, text FROM documents
+          | WHERE doc_id < 50)""".stripMargin
+      s"""WITH ${winnowCte(dupSrc)},
+         |rare AS (SELECT h FROM wfp GROUP BY h HAVING count(*) <= 16),
+         |pf AS (SELECT f.doc_id, f.h FROM wfp f JOIN rare r USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 8
+         |ORDER BY id_a, id_b""".stripMargin
     }
   )
 }
