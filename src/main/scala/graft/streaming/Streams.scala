@@ -241,6 +241,56 @@ object Streams {
       }
   }
 
+  // ---- stateful streaming passage-reuse detection ----
+
+  case class FpArrival(docId: Long, ts: java.sql.Timestamp, fp: Long)
+  case class FpNovelty(fp: Long, docId: Long, isNew: Boolean, firstId: Long)
+
+  /** Streaming passage-reuse detection — the ingestion twin of
+    * [[graft.text.Winnow.sharedFingerprintPairs]]: arriving documents
+    * are exploded to (docId, ts, fingerprint) rows batch-side
+    * (`explode(Winnow.fingerprintsFast(text))` — a stateless map),
+    * and THIS operator keys by fingerprint and remembers the first
+    * document that carried it. Each arrival is emitted with
+    * `isNew` (fingerprint never seen inside the state horizon) and
+    * `firstId` (the document that introduced it; the arrival's own
+    * id when new). A document whose arrivals are mostly `isNew =
+    * false` is passage-level duplicated; aggregate per docId
+    * downstream (foreachBatch, or a batch pass over the sink).
+    *
+    * State is one (first docId) per fingerprint active inside the
+    * watermark + `idleMs` horizon — the streaming compromise vs the
+    * batch pair join, which sees all history. Idle fingerprints
+    * expire wholesale via the event-time timeout, so state tracks
+    * the recent-passage working set, not the corpus. Deterministic
+    * within a batch: group rows are processed in (ts, docId) order.
+    */
+  def passageNoveltyStream(fps: Dataset[FpArrival], idleMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[FpNovelty] = {
+    import fps.sparkSession.implicits._
+    fps.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, FpNovelty](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (fp: Long, rows: Iterator[FpArrival], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+            var first = state.getOption.getOrElse(-1L)
+            val out = batch.map { d =>
+              val isNew = first == -1L
+              if (isNew) first = d.docId
+              FpNovelty(fp, d.docId, isNew, first)
+            }
+            state.update(first)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + idleMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-static dimension enrichment: join an unbounded stream
     * against a bounded dimension table. Stateless — the static side
     * broadcasts to every task and each micro-batch joins map-side,

@@ -210,6 +210,43 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("passageNoveltyStream: first carrier owns the fingerprint, state expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.FpArrival]
+    val query = Streams.passageNoveltyStream(input.toDS(), idleMs = 60000L,
+      watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("passage_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 1 introduces fingerprints 10/20/30; doc 2 re-carries 10/20
+      // in the same batch (same-batch ordering: earlier ts wins)
+      input.addData(
+        Streams.FpArrival(1L, ts(1), 10L),
+        Streams.FpArrival(1L, ts(1), 20L),
+        Streams.FpArrival(1L, ts(1), 30L),
+        Streams.FpArrival(2L, ts(2), 10L))
+      query.processAllAvailable()
+      input.addData(
+        Streams.FpArrival(3L, ts(4), 20L),
+        Streams.FpArrival(3L, ts(4), 40L))
+      query.processAllAvailable()
+      def byKey = spark.table("passage_test").as[Streams.FpNovelty]
+        .collect().map(n => (n.fp, n.docId) -> ((n.isNew, n.firstId))).toMap
+      assert(byKey((10L, 1L)) == ((true, 1L)))
+      assert(byKey((10L, 2L)) == ((false, 1L))) // same-batch reuse seen
+      assert(byKey((20L, 3L)) == ((false, 1L))) // cross-batch reuse seen
+      assert(byKey((40L, 3L)) == ((true, 3L)))
+      // idle expiry: an arrival far in event time pushes the watermark
+      // past every fingerprint's last-seen + idleMs; once the timeouts
+      // fire, a re-carried fingerprint counts as new again
+      input.addData(Streams.FpArrival(8L, ts(200), 999L))
+      query.processAllAvailable()
+      input.addData(Streams.FpArrival(9L, ts(210), 10L))
+      query.processAllAvailable()
+      assert(byKey((10L, 9L)) == ((true, 9L)))
+    } finally query.stop()
+  }
+
   test("sessionize emits sessions when the watermark passes end + gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
