@@ -162,11 +162,18 @@ object Winnow {
       .select(col(idCol).as("__id"),
         explode(fingerprintsFast(col(textCol), k, w)).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fp.count() // materialize once: three consumers below
+    fp.count() // materialize once: the df aggregate + the semi join
     val rare = fp.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("__h")
+    // persist the PRUNED table, not just fp: both self-join sides read
+    // it, and without its own cache each side would rebuild the df
+    // aggregate + semi join (plan-audited: the broadcast built twice).
+    // fp's cache is released once pruned is materialized.
     val pruned = fp.join(rare, Seq("__h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruned.count()
+    fp.unpersist()
     val a = pruned.select(col("__id").as("id_a"), col("__h").as("__ha"))
     val b = pruned.select(col("__id").as("id_b"), col("__h").as("__hb"))
     val pairs = a.join(b, col("__ha") === col("__hb") && col("id_a") < col("id_b"))
