@@ -32,4 +32,46 @@ object Packing {
       .withColumn("pack_last",
         floor((col("start_off") + col(nTokensCol) - 1) / capacity))
   }
+
+  /** GLOBAL concat-and-chunk packing — the case [[packSpans]]'s
+    * contract forbids (no shard column; ONE corpus-wide stream, the
+    * single-corpus pretraining layout). Same output columns, but the
+    * corpus-wide prefix sum is two-level (the q126 budget-select
+    * shape): rows band by `orderCol` range, per-band token totals
+    * (one small aggregate, one row per band) carry across bands
+    * through a window over band rows only, and the corpus pays one
+    * hashpartitioning exchange on the band id plus a within-band
+    * window. The naive `Window.orderBy(orderCol)` cumulative — which
+    * sorts the whole corpus through ONE task — never appears;
+    * PackingSpec pins exact equality with it and with [[packSpans]]
+    * under a constant shard.
+    *
+    * `orderCol` must be numeric and unique (doc ids); `bandWidth`
+    * slices its value range, so band count tracks id range /
+    * bandWidth — size it to give each band ~10⁵-10⁶ rows at scale.
+    */
+  def packSpansGlobal(df: DataFrame, orderCol: String,
+      nTokensCol: String, capacity: Int,
+      bandWidth: Long = 1000L): DataFrame = {
+    require(capacity > 0 && bandWidth > 0,
+      "capacity and bandWidth must be > 0")
+    val withB = df.withColumn("__b",
+      floor(col(orderCol) / bandWidth.toDouble).cast("long"))
+    val carryW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = withB.groupBy(col("__b"))
+      .agg(sum(col(nTokensCol)).as("__bt"))
+      .withColumn("__carry", coalesce(sum(col("__bt")).over(carryW), lit(0L)))
+      .select(col("__b"), col("__carry"))
+    val inBand = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(carries), "__b")
+      .withColumn("start_off",
+        (col("__carry") + sum(col(nTokensCol)).over(inBand) -
+          col(nTokensCol)).cast("long"))
+      .withColumn("pack_first", floor(col("start_off") / capacity))
+      .withColumn("pack_last",
+        floor((col("start_off") + col(nTokensCol) - 1) / capacity))
+      .drop("__b", "__carry")
+  }
 }

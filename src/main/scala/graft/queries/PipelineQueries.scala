@@ -143,6 +143,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // GLOBAL concat-and-chunk packing (no shard): the corpus-wide
+    // prefix sum runs banded (per-band totals + carry window over
+    // band rows) — the single-task global window never appears.
+    "q130_global_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), size(T.tokens(col("text"))).as("n_toks"))
+      Packing.packSpansGlobal(d, "doc_id", "n_toks", 512)
+        .select(col("doc_id"), col("n_toks"),
+          col("start_off"), col("pack_first"), col("pack_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified class cap: per-lang top-50 by md5
     // hash rank — the scale-safe form of the reference's
     // limit()-based class balancing (a limit is
@@ -294,6 +306,18 @@ object PipelineQueries extends QueryPack {
          |  start_off // 512 AS pack_first,
          |  (start_off + n_toks - 1) // 512 AS pack_last
          |FROM w ORDER BY lang, doc_id""".stripMargin,
+    "q130_global_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len($toks) AS INT) AS n_toks FROM documents),
+         |w AS (SELECT doc_id, n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_toks AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_toks, start_off,
+         |  start_off // 512 AS pack_first,
+         |  (start_off + n_toks - 1) // 512 AS pack_last
+         |FROM w ORDER BY doc_id""".stripMargin,
     "q101_stratified_cap" ->
       """SELECT lang, doc_id, cast(rn as int) AS rn FROM (
         |  SELECT lang, doc_id,

@@ -61,4 +61,62 @@ object Tfidf {
     */
   def idfThreshold(scored: DataFrame, p: Double): Column =
     lit(scored.select(expr(s"percentile_approx(idf, $p)")).first().getDouble(0))
+
+  /** BM25 document ranking for a fixed query-term set (Robertson-
+    * Spärck Jones; the ranking function TF-IDF graduates to):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Per-(doc,term) contributions are floored to integer millionths
+    * BEFORE the per-doc sum (the DSIR fixed-point discipline:
+    * floating addition order never touches the result, and the whole
+    * ranking replays exactly in SQL — q131's oracle mirrors the IEEE
+    * op order of the score expression).
+    *
+    * Scale shape: tokens are filtered to the query's terms INSIDE
+    * the scan (array filter before explode), so the exploded stream,
+    * the (doc,term) aggregate, and everything after are bounded by
+    * |query| · N-matching-docs, not corpus token volume; df and the
+    * (N, Σdl) corpus stats are a |query|-row and a 1-row broadcast.
+    * TWO corpus scans — the corpus-wide (N, Σdl) stats necessarily
+    * see every document, the tf pass only query hits — one bounded
+    * groupBy(doc) shuffle, top-k via ordered limit
+    * (TakeOrderedAndProject — never a global sort).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val d = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).cast("double").as("__sdl"))
+    val qArr = array(queryTerms.map(lit): _*)
+    // persisted: df derives from it and the score join reads it —
+    // without the cache Catalyst re-scans and re-explodes the corpus
+    // for the df aggregate (plan-audited). Bounded by matching docs
+    // × |query| rows, so the cache is small by construction.
+    val tf = d
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__toks"), t => array_contains(qArr, t)))
+          .as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sdl") / col("__n")
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val contrib = floor(lit(1e6) * idf * (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl)))
+    tf.join(broadcast(df), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.as("__st"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__st")).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 }

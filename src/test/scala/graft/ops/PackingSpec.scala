@@ -26,4 +26,53 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(out === Set((1L, 0L, 0L, 0L), (2L, 512L, 1L, 1L)))
   }
+
+  test("packSpansGlobal equals the naive global window and constant-shard packSpans") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // ids deliberately sparse and straddling several bands (width 3)
+    val df = Seq((1L, 300), (2L, 300), (5L, 100), (7L, 512), (11L, 1),
+      (12L, 700), (20L, 64)).toDF("doc_id", "n_toks")
+    val banded = Packing.packSpansGlobal(df, "doc_id", "n_toks", 512,
+      bandWidth = 3L)
+      .select("doc_id", "start_off", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("start_off",
+        (sum(col("n_toks")).over(w) - col("n_toks")).cast("long"))
+      .withColumn("pack_first", floor(col("start_off") / 512))
+      .withColumn("pack_last",
+        floor((col("start_off") + col("n_toks") - 1) / 512))
+      .select("doc_id", "start_off", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(banded === naive)
+    val constShard = Packing.packSpans(df.withColumn("s", lit("x")),
+      "s", "doc_id", "n_toks", 512)
+      .select("doc_id", "start_off", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(banded === constShard)
+  }
+
+  test("packSpansGlobal plans no unpartitioned corpus window") {
+    val df = Seq((1L, 10), (2L, 20), (1001L, 30), (2002L, 40))
+      .toDF("doc_id", "n_toks")
+    val plan = Packing.packSpansGlobal(df, "doc_id", "n_toks", 512)
+      .queryExecution.executedPlan.toString.toLowerCase
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty)
+    // the corpus-row window must be partitioned by the band: every
+    // spec mentioning doc_id (the in-band cumulative) also carries
+    // __b as a partition column; the only band-less spec is the
+    // carry scan, which orders by __b over one-row-per-band input —
+    // a spec ordered by doc_id alone (the naive single-task global
+    // cumulative) must not appear
+    windowSpecs.foreach { spec =>
+      if (spec.contains("doc_id")) assert(spec.contains("__b"),
+        s"unbanded corpus window: $spec")
+      else assert(spec.contains("__b"), s"unexpected window: $spec")
+    }
+  }
 }

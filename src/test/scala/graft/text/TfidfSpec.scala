@@ -31,4 +31,26 @@ class TfidfSpec extends SparkSpec {
     assert(top(1L) == "apple")   // tf=2 × idf(df=1) beats banana
     assert(top(3L) == "cherry")
   }
+
+  test("bm25TopK ranks matches, penalizes length, ignores non-matches") {
+    val docs = Seq(
+      (1L, "hash join hash join vector"), // dense and short
+      (2L, "hash join aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk"),
+      (3L, "no relevant terms at all in this document"),
+      (4L, "vector")
+    ).toDF("doc_id", "text")
+    val q = Seq("hash", "join", "vector")
+    val out = Tfidf.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .as[(Long, Long)].collect()
+    assert(out.head._1 == 1L)
+    assert(!out.map(_._1).contains(3L)) // no query term → no score row
+    val m = out.toMap
+    // same matched terms, lower tf and longer doc → strictly lower
+    assert(m(1L) > m(2L))
+    // partition-count independence: fixed-point integer contributions
+    // make the sum exact, so the ranking cannot wobble with layout
+    val out2 = Tfidf.bm25TopK(docs.repartition(7), "doc_id", "text", q,
+      k = 10).as[(Long, Long)].collect()
+    assert(out.toSeq == out2.toSeq)
+  }
 }
