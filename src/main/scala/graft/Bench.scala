@@ -41,8 +41,17 @@ object Bench {
     // emitting an unparseable line.
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // per-query values: 2-decimal, then trailing zeros stripped
+    // ("0.30"→"0.3", "1.00"→"1") — still valid JSON numbers, and at
+    // 135 queries the saved chars keep the full line inside the
+    // driver's 2000-char stdout capture window.
+    def fq(v: Double): String = {
+      val s = f2(v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    }
     def shortKey(k: String): String = { val i = k.indexOf('_'); if (i > 0) k.substring(0, i) else k }
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.feature.Features
+import graft.feature.{Features, NaiveBayes}
 import graft.io.Tables.table
 import graft.text.TextFunctions
 import graft.topic.Topics
@@ -154,6 +154,22 @@ object MlQueries extends QueryPack {
         table(s, dir, "documents").select(toks.as("toks")), "toks")
         .select(col("word"), norm(col("vector")).as("vnorm"))
         .orderBy(col("word"))
+    }),
+
+    // Multinomial Naive Bayes langid: closed-form train on even
+    // doc_ids, score odd doc_ids. Fixed-point integer log-probs
+    // (floor millionths before any sum) make the whole train+score
+    // pipeline an exact SQL replay — the trainable-classifier
+    // curation step with no rows-only escape hatch.
+    "q132_nb_langid" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val test = d.filter(col("doc_id") % 2 === 1)
+      NaiveBayes.classify(train, test, "doc_id", "toks", "lang")
+        .join(test.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(col("doc_id"), col("pred"), col("score_fx"), col("actual"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -231,6 +247,49 @@ object MlQueries extends QueryPack {
         |  FROM tf JOIN vocab ON tf.term = vocab.term)
         |SELECT did,
         |  did || ' ' || string_agg(wid || ':' || tf, ' ' ORDER BY wid) AS line
-        |FROM dw GROUP BY did ORDER BY did""".stripMargin
+        |FROM dw GROUP BY did ORDER BY did""".stripMargin,
+    // Mirrors NaiveBayes.classify's IEEE op order exactly: every
+    // log-prob floors to integer millionths before the per-doc sum.
+    "q132_nb_langid" ->
+      """WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |tl AS (SELECT l, term, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT lang AS l, unnest(toks) AS term FROM tr)
+        |       GROUP BY l, term),
+        |vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tl),
+        |ls AS (SELECT l, CAST(sum(c) AS DOUBLE) AS tot FROM tl GROUP BY l),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+        |lab AS (SELECT pr.l,
+        |          CAST(floor(1e6 * ln(nl / n)) AS BIGINT) AS prior_fx,
+        |          CAST(floor(1e6 * (ln(1.0) - ln(tot + v))) AS BIGINT)
+        |            AS miss_fx
+        |        FROM (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nl
+        |              FROM tr GROUP BY lang) pr
+        |        JOIN ls USING (l) CROSS JOIN nn CROSS JOIN vv),
+        |delta AS (SELECT term, tl.l,
+        |            CAST(floor(1e6 * (ln(c + 1.0) - ln(tot + v)))
+        |                 AS BIGINT) - miss_fx AS d
+        |          FROM tl JOIN ls ON tl.l = ls.l
+        |          JOIN lab ON tl.l = lab.l CROSS JOIN vv),
+        |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM te)
+        |       WHERE term IN (SELECT term FROM tl)
+        |       GROUP BY doc_id, term),
+        |md AS (SELECT doc_id, sum(cnt) AS m FROM dt GROUP BY doc_id),
+        |sp AS (SELECT doc_id, l, sum(cnt * d) AS ss
+        |       FROM dt JOIN delta USING (term) GROUP BY doc_id, l),
+        |sc AS (SELECT md.doc_id, lab.l,
+        |         prior_fx + m * miss_fx + coalesce(ss, 0) AS score
+        |       FROM md CROSS JOIN lab
+        |       LEFT JOIN sp ON sp.doc_id = md.doc_id AND sp.l = lab.l),
+        |p AS (SELECT doc_id, l AS pred, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, l) AS rk FROM sc)
+        |SELECT p.doc_id, pred, CAST(score AS BIGINT) AS score_fx,
+        |       te.lang AS actual
+        |FROM p JOIN te ON te.doc_id = p.doc_id
+        |WHERE rk = 1 ORDER BY p.doc_id""".stripMargin
   )
 }

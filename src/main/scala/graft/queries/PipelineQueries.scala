@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.Components
 import graft.io.Tables.table
-import graft.ops.Packing
+import graft.ops.{Packing, Snapshots}
 import graft.text.{Redact, TextFunctions => T}
 
 /** LLM-training-pipeline operators beyond the reference's surface:
@@ -31,6 +31,23 @@ object PipelineQueries extends QueryPack {
     lit("@example.com tel "),
     lpad((col("doc_id") % 10000).cast("string"), 3, "0"), lit("-"),
     lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+
+  /** Near-dup components (SimHash pairs → union-find), memoized per
+    * sfDir so q95 and q134 share one contraction + one cache (the
+    * simhashPairs input is itself memoized in DedupQueries).
+    */
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dupComponents(s: SparkSession, dir: String): DataFrame =
+    compCache.computeIfAbsent(dir, _ => {
+      val c = Components.connectedComponents(
+        table(s, dir, "documents").select(col("doc_id")),
+        DedupQueries.simhashPairs(s, dir), "doc_id", "id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Context-window chunking: 64-token windows every 48 tokens
@@ -118,10 +135,7 @@ object PipelineQueries extends QueryPack {
     // propagation, cluster id = min doc_id (the canonical doc a
     // dedup pass would keep).
     "q95_dup_clusters" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = DedupQueries.simhashPairs(s, dir)
-      val comp = Components.connectedComponents(
-        docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+      val comp = dupComponents(s, dir)
       val sizes = comp.groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "comp")
@@ -153,6 +167,40 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("n_toks"),
           col("start_off"), col("pack_first"), col("pack_last"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup-aware corpus split: the split is a pure function of
+    // the doc's dup-cluster id (md5 bucket of cluster_id, 8/1/1), so
+    // near-duplicates can never straddle train/valid/test — the
+    // leakage mode a row-level hash split cannot prevent. Costs one
+    // bucket expression on top of the shared memoized components.
+    "q134_cluster_split" -> ((s, dir) => {
+      val bucket =
+        conv(substring(md5(col("comp").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10
+      dupComponents(s, dir)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental-pipeline primitive: diff two corpus snapshots
+    // (synthesized deterministically from the same table: v1 drops
+    // doc_id%11=0, v2 drops %13=0 and revises %7=0) so downstream
+    // stages re-run on the delta only. Digests computed map-side;
+    // the full-outer shuffle never moves text.
+    "q136_snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      Snapshots.diff(v1, v2, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
     }),
 
     // Deterministic stratified class cap: per-lang top-50 by md5
@@ -294,6 +342,53 @@ object PipelineQueries extends QueryPack {
          |SELECT c.doc_id, c.cluster_id, s.cluster_size
          |FROM comp c JOIN sizes s USING (cluster_id)
          |ORDER BY c.doc_id""".stripMargin,
+    "q134_cluster_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.simhashCte},
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)
+         |   AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |          WHERE bit_count(xor(sa, sb)) <= 20),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |b AS (SELECT doc_id, cluster_id,
+         |        CAST(CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+         |                                 1, 8) AS UBIGINT) % 10 AS BIGINT)
+         |          AS bucket
+         |      FROM comp)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 8 THEN 'train'
+         |       WHEN bucket = 8 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q136_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 11 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN md5(v1.text) = md5(v2.text) THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q96_seq_packing" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |             CAST(len($toks) AS INT) AS n_toks FROM documents),

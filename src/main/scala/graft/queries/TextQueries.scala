@@ -165,6 +165,65 @@ object TextQueries extends QueryPack {
     "q131_bm25" -> ((s, dir) => {
       Tfidf.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Seq("hash", "join", "vector"), k = 20)
+    }),
+
+    // Zipf slope: least-squares fit of ln(freq) on ln(rank) over the
+    // top-100 token frequencies — the corpus-health statistic that
+    // flags synthetic/templated text (natural corpora fit ≈ −1).
+    // Histogram shuffles once (partial agg on token); top-100 is
+    // TakeOrderedAndProject (per-partition top-k); the regression
+    // runs over 100 rows, so the unpartitioned rank window is
+    // k-bounded, never corpus-bounded.
+    "q133_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("token")).limit(100)
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      top.withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("token"))))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(round(slope, 6).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6)
+            .as("intercept"))
+    }),
+
+    // PMI collocations: top-20 bigrams by pointwise mutual
+    // information (support ≥ 5) — the classic collocation detector
+    // for multi-word expressions. PMI floors to integer millionths
+    // (exact ranking, SQL-replayed in IEEE op order). Corpus totals
+    // come from ONE doc-stats scan (Σ len, Σ len−1), never from
+    // re-aggregating the gram tables; the bigram table equi-joins
+    // unigram counts on each word (sort-merge at corpus scale, AQE
+    // broadcast at toy scale).
+    "q135_pmi_bigrams" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val stats = docs.select(size(T.tokens(col("text"))).as("n"))
+        .agg(sum(col("n")).cast("double").as("tu"),
+          sum(col("n") - lit(1)).cast("double").as("tb"))
+      val uni = docs.select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi = docs
+        .select(explode(T.ngramsFast(T.tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val pmi = floor(lit(1e6) * log((col("cxy") / col("tb")) /
+        ((col("cx") / col("tu")) * (col("cy") / col("tu"))))).cast("long")
+      bi.join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+        .crossJoin(broadcast(stats))
+        .select(col("bg").as("bigram"), col("cxy"), pmi.as("pmi_fx"))
+        .orderBy(col("pmi_fx").desc, col("bigram"))
+        .limit(20)
     })
   )
 
@@ -332,6 +391,43 @@ object TextQueries extends QueryPack {
          |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
          |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25
          |FROM sc GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q133_zipf_slope" ->
+      s"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($splitToks) AS token FROM documents)
+         |  GROUP BY token ORDER BY f DESC, token LIMIT 100),
+         |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+         |      FROM f),
+         |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+         |              ln(CAST(f AS DOUBLE)) AS y FROM r),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |             sum(y) AS sy, sum(x * y) AS sxy,
+         |             sum(x * x) AS sxx FROM xy)
+         |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |         AS zipf_slope,
+         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+         |              * sx) / n, 6) AS intercept
+         |FROM a""".stripMargin,
+    "q135_pmi_bigrams" ->
+      s"""WITH t AS (SELECT $splitToks AS toks FROM documents),
+         |st AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS tu,
+         |              CAST(sum(len(toks) - 1) AS DOUBLE) AS tb FROM t),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS cxy
+         |       FROM (SELECT unnest(list_transform(
+         |               generate_series(1, len(toks) - 1),
+         |               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t)
+         |       GROUP BY bg HAVING count(*) >= 5),
+         |j AS (SELECT bg AS bigram, cxy,
+         |        CAST(floor(1e6 * ln((cxy / tb)
+         |               / ((u1.cw / tu) * (u2.cw / tu)))) AS BIGINT)
+         |          AS pmi_fx
+         |      FROM bi
+         |      JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
+         |      JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w
+         |      CROSS JOIN st)
+         |SELECT bigram, cxy, pmi_fx FROM j
+         |ORDER BY pmi_fx DESC, bigram LIMIT 20""".stripMargin
   )
 }

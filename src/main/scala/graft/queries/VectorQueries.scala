@@ -118,6 +118,26 @@ object VectorQueries extends QueryPack {
       Clustering.semDedup(withInjectedDups(s, dir), "vec_id", "embedding",
         nCentroids = 8, tau = 0.95)
         .orderBy(col("vec_id"))
+    }),
+
+    // Hard-negative mining, brute baseline: top-3 most similar
+    // DIFFERENT-label vectors per query (bounded query slice; the
+    // contrastive-training pair generator).
+    "q137_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.hardNegatives(emb, emb.filter(col("vec_id") < 30), "vec_id",
+        "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining, LSH scale path: same contract bucketed
+    // by RHP signature — candidates equi-join on the bucket, never
+    // the cross product; the whole pass (signature included)
+    // replays in SQL.
+    "q138_hard_negatives_lsh" -> ((s, dir) => {
+      Ann.hardNegativesLsh(table(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", planes = 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -163,6 +183,30 @@ object VectorQueries extends QueryPack {
        |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q137_hard_negatives" ->
+      s"""WITH e2 AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "n.v")} AS cos
+         |      FROM e2 q JOIN e2 n ON q.label <> n.label
+         |      WHERE q.vec_id < 30),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q138_hard_negatives_lsh" ->
+      s"""WITH e2 AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, label, v, ${Fragments.rhpSigSql(8, "v")} AS sig
+         |        FROM e2),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        ${cosSql("a.v", "b.v")} AS cos
+         |      FROM sig a JOIN sig b
+         |        ON a.sig = b.sig AND a.label <> b.label),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     "q79_ann_ivf" ->
       s"""WITH $ivfCtes
          |SELECT query_id, neighbor_id, cos, rank

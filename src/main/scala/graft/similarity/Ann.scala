@@ -269,6 +269,65 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining, brute baseline: for each query vector,
+    * the top-k most similar corpus vectors with a DIFFERENT label —
+    * the contrastive-training pair generator (a hard negative is a
+    * near-neighbor from the wrong class). Same shape as
+    * [[cosineTopK]]: queries broadcast, corpus streams, norms
+    * precomputed per row. The id-inequality guard is implied — a
+    * vector never differs in label from itself. Scale path:
+    * [[hardNegativesLsh]].
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+        col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = q.join(c, col("__ql") =!= col("__nl"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Hard-negative mining, LSH scale path: candidates must share an
+    * RHP signature bucket (equi-join — the cross product never
+    * shuffles) AND differ in label; exact cosine + top-k within the
+    * bucketed candidates. Standard LSH recall trade: negatives in
+    * other buckets are missed, which for MINING (vs search) is the
+    * accepted contract — any sufficiently-hard negative collides by
+    * construction.
+    */
+  def hardNegativesLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, planes: Int, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val sig = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      rhpSignature(col(vecCol), planes).as("sig"),
+      norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // materialize once for the two self-join sides
+    val a = sig.select(col("sig"), col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val b = sig.select(col("sig"), col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val scored = a.join(b, "sig")
+      .filter(col("__ql") =!= col("__nl"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Per-vector int8 quantization — the 4× storage compression an
     * embedding store applies before anything ships to an index at
     * corpus scale. Affine per-vector scheme: codes

@@ -340,6 +340,29 @@ object Streams {
       hotDigests: DataFrame, sep: String = "\n"): DataFrame =
     graft.dedup.Dedup.stripParagraphsByDigest(docs, textCol, hotDigests, sep)
 
+  /** Stateless streaming NB classification — the model-apply-at-
+    * ingestion shape. The model is fitted OFFLINE by a batch pass
+    * ([[graft.feature.NaiveBayes.fitCompact]], refit on whatever
+    * cadence drift demands — the boilerplate-hot-set lambda pattern)
+    * and rides the task closure as a bounded broadcast artifact;
+    * every arriving document is tokenized and scored map-side. No
+    * state store, no watermark, no shuffle of the stream. Docs with
+    * zero in-model tokens keep a null `pred` (scorable-coverage is a
+    * monitoring concern, not a drop rule). Scores equal the batch
+    * [[graft.feature.NaiveBayes.classify]] exactly (spec-pinned).
+    */
+  def classifyStream(docs: DataFrame, textCol: String,
+      model: graft.feature.NaiveBayes.CompactModel): DataFrame = {
+    val scoreUdf = udf { (text: String) =>
+      model.score(
+        if (text == null) Seq.empty[String] else text.split(" ", -1).toSeq)
+    }
+    docs.withColumn("__nb", scoreUdf(col(textCol)))
+      .withColumn("pred", col("__nb._1"))
+      .withColumn("score_fx", col("__nb._2"))
+      .drop("__nb")
+  }
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

@@ -89,4 +89,38 @@ class AnnSpec extends SparkSpec {
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     assert(out.toSeq == Seq((1L, 3L, 1.0))) // only the scaled copy
   }
+
+  private def labeled = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (2L, Seq(0.9f, 0.1f, 0.0f), 0),   // same label as 1 — never its negative
+    (3L, Seq(2.0f, 0.0f, 0.0f), 1),   // parallel, other label → hardest
+    (4L, Seq(0.0f, 1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives picks the nearest OTHER-label vector first") {
+    val out = Ann.hardNegatives(labeled,
+      labeled.filter($"vec_id" === 1L), "vec_id", "embedding", "label",
+      k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // same-label near-dup (2) must NOT appear; hardest negative is 3
+    assert(out.map(_._1).toSeq == Seq(3L, 4L))
+  }
+
+  test("hardNegativesLsh returns a subset of brute pairs with equal scores") {
+    val brute = Ann.hardNegatives(labeled, labeled, "vec_id",
+      "embedding", "label", k = 10)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Ann.hardNegativesLsh(labeled, "vec_id", "embedding",
+      "label", planes = 8, k = 10)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) =>
+      assert(brute.get((q, n)).contains(c), s"pair ($q,$n) not in brute")
+    }
+    // co-directional other-label vectors share a bucket: 1↔3 found
+    assert(lsh.exists(r => r._1 == 1L && r._2 == 3L))
+  }
 }

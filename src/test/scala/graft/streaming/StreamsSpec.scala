@@ -474,4 +474,42 @@ class StreamsSpec extends SparkSpec {
       assert(out(11L) == (("clean doc entirely", 1L, 0L)))
     } finally query.stop()
   }
+
+  test("classifyStream scores arriving docs with the offline NB model") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.feature.NaiveBayes
+    val train = Seq(
+      ("en", "the cat sat"), ("en", "the dog sat"),
+      ("fr", "le chat assis"), ("fr", "le chien assis")
+    ).toDF("lang", "text")
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+    val model = NaiveBayes.fitCompact(train, "toks", "lang")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val query = Streams.classifyStream(stream, "text", model)
+      .writeStream.format("memory").queryName("nb_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the cat"), (2L, "le chien chien"), (3L, "zzz unseen"))
+      query.processAllAvailable()
+      val out = spark.table("nb_stream_test")
+        .select(col("doc_id"), col("pred"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(out(1L).contains("en"))
+      assert(out(2L).contains("fr"))
+      assert(out(3L).isEmpty) // no in-model token → null pred, row kept
+      // stateless scoring agrees with the batch classifier
+      val batchPred = NaiveBayes.classify(train,
+        Seq((1L, "the cat"), (2L, "le chien chien"))
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        "doc_id", "toks", "lang")
+        .select(col("doc_id"), col("pred"))
+        .as[(Long, String)].collect().toMap
+      assert(batchPred.view.mapValues(Option(_)).toMap ===
+        out.filter(_._2.nonEmpty))
+    } finally query.stop()
+  }
 }
