@@ -270,7 +270,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -317,6 +317,34 @@ object PipelineDriver {
             .withColumn("n_tokens", size(toks).cast("long")),
           "doc_id", "score_e4", "n_tokens",
           budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "10000").toLong)
+      case "clustersplit" =>
+        // near-dup-aware train/valid/test assignment (q134 shape)
+        val comps = graft.graph.Components.connectedComponents(
+          docs.select(col("doc_id")),
+          graft.dedup.Dedup.simhashNearPairs(
+            docs.select(col("doc_id"),
+              graft.dedup.Dedup.simhash60(
+                TextFunctions.tokens(col("text"))).as("simhash")),
+            "doc_id", "simhash", tables = 2, maxHamming = 20),
+          "doc_id", "id_a", "id_b")
+        val bucket = conv(substring(md5(col("comp").cast("string")), 1, 8),
+          16, 10).cast("long") % 10
+        comps.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test").as("split"))
+      case "nbclassify" =>
+        // fit on even ids, score odd — the q132 contract over any
+        // parquet corpus with (doc_id, lang, text)
+        val d = docs.select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        graft.feature.NaiveBayes.classify(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "toks", "lang")
+      case "snapdiff" =>
+        // second snapshot path via SPARK_GRAFT_IN2
+        val v2 = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_IN2",
+          sys.error("snapdiff needs SPARK_GRAFT_IN2=<v2 path>")))
+        graft.ops.Snapshots.diff(docs, v2, "doc_id", "text")
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)
