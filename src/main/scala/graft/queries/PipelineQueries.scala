@@ -185,6 +185,20 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Semi-supervised label propagation over the near-dup graph:
+    // trusted lang labels (doc_id%3=0 seeds) spread 2 rounds to
+    // unlabeled neighbors — the graph form of confidence relabeling
+    // (M17). Bounded rounds keep it deterministic and SQL-unrollable.
+    "q139_label_prop" -> ((s, dir) => {
+      val nodes = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("lang")).as("lang"))
+      graft.graph.LabelProp.propagate(nodes,
+        DedupQueries.simhashPairs(s, dir),
+        "doc_id", "lang", "id_a", "id_b", rounds = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental-pipeline primitive: diff two corpus snapshots
     // (synthesized deterministically from the same table: v1 drops
     // doc_id%11=0, v2 drops %13=0 and revises %7=0) so downstream
@@ -375,6 +389,44 @@ object PipelineQueries extends QueryPack {
          |       WHEN bucket = 8 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    "q139_label_prop" ->
+      s"""WITH RECURSIVE ${DedupQueries.simhashCte},
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)
+         |   AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sims a JOIN sims b
+         |    ON ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+         |   AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |          WHERE bit_count(xor(sa, sb)) <= 20),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |r0 AS (SELECT doc_id AS id,
+         |         CASE WHEN doc_id % 3 = 0 THEN lang END AS lbl
+         |       FROM documents),
+         |v1 AS (SELECT s.dst, l.lbl, count(*) AS n
+         |       FROM sym s JOIN r0 l ON s.src = l.id
+         |       WHERE l.lbl IS NOT NULL GROUP BY s.dst, l.lbl),
+         |w1 AS (SELECT dst AS id, lbl FROM (
+         |         SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |           ORDER BY n DESC, lbl) AS rk FROM v1) WHERE rk = 1),
+         |r1 AS (SELECT r0.id, coalesce(r0.lbl, w1.lbl) AS lbl
+         |       FROM r0 LEFT JOIN w1 USING (id)),
+         |v2 AS (SELECT s.dst, l.lbl, count(*) AS n
+         |       FROM sym s JOIN r1 l ON s.src = l.id
+         |       WHERE l.lbl IS NOT NULL GROUP BY s.dst, l.lbl),
+         |w2 AS (SELECT dst AS id, lbl FROM (
+         |         SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |           ORDER BY n DESC, lbl) AS rk FROM v2) WHERE rk = 1),
+         |r2 AS (SELECT r1.id, coalesce(r1.lbl, w2.lbl) AS lbl
+         |       FROM r1 LEFT JOIN w2 USING (id))
+         |SELECT id AS doc_id, lbl AS lang FROM r2
+         |ORDER BY doc_id""".stripMargin,
     "q136_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents
         |            WHERE doc_id % 11 <> 0),
