@@ -16,14 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** The (id, digest) reduction of a snapshot — the baseline
+    * artifact the streaming diff joins against (and the only thing
+    * worth persisting between snapshot cycles: ~50 bytes/doc).
+    */
+  def digests(snapshot: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    snapshot.select(col(idCol), md5(col(textCol)).as("digest"))
+
   /** Per-doc status between snapshot `v1` (old) and `v2` (new):
     * `added` (only in v2), `removed` (only in v1), `changed` (both,
     * digest differs), `unchanged`. Output: (idCol, status).
     */
   def diff(v1: DataFrame, v2: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val a = v1.select(col(idCol), md5(col(textCol)).as("__d1"))
-    val b = v2.select(col(idCol), md5(col(textCol)).as("__d2"))
+    val a = digests(v1, idCol, textCol).withColumnRenamed("digest", "__d1")
+    val b = digests(v2, idCol, textCol).withColumnRenamed("digest", "__d2")
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__d1").isNull, "added")

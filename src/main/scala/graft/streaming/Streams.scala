@@ -363,6 +363,28 @@ object Streams {
       .drop("__nb")
   }
 
+  /** Streaming change detection against the last snapshot — CDC at
+    * ingestion, the stream twin of [[graft.ops.Snapshots.diff]].
+    * The baseline is the OFFLINE (id, digest) reduction of the
+    * previous snapshot ([[graft.ops.Snapshots.digests]], ~50
+    * bytes/doc — the lambda-pattern artifact like the boilerplate
+    * hot set and the compact NB model); each arriving doc digests
+    * map-side and left-joins it: `added` (id unseen), `changed`
+    * (digest differs), `unchanged`. Stateless — no state store, no
+    * watermark; `removed` is unobservable on a stream by nature
+    * (absence never arrives) and stays a batch-diff concern.
+    */
+  def snapshotDiffStream(docs: DataFrame, idCol: String, textCol: String,
+      baselineDigests: DataFrame): DataFrame =
+    docs.withColumn("__d2", md5(col(textCol)))
+      .join(baselineDigests
+        .select(col(idCol), col("digest").as("__d1")), Seq(idCol), "left")
+      .withColumn("status",
+        when(col("__d1").isNull, "added")
+          .when(col("__d1") === col("__d2"), "unchanged")
+          .otherwise("changed"))
+      .drop("__d1", "__d2")
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

@@ -475,6 +475,26 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("snapshotDiffStream tags arriving docs as added/changed/unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = graft.ops.Snapshots.digests(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val query = Streams.snapshotDiffStream(stream, "doc_id", "text", baseline)
+      .writeStream.format("memory").queryName("snap_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta CHANGED"), (9L, "new doc"))
+      query.processAllAvailable()
+      val out = spark.table("snap_stream_test")
+        .select(col("doc_id"), col("status"))
+        .as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "unchanged", 2L -> "changed", 9L -> "added"))
+    } finally query.stop()
+  }
+
   test("classifyStream scores arriving docs with the offline NB model") {
     implicit val sqlCtx = spark.sqlContext
     import graft.feature.NaiveBayes
