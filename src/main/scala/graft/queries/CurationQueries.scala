@@ -93,6 +93,36 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality ensemble via banded percent-rank (ops.Ranks): two
+    // fixed-point signals (linear quality score e4, trigram
+    // repetition e4) rank-normalize WITHOUT a corpus-wide window —
+    // value-histogram prefix counts, broadcast re-attach — and blend
+    // as exact integers (repetition inverted: low repetition good).
+    // Rank-normalizing before blending is what makes heterogeneous
+    // scorers commensurable; top-50 by the blended rank.
+    "q140_quality_ensemble" -> ((s, dir) => {
+      val toksC = T.tokens(col("text"))
+      val tg = T.ngramsFast(toksC, 3)
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(Features.linearQualityScore(col("text"), toksC)
+            * 10000.0).cast("long").as("q_e4"),
+          when(size(tg) > 0,
+            floor(lit(1e4) * (lit(1.0) -
+              size(array_distinct(tg)) / size(tg).cast("double"))))
+            .otherwise(lit(0L)).cast("long").as("rep_e4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count() // three consumers (two histograms + final read)
+      val ranked = graft.ops.Ranks.pctRankBanded(
+        graft.ops.Ranks.pctRankBanded(base, "q_e4", "q_pct"),
+        "rep_e4", "rep_pct")
+      ranked.select(col("doc_id"),
+          floor((col("q_pct") + (lit(1000000L) - col("rep_pct")))
+            / lit(2.0)).cast("long").as("ens_fx"))
+        .orderBy(col("ens_fx").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // Temperature-based (α=0.5) language remixing of a 1000-doc
     // budget: per-lang targets ∝ √n, deterministic hash-rank picks.
     "q109_temp_mix" -> ((s, dir) => {
@@ -519,6 +549,51 @@ object CurationQueries extends QueryPack {
          |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
          |    >= 5000 AS q_label
          |FROM f ORDER BY doc_id""".stripMargin,
+    // Mirrors Ranks.pctRankBanded + the ensemble blend in IEEE op
+    // order; the quality-score CTE is q108's verbatim.
+    "q140_quality_ensemble" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
+         |    AS q_e4 FROM f),
+         |r AS (SELECT doc_id, CASE WHEN len(tg) > 0 THEN
+         |        CAST(floor(1e4 * (1.0 - len(list_distinct(tg))
+         |          / CAST(len(tg) AS DOUBLE))) AS BIGINT)
+         |        ELSE 0 END AS rep_e4
+         |      FROM (SELECT doc_id, ${ngramSql("l", 3)} AS tg FROM t)),
+         |b AS (SELECT q.doc_id, q_e4, rep_e4 FROM q JOIN r USING (doc_id)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |h1 AS (SELECT q_e4, CAST(count(*) AS BIGINT) AS c
+         |       FROM b GROUP BY q_e4),
+         |p1 AS (SELECT q_e4, CAST(floor(1e6 * below / n) AS BIGINT)
+         |         AS q_pct FROM
+         |       (SELECT q_e4, CAST(coalesce(sum(c) OVER (ORDER BY q_e4
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS below FROM h1) CROSS JOIN n),
+         |h2 AS (SELECT rep_e4, CAST(count(*) AS BIGINT) AS c
+         |       FROM b GROUP BY rep_e4),
+         |p2 AS (SELECT rep_e4, CAST(floor(1e6 * below / n) AS BIGINT)
+         |         AS rep_pct FROM
+         |       (SELECT rep_e4, CAST(coalesce(sum(c) OVER (ORDER BY rep_e4
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS below FROM h2) CROSS JOIN n)
+         |SELECT b.doc_id,
+         |  CAST(floor((q_pct + (1000000 - rep_pct)) / 2.0) AS BIGINT)
+         |    AS ens_fx
+         |FROM b JOIN p1 USING (q_e4) JOIN p2 USING (rep_e4)
+         |ORDER BY ens_fx DESC, b.doc_id LIMIT 50""".stripMargin,
     "q109_temp_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_total
         |           FROM documents GROUP BY lang),
