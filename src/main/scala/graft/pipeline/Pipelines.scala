@@ -270,7 +270,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -340,6 +340,24 @@ object PipelineDriver {
         graft.feature.NaiveBayes.classify(
           d.filter(col("doc_id") % 2 === 0),
           d.filter(col("doc_id") % 2 === 1), "doc_id", "toks", "lang")
+      case "qualityrank" =>
+        // rank-normalized quality ensemble (q140 shape): attach the
+        // blended percentile to every doc, no corpus-wide window
+        val toks = TextFunctions.tokens(col("text"))
+        val tg = TextFunctions.ngramsFast(toks, 3)
+        val base = docs.select(col("doc_id"), col("text"),
+          floor(graft.feature.Features.linearQualityScore(col("text"), toks)
+            * 10000.0).cast("long").as("q_e4"),
+          when(size(tg) > 0,
+            floor(lit(1e4) * (lit(1.0) -
+              size(array_distinct(tg)) / size(tg).cast("double"))))
+            .otherwise(lit(0L)).cast("long").as("rep_e4"))
+        val ranked = graft.ops.Ranks.pctRankBanded(
+          graft.ops.Ranks.pctRankBanded(base, "q_e4", "q_pct"),
+          "rep_e4", "rep_pct")
+        ranked.withColumn("ens_fx",
+          floor((col("q_pct") + (lit(1000000L) - col("rep_pct")))
+            / lit(2.0)).cast("long"))
       case "snapdiff" =>
         // second snapshot path via SPARK_GRAFT_IN2
         val v2 = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_IN2",
