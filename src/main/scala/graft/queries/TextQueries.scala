@@ -224,6 +224,29 @@ object TextQueries extends QueryPack {
         .select(col("bg").as("bigram"), col("cxy"), pmi.as("pmi_fx"))
         .orderBy(col("pmi_fx").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // Per-paragraph language consistency — mixed-language page
+    // detection (CCNet drops pages whose paragraphs disagree):
+    // paragraph-level langid (the q38 marker kernel, map-side), then
+    // per-doc paragraph count, distinct non-und langs, and the
+    // majority-language share in fixed-point e4. One (doc,lang)
+    // shuffle; everything before it fuses into the scan.
+    "q141_lang_consistency" -> ((s, dir) => {
+      val counts = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("para"))
+        .filter(length(trim(col("para"))) > 0)
+        .select(col("doc_id"), T.langId(T.tokens(col("para"))).as("pl"))
+        .groupBy(col("doc_id"), col("pl")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_paras"),
+          countDistinct(when(col("pl") =!= "und", col("pl")))
+            .as("n_langs"),
+          max(col("c")).as("__maxc"))
+        .select(col("doc_id"), col("n_paras"), col("n_langs"),
+          floor(lit(1e4) * col("__maxc") / col("n_paras")).cast("long")
+            .as("major_share_e4"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -428,6 +451,31 @@ object TextQueries extends QueryPack {
          |      JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w
          |      CROSS JOIN st)
          |SELECT bigram, cxy, pmi_fx FROM j
-         |ORDER BY pmi_fx DESC, bigram LIMIT 20""".stripMargin
+         |ORDER BY pmi_fx DESC, bigram LIMIT 20""".stripMargin,
+    "q141_lang_consistency" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para
+        |           FROM documents WHERE doc_id < 200),
+        |pp AS (SELECT doc_id, string_split(para, ' ') AS toks
+        |       FROM p WHERE length(trim(para)) > 0),
+        |s AS (SELECT doc_id,
+        | len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+        | len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS es,
+        | len(list_filter(toks, x -> list_contains(['le','les','de','et','une','est','dans'], x))) AS fr,
+        | len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de
+        |FROM pp),
+        |l AS (SELECT doc_id,
+        | CASE WHEN en=0 AND es=0 AND fr=0 AND de=0 THEN 'und'
+        |      WHEN en>=es AND en>=fr AND en>=de THEN 'en'
+        |      WHEN es>=fr AND es>=de THEN 'es'
+        |      WHEN fr>=de THEN 'fr'
+        |      ELSE 'de' END AS pl
+        |FROM s),
+        |c AS (SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS c
+        |      FROM l GROUP BY doc_id, pl)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+        |  CAST(count(DISTINCT CASE WHEN pl <> 'und' THEN pl END) AS BIGINT)
+        |    AS n_langs,
+        |  CAST(floor(1e4 * max(c) / sum(c)) AS BIGINT) AS major_share_e4
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
