@@ -55,6 +55,34 @@ class PackingSpec extends SparkSpec {
     assert(banded === constShard)
   }
 
+  test("property: packSpansGlobal equals a scala-side prefix-sum oracle") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      k <- Gen.choose(1, 50)
+      ids <- Gen.listOfN(k, Gen.choose(0L, 5000L)).map(_.distinct)
+      ns <- Gen.listOfN(k, Gen.choose(1, 700))
+      cap <- Gen.choose(64, 1024)
+      bw <- Gen.choose(1L, 500L)
+    } yield (ids.zip(ns), cap, bw)
+    val cases = (0 until 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(23L + i)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (rows, cap, bw) =>
+      val df = rows.toDF("doc_id", "n_toks")
+      val got = Packing.packSpansGlobal(df, "doc_id", "n_toks", cap, bw)
+        .select("doc_id", "start_off", "pack_first", "pack_last")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+      var off = 0L
+      rows.sortBy(_._1).foreach { case (id, n) =>
+        val want = (off, off / cap, (off + n - 1) / cap)
+        assert(got(id) == want, s"id=$id n=$n cap=$cap bw=$bw")
+        off += n
+      }
+    }
+  }
+
   test("packSpansGlobal plans no unpartitioned corpus window") {
     val df = Seq((1L, 10), (2L, 20), (1001L, 30), (2002L, 40))
       .toDF("doc_id", "n_toks")

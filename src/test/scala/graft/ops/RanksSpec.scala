@@ -18,6 +18,30 @@ class RanksSpec extends SparkSpec {
       4L -> f(4)))
   }
 
+  test("property: pctRankBanded equals a scala-side strict-below oracle") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      k <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(k, Gen.choose(-50L, 50L))
+    } yield vs
+    val cases = (0 until 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(11L + i)))
+    assert(cases.nonEmpty)
+    cases.foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = Ranks.pctRankBanded(df, "v", "pct")
+        .select("id", "pct").as[(Long, Long)].collect().toMap
+      val n = vs.size.toLong
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val below = vs.count(_ < v).toLong
+        val want = math.floor(1e6 * below / n).toLong
+        assert(got(i.toLong) == want, s"v=$v below=$below n=$n")
+      }
+    }
+  }
+
   test("pctRankBanded windows over the histogram, attaches by broadcast") {
     val df = spark.range(1000).select(col("id"),
       (col("id") % 7L).as("v"))
