@@ -389,8 +389,14 @@ object PipelineQueries extends QueryPack {
          |       WHEN bucket = 8 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // Plain WITH, deliberately: under WITH RECURSIVE DuckDB does NOT
+    // dedup the UNION inside the (non-recursive) cand CTE, yielding
+    // duplicate edges whose extra votes flip argmaxes at sf0.1 —
+    // q139 has no recursive CTE, and edge multiplicity must match
+    // Spark's distinct pairs. (q95/q134 keep RECURSIVE for reach;
+    // their union-find is multiplicity-insensitive.)
     "q139_label_prop" ->
-      s"""WITH RECURSIVE ${DedupQueries.simhashCte},
+      s"""WITH ${DedupQueries.simhashCte},
          |cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         a.simhash AS sa, b.simhash AS sb

@@ -120,6 +120,29 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Fixed-point Gramian of the embedding column — the Σ xxᵀ input
+    // every offline PCA/whitening/linear-probe fit starts from,
+    // as a pure aggregation: per-row element pairs (upper triangle)
+    // floor to integer millionths BEFORE the sum, so the 64×64
+    // matrix is exact integers (partition-order independent, SQL-
+    // replayable). Map-side partial agg collapses the element-pair
+    // stream to ≤ 2080 keys per partition; the shuffle moves 2080
+    // keys, never N·d² rows. (At extreme d, the per-partition BLAS
+    // Gramian via mapPartitions is the optimization; the aggregate
+    // form is the declarative contract.)
+    "q142_embed_gram" -> ((s, dir) => {
+      table(s, dir, "embeddings")
+        .select(col("embedding").as("v"))
+        .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(floor(lit(1e6) *
+          (col("xi").cast("double") * col("xj").cast("double"))))
+          .as("gram_fx"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Hard-negative mining, brute baseline: top-3 most similar
     // DIFFERENT-label vectors per query (bounded query slice; the
     // contrastive-training pair generator).
@@ -183,6 +206,20 @@ object VectorQueries extends QueryPack {
        |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // generate_series(1, 64): DuckDB table functions reject lateral
+    // len(v) parameters; the embedding dim is fixed at 64 (both SFs).
+    "q142_embed_gram" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |p AS (SELECT i.i - 1 AS i, j.j - 1 AS j,
+        |        CAST(floor(1e6 * (v[i.i] * v[j.j])) AS BIGINT) AS g
+        |      FROM e,
+        |        generate_series(1, 64) AS i(i),
+        |        generate_series(1, 64) AS j(j)
+        |      WHERE j.j >= i.i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |       CAST(sum(g) AS BIGINT) AS gram_fx
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
     "q137_hard_negatives" ->
       s"""WITH e2 AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
