@@ -43,4 +43,20 @@ class EntrySpec extends AnyFunSuite {
     val bad = SparkEntry.queries.keys.filterNot(_.matches("^q\\d+_[a-z0-9_]+$"))
     assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
   }
+
+  test("oracles use WITH RECURSIVE only for actually-recursive CTEs") {
+    // DuckDB skips UNION dedup inside NON-recursive CTEs when the
+    // clause is declared RECURSIVE (found via q139: duplicate edges
+    // flipped a vote argmax at sf0.1 only). Guard: RECURSIVE is
+    // allowed only when the SQL contains a self-referencing CTE —
+    // every recursive oracle here uses the reach(a, b) pattern.
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql)
+          if sql.toUpperCase.contains("WITH RECURSIVE") &&
+            !sql.contains("reach(") =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"non-recursive oracles declared RECURSIVE: ${offenders.mkString(", ")}")
+  }
 }
