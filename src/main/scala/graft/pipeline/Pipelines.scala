@@ -270,7 +270,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank|labelprop> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -340,6 +340,17 @@ object PipelineDriver {
         graft.feature.NaiveBayes.classify(
           d.filter(col("doc_id") % 2 === 0),
           d.filter(col("doc_id") % 2 === 1), "doc_id", "toks", "lang")
+      case "labelprop" =>
+        // spread lang labels across the near-dup graph (q139 shape):
+        // rows with a null/empty lang adopt the 2-hop majority
+        val nodes = docs.select(col("doc_id"),
+          when(length(trim(col("lang"))) > 0, col("lang")).as("lang"))
+        val pairs = Dedup.simhashNearPairs(
+          docs.select(col("doc_id"),
+            Dedup.simhash60(TextFunctions.tokens(col("text"))).as("simhash")),
+          "doc_id", "simhash", tables = 2, maxHamming = 20)
+        graft.graph.LabelProp.propagate(nodes, pairs,
+          "doc_id", "lang", "id_a", "id_b", rounds = 2)
       case "qualityrank" =>
         // rank-normalized quality ensemble (q140 shape): attach the
         // blended percentile to every doc, no corpus-wide window
