@@ -63,6 +63,87 @@ object Multimodal {
     c => f(c)
   }
 
+  // ---- REAL header parsing (no codec required) ----
+  // Container headers are plain byte arithmetic: these parsers work
+  // on genuine files (MultimodalSpec pins golden real-file bytes),
+  // shrinking the stub boundary to pixel/sample DECODE only.
+
+  /** Unsigned byte at 1-based `pos`, as a long expression. */
+  private def u8(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
+
+  /** Big-endian u32 at 1-based `pos` (PNG integers). */
+  private def beU32(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+
+  /** Little-endian u32 / u16 at 1-based `pos` (RIFF integers). */
+  private def leU32(bin: Column, pos: Int): Column =
+    u8(bin, pos) + u8(bin, pos + 1) * 256L +
+      u8(bin, pos + 2) * 65536L + u8(bin, pos + 3) * 16777216L
+  private def leU16(bin: Column, pos: Int): Column =
+    u8(bin, pos) + u8(bin, pos + 1) * 256L
+
+  /** PNG dimensions from the IHDR chunk (spec: 8-byte signature,
+    * 4-byte length, "IHDR", then width/height as big-endian u32 at
+    * byte offsets 17/21 1-based). Null for non-PNG bytes. REAL —
+    * reads any on-spec PNG without decoding a single pixel.
+    */
+  def pngDims(bin: Column): Column =
+    when(mediaFormat(bin) === "png" &&
+        substring(bin, 13, 4) === lit("IHDR".getBytes("US-ASCII")),
+      struct(beU32(bin, 17).as("width"), beU32(bin, 21).as("height")))
+
+  /** WAV stream parameters from the canonical 44-byte RIFF/fmt/data
+    * header: channels (LE u16 @23), sample rate (LE u32 @25), bits
+    * per sample (LE u16 @35), and duration in milliseconds derived
+    * from the data-chunk size (LE u32 @41) over the byte rate
+    * (LE u32 @29). Null for non-WAV bytes. REAL for canonically-laid
+    * PCM files (extensible headers with extra chunks need a chunk
+    * walk — a per-row kernel, same shape).
+    */
+  def wavInfo(bin: Column): Column =
+    when(mediaFormat(bin) === "wav" &&
+        substring(bin, 9, 4) === lit("WAVE".getBytes("US-ASCII")),
+      struct(
+        leU16(bin, 23).as("channels"),
+        leU32(bin, 25).as("sample_rate"),
+        leU16(bin, 35).as("bits"),
+        floor(lit(1000.0) * leU32(bin, 41) / leU32(bin, 29))
+          .cast("long").as("duration_ms")))
+
+  /** Deterministic on-spec header builders — the encode twins of the
+    * parsers (and the test-data synthesizers for q143): real byte
+    * layouts, zero-CRC PNG (parsers don't verify CRCs) and a
+    * zero-data-payload WAV.
+    */
+  def pngHeaderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (w: Long, h: Long) =>
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w.toInt).putInt(h.toInt)
+      bb.put(8: Byte).put(6: Byte).put(0: Byte).put(0: Byte).put(0: Byte)
+      bb.putInt(0) // CRC not validated by header readers
+      bb.array()
+    }
+
+  def wavHeaderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (channels: Long, sampleRate: Long, dataBytes: Long) =>
+      val bits = 16
+      val byteRate = sampleRate * channels * bits / 8
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes.toInt)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1: Short).putShort(channels.toShort)
+      bb.putInt(sampleRate.toInt).putInt(byteRate.toInt)
+      bb.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes.toInt)
+      bb.array()
+    }
+
   /** ---- RESIZE STUB ----
     * Deterministic fake "resize": truncate-or-zero-pad the payload
     * to `targetBytes`. A real implementation rescales pixels; the

@@ -58,6 +58,31 @@ object MediaQueries extends QueryPack {
         .select(col("doc_id"), col("pos").cast("int").as("bin"),
           col("col").as("share"))
         .orderBy(col("doc_id"), col("bin"))
+    }),
+
+    // REAL header parsing round-trip: on-spec PNG/WAV headers built
+    // from doc_id formulas (the encode twins), parsed back by the
+    // pure-byte-math parsers (pngDims / wavInfo — these read genuine
+    // files; MultimodalSpec pins golden real-file bytes). The oracle
+    // computes the formulas directly, so a builder OR parser bug
+    // breaks the match. Shrinks the stub boundary to pixel/sample
+    // decode only.
+    "q143_media_headers" -> ((s, dir) => {
+      val w = col("doc_id") % 512 + 16
+      val h = col("doc_id") % 384 + 16
+      val ch = col("doc_id") % 2 + 1
+      val sr = lit(8000L) + (col("doc_id") % 5) * 1000L
+      val db = (col("doc_id") % 1000 + 1) * 64L
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.pngDims(Multimodal.pngHeaderUdf(w, h)).as("png"),
+          Multimodal.wavInfo(Multimodal.wavHeaderUdf(ch, sr, db)).as("wav"))
+        .select(col("doc_id"),
+          col("png.width").as("width"), col("png.height").as("height"),
+          col("wav.channels").as("channels"),
+          col("wav.sample_rate").as("sample_rate"),
+          col("wav.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -88,6 +113,16 @@ object MediaQueries extends QueryPack {
         |FROM grid g
         |JOIN n ON g.doc_id = n.doc_id
         |LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
-        |ORDER BY g.doc_id, g.bin""".stripMargin
+        |ORDER BY g.doc_id, g.bin""".stripMargin,
+    "q143_media_headers" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 512 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 384 + 16 AS BIGINT) AS height,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(floor(1000.0 * ((doc_id % 1000 + 1) * 64)
+        |       / ((8000 + (doc_id % 5) * 1000) * (doc_id % 2 + 1) * 2))
+        |    AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
   )
 }

@@ -99,4 +99,43 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.extractFeaturesBatched(withEdge, "media_id", "content"))
     assert(perRow == batched)
   }
+
+  test("pngDims / wavInfo parse GOLDEN real-file header bytes") {
+    // a genuine minimal 1×1 RGBA PNG's first 33 bytes (signature +
+    // IHDR with the real CRC 0x1F15C489) — not our builder's output
+    val realPng: Array[Byte] = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1F, 0x15, 0xC4, 0x89
+    ).map(_.toByte)
+    // a genuine canonical 44-byte WAV header: PCM, mono, 8000 Hz,
+    // 16-bit, 16000 data bytes (exactly 1 s)
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 16000)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    bb.putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(16000)
+    val realWav = bb.array()
+
+    val out = Seq((1L, realPng, realWav)).toDF("id", "png", "wav")
+      .select(
+        Multimodal.pngDims(col("png")).as("p"),
+        Multimodal.wavInfo(col("wav")).as("w"))
+      .selectExpr("p.width", "p.height", "w.channels", "w.sample_rate",
+        "w.bits", "w.duration_ms")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((1L, 1L, 1L, 8000L, 16L, 1000L)))
+
+    // non-matching bytes parse to null structs, not garbage
+    val nulls = Seq((1L, "just text".getBytes("UTF-8")))
+      .toDF("id", "b")
+      .select(Multimodal.pngDims(col("b")).isNull.as("p"),
+        Multimodal.wavInfo(col("b")).isNull.as("w"))
+      .as[(Boolean, Boolean)].head()
+    assert(nulls == ((true, true)))
+  }
 }
