@@ -140,4 +140,19 @@ object Features {
     lit(0.2) + lit(0.5) * fLen + lit(0.3) * fWlen +
       lit(0.4) * fStop - lit(0.6) * fDigit
   }
+
+  /** The q140 ensemble's two fixed-point signals in one place
+    * (shared by the query and the qualityrank CLI mode): the e4
+    * linear quality score and the e4 trigram-repetition ratio
+    * (duplicate-trigram share; 0 for docs under 3 tokens).
+    */
+  def qualitySignalsE4(text: Column, toks: Column): (Column, Column) = {
+    val tg = TextFunctions.ngramsFast(toks, 3)
+    val q = floor(linearQualityScore(text, toks) * 10000.0).cast("long")
+    val rep = when(size(tg) > 0,
+      floor(lit(1e4) * (lit(1.0) -
+        size(array_distinct(tg)) / size(tg).cast("double"))))
+      .otherwise(lit(0L)).cast("long")
+    (q, rep)
+  }
 }

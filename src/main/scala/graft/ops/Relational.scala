@@ -146,4 +146,17 @@ object Relational {
           col("frac") * (coalesce(col("hi_v"), col("lo_v")) - col("lo_v")))
           .as(outCol))
   }
+
+  /** Deterministic 8/1/1 train/valid/test assignment from a grouping
+    * key: md5-bucket of the key's string form, so every row sharing
+    * the key (a near-dup cluster id, a user id) lands in the same
+    * split. Shared by q134 and the clustersplit CLI mode.
+    */
+  def hashSplit(key: Column): Column = {
+    val bucket =
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    when(bucket < 8, "train").when(bucket === 8, "valid")
+      .otherwise("test")
+  }
 }

@@ -327,11 +327,8 @@ object PipelineDriver {
                 TextFunctions.tokens(col("text"))).as("simhash")),
             "doc_id", "simhash", tables = 2, maxHamming = 20),
           "doc_id", "id_a", "id_b")
-        val bucket = conv(substring(md5(col("comp").cast("string")), 1, 8),
-          16, 10).cast("long") % 10
         comps.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-          when(bucket < 8, "train").when(bucket === 8, "valid")
-            .otherwise("test").as("split"))
+          Relational.hashSplit(col("comp")).as("split"))
       case "nbclassify" =>
         // fit on even ids, score odd — the q132 contract over any
         // parquet corpus with (doc_id, lang, text)
@@ -354,15 +351,10 @@ object PipelineDriver {
       case "qualityrank" =>
         // rank-normalized quality ensemble (q140 shape): attach the
         // blended percentile to every doc, no corpus-wide window
-        val toks = TextFunctions.tokens(col("text"))
-        val tg = TextFunctions.ngramsFast(toks, 3)
+        val (qE4, repE4) = graft.feature.Features.qualitySignalsE4(
+          col("text"), TextFunctions.tokens(col("text")))
         val base = docs.select(col("doc_id"), col("text"),
-          floor(graft.feature.Features.linearQualityScore(col("text"), toks)
-            * 10000.0).cast("long").as("q_e4"),
-          when(size(tg) > 0,
-            floor(lit(1e4) * (lit(1.0) -
-              size(array_distinct(tg)) / size(tg).cast("double"))))
-            .otherwise(lit(0L)).cast("long").as("rep_e4"))
+          qE4.as("q_e4"), repE4.as("rep_e4"))
         val ranked = graft.ops.Ranks.pctRankBanded(
           graft.ops.Ranks.pctRankBanded(base, "q_e4", "q_pct"),
           "rep_e4", "rep_pct")

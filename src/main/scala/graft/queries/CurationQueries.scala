@@ -101,16 +101,10 @@ object CurationQueries extends QueryPack {
     // Rank-normalizing before blending is what makes heterogeneous
     // scorers commensurable; top-50 by the blended rank.
     "q140_quality_ensemble" -> ((s, dir) => {
-      val toksC = T.tokens(col("text"))
-      val tg = T.ngramsFast(toksC, 3)
+      val (qE4, repE4) =
+        Features.qualitySignalsE4(col("text"), T.tokens(col("text")))
       val base = table(s, dir, "documents")
-        .select(col("doc_id"),
-          floor(Features.linearQualityScore(col("text"), toksC)
-            * 10000.0).cast("long").as("q_e4"),
-          when(size(tg) > 0,
-            floor(lit(1e4) * (lit(1.0) -
-              size(array_distinct(tg)) / size(tg).cast("double"))))
-            .otherwise(lit(0L)).cast("long").as("rep_e4"))
+        .select(col("doc_id"), qE4.as("q_e4"), repE4.as("rep_e4"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       base.count() // three consumers (two histograms + final read)
       val ranked = graft.ops.Ranks.pctRankBanded(

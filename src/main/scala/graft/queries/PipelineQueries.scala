@@ -175,13 +175,9 @@ object PipelineQueries extends QueryPack {
     // leakage mode a row-level hash split cannot prevent. Costs one
     // bucket expression on top of the shared memoized components.
     "q134_cluster_split" -> ((s, dir) => {
-      val bucket =
-        conv(substring(md5(col("comp").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 10
       dupComponents(s, dir)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-          when(bucket < 8, "train").when(bucket === 8, "valid")
-            .otherwise("test").as("split"))
+          graft.ops.Relational.hashSplit(col("comp")).as("split"))
         .orderBy(col("doc_id"))
     }),
 
