@@ -299,15 +299,33 @@ object Dedup {
     * [[lshCandidates]].
     */
   def simhashNearPairs(df: DataFrame, idCol: String, simCol: String,
-      tables: Int = 2, maxHamming: Int = 20): DataFrame = {
-    require(tables >= 1 && tables <= 4, "1..4 fifteen-bit tables fit 60 bits")
-    // persisted: every table's self-join reads (id, simhash)
+      tables: Int = 2, maxHamming: Int = 20): DataFrame =
+    bandedHammingPairs(df, idCol, simCol, totalBits = 60, width = 15,
+      tables = tables, maxHamming = maxHamming)
+
+  /** Generalized multi-table Hamming bucketing over any fixed-width
+    * hash column (simhash, image perceptual hash, …): window t is
+    * the `width`-bit slice at bits
+    * [totalBits - width*(t+1), totalBits - width*t). Recall is total
+    * for Hamming distance < `tables` (pigeonhole: fewer differing
+    * bits than windows means one window is clean) — callers wanting
+    * a guaranteed-exact result set `maxHamming <= tables - 1`, which
+    * is how q145 keeps an all-pairs oracle honest. Same scale shape
+    * as [[simhashNearPairs]]: per-table equi-joins on the bucket
+    * key; the all-pairs product never materializes.
+    */
+  def bandedHammingPairs(df: DataFrame, idCol: String, simCol: String,
+      totalBits: Int, width: Int, tables: Int,
+      maxHamming: Int): DataFrame = {
+    require(tables >= 1 && width * tables <= totalBits,
+      s"$tables ${width}-bit tables must fit $totalBits bits")
+    // persisted: every table's self-join reads (id, hash)
     val sims = df.select(col(idCol), col(simCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sims.count()
     val perTable = (0 until tables).map { t =>
-      val bucket = shiftright(col(simCol), 45 - 15 * t)
-        .bitwiseAND(lit(0x7FFFL))
+      val bucket = shiftright(col(simCol), totalBits - width * (t + 1))
+        .bitwiseAND(lit((1L << width) - 1))
       val keyed = sims.withColumn("__bucket", bucket)
       val a = keyed.select(col("__bucket"), col(idCol).as("id_a"),
         col(simCol).as("sim_a"))

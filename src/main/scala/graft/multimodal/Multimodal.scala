@@ -144,6 +144,107 @@ object Multimodal {
       bb.array()
     }
 
+  // ---- REAL pixel codec (JDK javax.imageio — no external libs) ----
+  // The decode boundary q143 left stubbed is closed for 8-bit
+  // grayscale PNG: encode writes a genuine zlib-compressed PNG
+  // (real IDAT, real CRCs — any reader opens it), decode reads
+  // pixels back through the JDK's PNG plugin. Lossless round-trip
+  // (8-bit gray has no chroma subsampling), pinned by
+  // MultimodalSpec. Remaining stubs: lossy codecs (JPEG) and audio
+  // samples only.
+
+  /** Row-major gray pixels (0-255) → real PNG bytes. */
+  private[graft] def encodeGrayPng(pixels: Array[Int], w: Int,
+      h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < w * h) { r.setSample(i % w, i / w, 0, pixels(i)); i += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Real PNG decode → row-major gray pixels; null for undecodable. */
+  private[graft] def decodeGrayPng(png: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    if (img == null) null
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) { out(i) = r.getSample(i % w, i / w, 0); i += 1 }
+      out
+    }
+  }
+
+  /** 56-bit perceptual difference hash (dHash) of a gray image:
+    * integer area-average onto a 9-wide × 7-tall grid (w, h must
+    * divide evenly — the decode stage resizes to a canonical size
+    * first), then one bit per horizontally-adjacent mean pair,
+    * bit (row*8+col) set iff mean(col+1) > mean(col). 56 bits keeps
+    * the hash a positive BIGINT on every SQL engine (the
+    * [[graft.expressions.SimHash60]] convention), and integer-only
+    * arithmetic makes it exactly replayable: near-duplicate images
+    * differ in a few bits, so the SimHash multi-table bucketing
+    * ([[graft.dedup.Dedup.bandedHammingPairs]]) applies unchanged.
+    */
+  private[graft] def dHash56(pixels: Array[Int], w: Int, h: Int): Long = {
+    val (gc, gr) = (9, 7)
+    require(w % gc == 0 && h % gr == 0,
+      s"dHash56 needs dims divisible by ${gc}x$gr, got ${w}x$h")
+    val (cw, ch) = (w / gc, h / gr)
+    val means = new Array[Int](gc * gr) // floor(sum / cellArea)
+    var by = 0
+    while (by < gr) {
+      var bx = 0
+      while (bx < gc) {
+        var s = 0; var y = by * ch
+        while (y < (by + 1) * ch) {
+          var x = bx * cw
+          while (x < (bx + 1) * cw) { s += pixels(y * w + x); x += 1 }
+          y += 1
+        }
+        means(by * gc + bx) = s / (cw * ch)
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L; var r2 = 0
+    while (r2 < gr) {
+      var c = 0
+      while (c < gc - 1) {
+        if (means(r2 * gc + c + 1) > means(r2 * gc + c))
+          hash |= 1L << (r2 * 8 + c)
+        c += 1
+      }
+      r2 += 1
+    }
+    hash
+  }
+
+  /** UDF: pixel array column + dims → real PNG binary. */
+  def pngEncodeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (pixels: Seq[Int], w: Int, h: Int) =>
+      encodeGrayPng(pixels.toArray, w, h)
+    }
+
+  /** UDF: PNG binary → row-major gray pixel array (real decode). */
+  def pngDecodeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (png: Array[Byte]) =>
+      val p = decodeGrayPng(png)
+      if (p == null) null else p.toSeq
+    }
+
+  /** UDF: decoded pixels + dims → 56-bit perceptual hash. */
+  def dHash56Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (pixels: Seq[Int], w: Int, h: Int) =>
+      dHash56(pixels.toArray, w, h)
+    }
+
   /** ---- RESIZE STUB ----
     * Deterministic fake "resize": truncate-or-zero-pad the payload
     * to `targetBytes`. A real implementation rescales pixels; the

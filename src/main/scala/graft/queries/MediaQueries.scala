@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.io.Tables.table
 import graft.multimodal.Multimodal
 
@@ -83,8 +84,65 @@ object MediaQueries extends QueryPack {
           col("wav.sample_rate").as("sample_rate"),
           col("wav.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL pixel decode: deterministic 36x28 gray images (pixel
+    // formula below), encoded as genuine zlib-compressed PNGs
+    // (javax.imageio), decoded BACK through the real PNG reader,
+    // then 56-bit perceptual dHash over integer 4x4 block means.
+    // Groups of 5 docs share a base image; variants v=1..4 flip
+    // ~10 sparse pixels, so in-group hashes differ by a few bits.
+    // The oracle replays the formula + block means + bits in SQL —
+    // a bug in the encoder, the decoder, OR the hash breaks the
+    // match. Closes the q143 stub boundary for lossless images.
+    "q144_image_phash" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), phashExpr.as("phash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual near-dup pairs: 4 x 14-bit band bucketing over the
+    // 56-bit dHash (Dedup.bandedHammingPairs) at maxHamming=3 —
+    // recall is TOTAL for distance < tables (pigeonhole), so the
+    // bucketed plan must equal the oracle's all-pairs scan exactly.
+    // At scale the band equi-join shuffles (band, 8-byte hash, id)
+    // rows; the 19900-pair cross product never materializes.
+    "q145_image_phash_pairs" -> ((s, dir) => {
+      val hashes = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), phashExpr.as("phash"))
+      Dedup.bandedHammingPairs(hashes, "doc_id", "phash",
+        totalBits = 56, width = 14, tables = 4, maxHamming = 3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  // Deterministic test-image formula (W=36, H=28; 9x7 grid of 4x4
+  // cells): base image keyed by the doc's group of 5, plus a sparse
+  // per-variant perturbation. Integer-only so DuckDB replays it
+  // bit-for-bit.
+  private val (imgW, imgH) = (36, 28)
+
+  private def phashExpr: Column = {
+    val base = col("doc_id") - col("doc_id") % 5
+    val v = col("doc_id") % 5
+    val pixels = transform(sequence(lit(0), lit(imgW * imgH - 1)), i => {
+      val x = i % imgW
+      val y = floor(i / imgW).cast("int")
+      // base enters the x/y GRADIENTS (not just brightness): a pure
+      // offset would leave adjacent-mean differences — and thus the
+      // dHash — identical across groups.
+      val g = (x * (lit(3) + base % 11) + y * (lit(5) + base % 13) +
+        ((x * y + base) % 17) * 15) % 256
+      when(v > 0 && (x + y * imgW + v * 13) % 101 === 0,
+        (g + 128) % 256).otherwise(g).cast("int")
+    })
+    Multimodal.dHash56Udf(
+      Multimodal.pngDecodeGrayUdf(
+        Multimodal.pngEncodeGrayUdf(pixels, lit(imgW), lit(imgH))),
+      lit(imgW), lit(imgH))
+  }
 
   def oracles: Map[String, String] = Map(
     "q71_media_metadata" ->
@@ -123,6 +181,49 @@ object MediaQueries extends QueryPack {
         |  CAST(floor(1000.0 * ((doc_id % 1000 + 1) * 64)
         |       / ((8000 + (doc_id % 5) * 1000) * (doc_id % 2 + 1) * 2))
         |    AS BIGINT) AS duration_ms
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q144_image_phash" ->
+      s"""WITH $phashCte
+         |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
+    "q145_image_phash_pairs" ->
+      s"""WITH $phashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  cast(bit_count(xor(a.phash, b.phash)) as int) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  // Replays the q144 image formula + integer block means + dHash
+  // bits entirely in SQL: decode(encode(x)) == x for lossless
+  // 8-bit-gray PNG, so the oracle needs no codec — it recomputes
+  // what the real decode must return.
+  private val phashCte: String =
+    """px AS (
+      |  SELECT d.doc_id, d.doc_id - d.doc_id % 5 AS base,
+      |         d.doc_id % 5 AS v, x.range AS x, y.range AS y
+      |  FROM documents d, range(0, 36) x, range(0, 28) y
+      |  WHERE d.doc_id < 200),
+      |g AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN v > 0 AND (x + y*36 + v*13) % 101 = 0
+      |      THEN ((x*(3 + base % 11) + y*(5 + base % 13)
+      |             + ((x*y + base) % 17) * 15) % 256 + 128) % 256
+      |      ELSE (x*(3 + base % 11) + y*(5 + base % 13)
+      |            + ((x*y + base) % 17) * 15) % 256 END AS gray
+      |  FROM px),
+      |blocks AS (
+      |  SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+      |         cast(sum(gray) // 16 AS BIGINT) AS m
+      |  FROM g GROUP BY doc_id, x // 4, y // 4),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN b.m > a.m THEN 1::BIGINT << (a.by*8 + a.bx)
+      |         ELSE 0 END AS s
+      |  FROM blocks a JOIN blocks b
+      |    ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8),
+      |h AS (
+      |  SELECT doc_id, cast(sum(s) AS BIGINT) AS phash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 }

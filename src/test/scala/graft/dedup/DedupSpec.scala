@@ -128,6 +128,46 @@ class DedupSpec extends SparkSpec {
     assert(pairs(2) == Set((1L, 2L)))    // second window recovers it
   }
 
+  test("bandedHammingPairs: total recall below `tables` (pigeonhole)") {
+    // 56-bit hashes, 4 x 14-bit windows: every pair at hamming <= 3
+    // MUST surface, whichever bits differ. Property-style sweep:
+    // derive neighbors from a base by flipping 1..3 arbitrary bits
+    // (including adversarial all-in-one-window placements).
+    val base = 0x00ABCDEF9876543L & ((1L << 56) - 1)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 30).map { id =>
+      val flips = rnd.nextInt(3) + 1
+      var h = base
+      (1 to flips).foreach(_ => h ^= 1L << rnd.nextInt(56))
+      (id.toLong, h)
+    } :+ (99L, base)
+    val df = rows.toDF("id", "hash")
+    val got = Dedup.bandedHammingPairs(df, "id", "hash",
+      totalBits = 56, width = 14, tables = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("simhashNearPairs delegation preserves the 60-bit windows") {
+    // same fixture as the multi-table test: behavior must be
+    // unchanged after the bandedHammingPairs refactor
+    val x = 0x0ABCDEF012345L
+    val y = x ^ (1L << 50) ^ (1L << 55)
+    val sims = Seq((1L, x), (2L, y)).toDF("id", "sim")
+    val direct = Dedup.bandedHammingPairs(sims, "id", "sim",
+      totalBits = 60, width = 15, tables = 2, maxHamming = 5)
+      .collect().toSeq
+    val legacy = Dedup.simhashNearPairs(sims, "id", "sim", tables = 2,
+      maxHamming = 5).collect().toSeq
+    assert(direct == legacy)
+  }
+
   test("simhash native expression equals the UDF reference kernel") {
     val toks = graft.text.TextFunctions.tokens($"text")
     val both = docs.select(

@@ -138,4 +138,61 @@ class MultimodalSpec extends SparkSpec {
       .as[(Boolean, Boolean)].head()
     assert(nulls == ((true, true)))
   }
+
+  test("real PNG codec round-trip is lossless (and a real PNG)") {
+    val w = 36; val h = 28
+    val pixels = Array.tabulate(w * h)(i => (i * 7 + 3) % 256)
+    val png = Multimodal.encodeGrayPng(pixels, w, h)
+    // genuinely a PNG: signature + parsable IHDR via the pure-byte
+    // header parser (which validates any on-spec file)
+    val dims = Seq(Tuple1(png)).toDF("b")
+      .select(Multimodal.pngDims(col("b")).as("d"))
+      .selectExpr("d.width", "d.height").as[(Long, Long)].head()
+    assert(dims == ((w.toLong, h.toLong)))
+    // losslessly decodable back to the exact pixels
+    assert(Multimodal.decodeGrayPng(png).toSeq == pixels.toSeq)
+    // and compressed: zlib'd IDAT of a linear ramp beats raw size
+    assert(png.length < w * h)
+  }
+
+  test("dHash56 golden value + invariances on tiny fixtures") {
+    val w = 9; val h = 7 // 1x1 cells: means are the pixels themselves
+    // row pattern alternating up/down: bit c set iff px(c+1) > px(c)
+    val row = Array(10, 20, 5, 30, 30, 40, 2, 9, 1)
+    val pixels = Array.tabulate(w * h)(i => row(i % w))
+    // per row bits: 1,0,1,0,1,0,1,0 -> 0x55 in each of 7 rows
+    val expect = (0 until 7).map(r => 0x55L << (r * 8)).reduce(_ | _)
+    assert(Multimodal.dHash56(pixels, w, h) == expect)
+    // uniform brightness shift leaves the hash unchanged
+    val shifted = pixels.map(p => p + 50)
+    assert(Multimodal.dHash56(shifted, w, h) == expect)
+    // hash is 56-bit: never negative, never uses bits 56+
+    assert((expect & ~((1L << 56) - 1)) == 0L)
+    // block averaging: 36x28 image of 4x4-constant cells equals the
+    // 9x7 image of those cell values
+    val big = Array.tabulate(36 * 28) { i =>
+      val x = i % 36; val y = i / 36
+      row(x / 4) + (y / 4) // slight per-row drift
+    }
+    val small = Array.tabulate(9 * 7) { i => row(i % 9) + (i / 9) }
+    assert(Multimodal.dHash56(big, 36, 28) ==
+      Multimodal.dHash56(small, 9, 7))
+  }
+
+  test("encode→decode→dHash pipeline matches direct dHash (UDF path)") {
+    val w = 36; val h = 28
+    val df = spark.range(6).select(col("id"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(w * h - 1)),
+        i => ((i * 13 + col("id") * 31 + (i % 17) * 9) % 256).cast("int"))
+        .as("px"))
+    val viaPng = df.select(col("id"), Multimodal.dHash56Udf(
+      Multimodal.pngDecodeGrayUdf(
+        Multimodal.pngEncodeGrayUdf(col("px"), lit(w), lit(h))),
+      lit(w), lit(h)).as("hash"))
+    val direct = df.select(col("id"),
+      Multimodal.dHash56Udf(col("px"), lit(w), lit(h)).as("hash"))
+    assert(viaPng.collect().toSeq.sortBy(_.getLong(0)) ==
+      direct.collect().toSeq.sortBy(_.getLong(0)))
+  }
 }
