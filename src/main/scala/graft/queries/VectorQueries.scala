@@ -99,13 +99,19 @@ object VectorQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
-    // Embedding domain clustering (similarity.Clustering): seeded
-    // k-means cluster-size histogram — the domain-mixing input when
-    // no explicit domain labels exist (SemDeDup/DoReMi shape).
-    // Rows-only: a seeded fit, like LDA/Word2Vec.
+    // Embedding domain clustering: cluster-size histogram — the
+    // domain-mixing input when no explicit domain labels exist
+    // (SemDeDup/DoReMi shape). Runs the deterministic exact-integer
+    // Lloyd twin (Clustering.lloydAssign: IVF-convention init, 2
+    // centroid updates, all-integer arithmetic) so the whole
+    // clustering replays as a SQL oracle; the seeded mllib fit
+    // (kmeansAssign) stays the production path, spec-covered on
+    // separable fixtures.
     "q120_embed_clusters" -> ((s, dir) => {
-      Clustering.clusterSizes(table(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8)
+      Clustering.lloydAssign(table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
     }),
 
     // SemDeDup (Clustering.semDedup): cluster first (8 deterministic
@@ -205,7 +211,42 @@ object VectorQueries extends QueryPack {
        |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)""".stripMargin
 
+  /** Exact-integer Lloyd replay (q120): one quantization, then pure
+    * integer assign/update rounds — `//` truncates like Spark's
+    * `div`, so no float boundary exists. Dim fixed at 64 (both SFs;
+    * DuckDB range() rejects lateral len() args).
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    def assign(n: Int, c: String) =
+      s"""a$n AS (SELECT q.id, $c.cid AS cluster, q.qv,
+         |  cast(list_sum(list_transform(range(1, 65),
+         |    i -> (q.qv[i] - $c.cq[i]) * (q.qv[i] - $c.cq[i])))
+         |    AS BIGINT) AS d
+         |FROM q CROSS JOIN $c
+         |QUALIFY row_number() OVER (PARTITION BY q.id
+         |  ORDER BY d, $c.cid) = 1)""".stripMargin
+    def update(n: Int) =
+      s"""c$n AS (SELECT cluster AS cid, list(m ORDER BY pos) AS cq
+         |FROM (SELECT cluster, i.range AS pos,
+         |        cast(sum(qv[i.range]) AS BIGINT) // count(*) AS m
+         |      FROM a$n CROSS JOIN range(1, 65) i
+         |      GROUP BY cluster, i.range)
+         |GROUP BY cluster)""".stripMargin
+    val rounds = (1 to iters).map(n => s"${assign(n, s"c${n - 1}")},\n${update(n)}")
+    (s"""q AS (SELECT vec_id AS id,
+        |  list_transform(embedding,
+        |    x -> cast(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+        |FROM embeddings),
+        |c0 AS (SELECT cast(id AS INT) AS cid, qv AS cq FROM q
+        |       WHERE id < $k)""".stripMargin
+      +: rounds :+ assign(iters + 1, s"c$iters")).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q120_embed_clusters" ->
+      s"""WITH ${lloydCtes(k = 8, iters = 2)}
+         |SELECT cluster, cast(count(*) AS BIGINT) AS n
+         |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin,
     // generate_series(1, 64): DuckDB table functions reject lateral
     // len(v) parameters; the embedding dim is fixed at 64 (both SFs).
     "q142_embed_gram" ->

@@ -44,6 +44,74 @@ object Clustering {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .orderBy(col("cluster"))
 
+  /** Deterministic exact-integer Lloyd k-means — the SQL-replayable
+    * twin of [[kmeansAssign]] (which stays the mllib production path
+    * for seeded fits at scale). Initial centroids follow the IVF
+    * convention (first `k` vectors by id, [[graft.similarity.Ann]]);
+    * `iters` centroid updates are applied, then points get their
+    * final assignment.
+    *
+    * Every arithmetic step after the one quantization
+    * (`floor(v * quantScale)` per element — a single deterministic
+    * IEEE double multiply) is EXACT integer math: squared-distance
+    * sums of longs, truncating `div` centroid means (Spark `div` and
+    * DuckDB `//` both truncate toward zero), and (distance, cent_id)
+    * argmin tie-breaks. No rounding boundary exists for engines to
+    * disagree on, which is what lets q120 carry a full hash oracle
+    * where the seeded fit could not.
+    *
+    * Scale shape: the k×dim centroid table is broadcast each round
+    * (a Lloyd iteration IS a broadcast join + argmin + re-aggregate);
+    * points stream map-side, the only shuffles are the k×dim-bounded
+    * centroid aggregates, and nothing but k centroids ever sits on
+    * the driver. Same plan mllib's KMeans produces per iteration.
+    */
+  def lloydAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2, quantScale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(embeddings.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"lloydAssign needs a numeric id column, got $idCol")
+    val pts = embeddings.select(col(idCol).as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quantScale).cast("long")).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    val init = pts.filter(col("__id") < k)
+      .select(col("__id").cast("int").as("__cid"), col("__qv").as("__cq"))
+    require(init.count() == k,
+      s"IVF-convention init needs ids 0..${k - 1} present")
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__dist"), col("__cid"))
+      pts.crossJoin(broadcast(c))
+        .withColumn("__dist",
+          aggregate(zip_with(col("__qv"), col("__cq"),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("__id"), col("__cid").as("cluster"), col("__qv"))
+    }
+    var cents = init
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("__qv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__m", expr("__s div __n"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("__m")))),
+          s => s.getField("__m")).as("__cq"))
+        .select(col("cluster").as("__cid"), col("__cq"))
+    }
+    val out = assign(cents).select(col("__id").as(idCol), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before releasing the point cache
+    pts.unpersist(blocking = false)
+    out
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by
     * clustering first, then comparing cosines only WITHIN each
     * cluster — the clustering bounds the all-pairs product at N²/k
@@ -66,9 +134,19 @@ object Clustering {
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, tau: Double, roundTo: Int = 6): DataFrame = {
     import graft.similarity.{Ann => A}
-    val cents = broadcast(embeddings.filter(col(idCol) < nCentroids)
+    // The `id < nCentroids` IVF convention silently assumes dense
+    // numeric ids from 0: a string id would string-compare, sparse
+    // ids would select too few centroids and leave null clusters.
+    // Fail loudly instead (the centroid count() is one tiny job).
+    require(embeddings.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"semDedup needs a numeric id column, got $idCol")
+    val centRows = embeddings.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
-        A.norm(col(vecCol)).as("cn")))
+        A.norm(col(vecCol)).as("cn"))
+    require(centRows.count() == nCentroids,
+      s"IVF-convention centroids need ids 0..${nCentroids - 1} present")
+    val cents = broadcast(centRows)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
     val assigned = embeddings

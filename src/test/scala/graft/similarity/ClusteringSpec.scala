@@ -28,6 +28,47 @@ class ClusteringSpec extends SparkSpec {
     assert(r == run())
   }
 
+  test("lloydAssign separates blobs and is exactly deterministic") {
+    // ids 0 and 1 must live in different blobs for the IVF-style
+    // init (first k by id) to see both: remap one blob's ids
+    val mixed = blobs.withColumn("id",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN id = 1 THEN 11 WHEN id = 11 THEN 1 ELSE id END"))
+    def run() = Clustering.lloydAssign(mixed, "id", "vec", k = 2,
+      iters = 2).as[(Long, Int)].collect().toMap
+    val assign = run()
+    val a = (Seq(0L, 11L) ++ (2L to 9L)).map(assign)
+    val b = (Seq(1L, 10L) ++ (12L to 19L)).map(assign)
+    assert(a.toSet.size == 1 && b.toSet.size == 1 && a.head != b.head,
+      s"blobs not separated: $assign")
+    // exact-integer arithmetic: a rerun is bit-identical, not
+    // just statistically close
+    assert(run() == assign)
+  }
+
+  test("lloydAssign guards its IVF-init assumptions loudly") {
+    // string ids: rejected up front (would string-compare id < k)
+    val strIds = blobs.select(
+      org.apache.spark.sql.functions.col("id").cast("string").as("id"),
+      org.apache.spark.sql.functions.col("vec"))
+    intercept[IllegalArgumentException] {
+      Clustering.lloydAssign(strIds, "id", "vec", k = 2)
+    }
+    // sparse ids (no id 0): too few centroids → loud failure, not
+    // null clusters
+    val sparse = blobs.filter(org.apache.spark.sql.functions.col("id") > 0)
+    intercept[IllegalArgumentException] {
+      Clustering.lloydAssign(sparse, "id", "vec", k = 2)
+    }
+    // semDedup shares the convention and the guard
+    intercept[IllegalArgumentException] {
+      Clustering.semDedup(strIds, "id", "vec", nCentroids = 2, tau = 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.semDedup(sparse, "id", "vec", nCentroids = 2, tau = 0.9)
+    }
+  }
+
   test("semDedup flags lower-id near-twins within a cluster only") {
     // ids 0/1 seed the two centroids; 2 is a near-twin of 0, 3 a
     // near-twin of 1, 4 lands in cluster 0 but below tau vs everyone.
