@@ -335,10 +335,11 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
     }
-    perTable.reduce(_.unionByName(_)).distinct()
+    val out = perTable.reduce(_.unionByName(_)).distinct()
       .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.ops.CacheRelease.afterFirstUse(out, sims)
   }
 
   /** Exact-substring duplicate spans (the token-window form of

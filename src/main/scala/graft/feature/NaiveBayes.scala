@@ -90,7 +90,7 @@ object NaiveBayes {
       .agg(sum(col("__cnt") * col("__d")).as("__ss"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("__l"))
-    md.crossJoin(broadcast(lab))
+    val out = md.crossJoin(broadcast(lab))
       .join(sp, Seq(idCol, "__l"), "left")
       .withColumn("__score",
         col("__prior") + col("__m") * col("__miss") +
@@ -98,6 +98,7 @@ object NaiveBayes {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col("__l").as("pred"), col("__score").as("score_fx"))
+    graft.ops.CacheRelease.afterFirstUse(out, tl, dt)
   }
 
   /** A fitted NB model compacted to a driver-side artifact: labels
@@ -149,9 +150,18 @@ object NaiveBayes {
     * final ≤ `vocabCap` (term → per-label delta) rows ever reach the
     * driver (top terms by total count, term-ascending tie-break, so
     * the cap is deterministic).
+    *
+    * The cap is SELF-ENFORCING (the X5
+    * [[graft.ops.ShardedBroadcast]] contract): before collecting,
+    * the vocabCap × |labels| materialization is size-estimated from
+    * a sampled row footprint and `onWarn` fires above `warnGb` —
+    * a caller whose cap outgrew the compact-model pattern should
+    * score with [[classify]]'s join path instead.
     */
   def fitCompact(train: DataFrame, toksCol: String, labelCol: String,
-      vocabCap: Int = 100000): CompactModel = {
+      vocabCap: Int = 100000,
+      warnGb: Double = graft.ops.ShardedBroadcast.DefaultWarnGb,
+      onWarn: String => Unit = m => System.err.println(m)): CompactModel = {
     val tl = train
       .select(col(labelCol).as("__l"), explode(col(toksCol)).as("__t"))
       .groupBy(col("__l"), col("__t")).agg(count(lit(1)).as("__c"))
@@ -175,6 +185,22 @@ object NaiveBayes {
         .collect()
       val labels = labRows.map(_.getString(0))
       val idx = labels.zipWithIndex.toMap
+      // Driver-materialization guard: estimate the upcoming collect
+      // (≤ vocabCap × |labels| rows) from a tiny sampled footprint;
+      // one limit() job on the already-persisted counts table.
+      val sample = tl.limit(64).collect()
+      if (sample.nonEmpty) {
+        val perRow =
+          org.apache.spark.util.SizeEstimator.estimate(sample) /
+            sample.length
+        val gb = vocabCap.toDouble * labels.length * perRow /
+          1024.0 / 1024.0 / 1024.0
+        if (gb > warnGb)
+          onWarn(f">>> fitCompact: vocabCap=$vocabCap x ${labels.length}" +
+            f" labels estimates $gb%.2f GB on the driver (> $warnGb%.1f" +
+            " GB) — use classify()'s join path instead of a compact" +
+            " broadcast model at this scale.")
+      }
       val kept = tl.groupBy(col("__t"))
         .agg(sum(col("__c")).as("__ct"))
         .orderBy(col("__ct").desc, col("__t")).limit(vocabCap)

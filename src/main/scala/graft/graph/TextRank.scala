@@ -42,7 +42,9 @@ object TextRank {
       .distinct()
   }
 
-  /** Fixed-iteration PageRank over an edge list. Returns
+  /** PageRank over an edge list: fixed-iteration by default
+    * (`tol = 0`), or the reference's iterate-until-δ contract when
+    * `tol > 0` (`iterations` then caps the rounds). Returns
     * (word, score) with scores rounded to `roundTo`.
     *
     * Implemented as the classic co-partitioned RDD power loop rather
@@ -62,7 +64,8 @@ object TextRank {
     * machinery GraphX's Pregel uses under the hood.
     */
   def pagerank(edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85, roundTo: Int = 4): DataFrame = {
+      damping: Double = 0.85, roundTo: Int = 4,
+      tol: Double = 0.0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val part = new org.apache.spark.HashPartitioner(
@@ -76,16 +79,46 @@ object TextRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = links.count() // materializes the cache; |vocab|
     var ranks = links.mapValues(_ => 1.0 / n) // co-partitioned: narrow
-    for (_ <- 1 to iterations) {
-      val contribs = links.join(ranks, part) // narrow: same partitioner
+    def step(r: org.apache.spark.rdd.RDD[(String, Double)]) = {
+      val contribs = links.join(r, part) // narrow: same partitioner
         .values
-        .flatMap { case (dsts, r) =>
-          val c = r / dsts.length
+        .flatMap { case (dsts, rk) =>
+          val c = rk / dsts.length
           dsts.iterator.map(d => (d, c))
         }
-      ranks = contribs
+      contribs
         .reduceByKey(part, _ + _) // map-side combine; keeps partitioner
         .mapValues(m => (1.0 - damping) / n + damping * m)
+    }
+    // Convergence-mode cache to release once scores materialize.
+    var lastCached: Option[org.apache.spark.rdd.RDD[(String, Double)]] =
+      None
+    if (tol <= 0.0) {
+      // Fixed iterations (the default): the whole chain stays ONE
+      // lazy job — deterministic across cluster sizes and
+      // oracle-replayable.
+      for (_ <- 1 to iterations) ranks = step(ranks)
+    } else {
+      // The reference's convergence contract (`pageRank(0.0001)`,
+      // TextRank.scala:45): iterate until max per-node |Δ| <= tol,
+      // capped at `iterations`. Checking δ necessarily materializes
+      // each round (one job per iteration — the cost the fixed mode
+      // exists to avoid), so this knob is for callers porting the
+      // reference's termination semantics, not the bench path. Each
+      // round's ranks are cached for the δ-join + next step, and the
+      // previous round's cache is released as soon as it is dead.
+      var it = 0
+      var converged = false
+      while (it < iterations && !converged) {
+        val next = step(ranks).persist(StorageLevel.MEMORY_AND_DISK)
+        val delta = ranks.join(next, part).values
+          .map { case (a, b) => math.abs(a - b) }.max()
+        lastCached.foreach(_.unpersist(blocking = false))
+        lastCached = Some(next)
+        ranks = next
+        converged = delta <= tol
+        it += 1
+      }
     }
     // Persist + materialize the converged scores, THEN release the
     // graph cache: downstream consumers (phrase scoring joins both
@@ -100,6 +133,7 @@ object TextRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     links.unpersist(blocking = false)
+    lastCached.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -38,6 +38,6 @@ object Ranks {
       .select(col(valueCol),
         floor(lit(1e6) * col("__below") / col("__n")).cast("long")
           .as(outCol))
-    df.join(broadcast(pct), valueCol)
+    CacheRelease.afterFirstUse(df.join(broadcast(pct), valueCol), hist)
   }
 }

@@ -319,7 +319,7 @@ object CurationQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def dsirScores(s: SparkSession, dir: String): DataFrame =
-    dsirCache.computeIfAbsent(dir, _ =>
+    dsirCache.computeIfAbsent(Memo.key(s, dir), _ =>
       graft.pipeline.Dsir.importanceScores(
         table(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 4096)
@@ -333,7 +333,7 @@ object CurationQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def lmScores(s: SparkSession, dir: String): DataFrame =
-    lmCache.computeIfAbsent(dir, _ => {
+    lmCache.computeIfAbsent(Memo.key(s, dir), _ => {
       val d = table(s, dir, "documents")
       graft.text.NgramLm.perplexityScores(d, "doc_id", "text",
         d.filter(col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 0))
@@ -473,8 +473,12 @@ object CurationQueries extends QueryPack {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) >= 2 GROUP BY w),
         |pairs AS (
-        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
-        |  FROM words, range(1, 40) r(i) WHERE i <= length(w) - 1)
+        |  -- per-word position list (range() the LIST function takes
+        |  -- column args where the table function cannot): every
+        |  -- window of every word enumerates, however long the token
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair, freq
+        |  FROM words)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "q106_substr_spans" ->

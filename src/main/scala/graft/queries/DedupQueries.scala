@@ -39,7 +39,7 @@ object DedupQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def lshCands(s: SparkSession, dir: String): DataFrame =
-    lshCandCache.computeIfAbsent(dir, _ => {
+    lshCandCache.computeIfAbsent(Memo.key(s, dir), _ => {
       val c = Dedup.lshCandidates(table(s, dir, "documents")
         .filter(col("doc_id") < 200), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -55,7 +55,7 @@ object DedupQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[queries] def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairCache.computeIfAbsent(dir, _ => {
+    simhashPairCache.computeIfAbsent(Memo.key(s, dir), _ => {
       val sims = table(s, dir, "documents")
         .select(col("doc_id"),
           Dedup.simhash60(graft.text.TextFunctions.tokens(col("text")))

@@ -27,7 +27,7 @@ object GraphQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def corpusScores(s: SparkSession, dir: String): DataFrame =
-    scoresCache.computeIfAbsent(dir, _ =>
+    scoresCache.computeIfAbsent(Memo.key(s, dir), _ =>
       TextRank.wordScores(
         table(s, dir, "documents").select(toks.as("toks")), "toks", Iters))
 

@@ -32,7 +32,7 @@ object MlQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, FittedLda]()
 
   private def fittedLda(s: SparkSession, dir: String): FittedLda =
-    ldaCache.computeIfAbsent(dir, _ => {
+    ldaCache.computeIfAbsent(Memo.key(s, dir), _ => {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
       val (cvModel, vectorized) = Topics.countVectorize(docs, "toks", 1000)

@@ -40,7 +40,7 @@ object PipelineQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def dupComponents(s: SparkSession, dir: String): DataFrame =
-    compCache.computeIfAbsent(dir, _ => {
+    compCache.computeIfAbsent(Memo.key(s, dir), _ => {
       val c = Components.connectedComponents(
         table(s, dir, "documents").select(col("doc_id")),
         DedupQueries.simhashPairs(s, dir), "doc_id", "id_a", "id_b")

@@ -323,9 +323,10 @@ object Ann {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    graft.ops.CacheRelease.afterFirstUse(out, sig)
   }
 
   /** Per-vector int8 quantization — the 4× storage compression an

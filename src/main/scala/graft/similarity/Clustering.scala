@@ -170,9 +170,10 @@ object Clustering {
         / (col("na") * col("nb")), roundTo) >= tau)
       .select(col("__ida").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
-    assigned.select(col(idCol), col("cluster"))
+    val out = assigned.select(col(idCol), col("cluster"))
       .join(dupIds, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
+    graft.ops.CacheRelease.afterFirstUse(out, assigned)
   }
 }

@@ -36,6 +36,10 @@ object Bpe {
     */
   def pairCounts(words: DataFrame): DataFrame =
     words
+      // defensive on the public surface: a 1-char word would make
+      // sequence(1, 0) DESCEND and emit two bogus windows; wordCounts
+      // pre-filters length >= 2 but arbitrary word tables may not
+      .filter(length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"), col("freq"))

@@ -111,12 +111,13 @@ object Tfidf {
     val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
     val contrib = floor(lit(1e6) * idf * (col("__tf") * lit(k1 + 1)) /
       (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl)))
-    tf.join(broadcast(df), "__term")
+    val out = tf.join(broadcast(df), "__term")
       .crossJoin(broadcast(stats))
       .select(col(idCol), contrib.as("__st"))
       .groupBy(col(idCol))
       .agg(sum(col("__st")).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+    graft.ops.CacheRelease.afterFirstUse(out, tf)
   }
 }

@@ -180,6 +180,7 @@ object Winnow {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    pairs
+    // pruned's cache is released after the caller's first action
+    graft.ops.CacheRelease.afterFirstUse(pairs, pruned)
   }
 }

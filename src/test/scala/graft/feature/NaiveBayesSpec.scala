@@ -87,4 +87,20 @@ class NaiveBayesSpec extends SparkSpec {
     val capped = NaiveBayes.fitCompact(train, "toks", "lang", vocabCap = 2)
     assert(capped.delta.size === 2)
   }
+
+  test("fitCompact warns when vocabCap estimates past the driver bound") {
+    val train = fixture.filter(col("doc_id") % 2 === 0)
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a cap sized for a web corpus on a toy driver budget: the
+    // sampled-footprint estimate must fire BEFORE the collect
+    val m = NaiveBayes.fitCompact(train, "toks", "lang",
+      vocabCap = 500000000, onWarn = warnings += _)
+    assert(warnings.nonEmpty && warnings.head.contains("fitCompact"))
+    // advisory, not fatal: the model still fits (actual vocab is tiny)
+    assert(m.score(Seq("the", "cat")).nonEmpty)
+    // the default cap on the same data stays silent
+    warnings.clear()
+    NaiveBayes.fitCompact(train, "toks", "lang", onWarn = warnings += _)
+    assert(warnings.isEmpty)
+  }
 }

@@ -53,6 +53,36 @@ class TextRankSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("tolerance mode converges to the fixed-iteration scores") {
+    val edges = TextRank.coocEdges(docs, "toks")
+    // the reference's contract: pageRank(tol). A tight tol must land
+    // on the same fixpoint a long fixed run reaches (the default
+    // fixed-10 is NOT yet converged at 4 decimals on this star
+    // fixture — its hub score is 0.4345 vs the 0.4797 fixpoint — so
+    // the comparison target is fixed-50). Agreement within one
+    // rounding step of roundTo=4.
+    val conv = TextRank.pagerank(edges, iterations = 100, tol = 1e-6)
+      .as[(String, Double)].collect().toMap
+    val fixed = TextRank.pagerank(edges, iterations = 50)
+      .as[(String, Double)].collect().toMap
+    assert(conv.keySet == fixed.keySet)
+    val maxDiff = conv.map { case (k, v) => math.abs(v - fixed(k)) }.max
+    assert(maxDiff <= 2e-4, s"converged=$conv fixed=$fixed")
+    // and the hub ordering the coarser contract cares about holds
+    assert(conv("a") > conv("b") && conv("b") == conv("c"))
+  }
+
+  test("tolerance mode stops early: huge tol equals one iteration") {
+    val edges = TextRank.coocEdges(docs, "toks")
+    // any δ <= 1, so the loop must exit after exactly one round —
+    // observable because the scores equal pagerank(iterations = 1)
+    val one = TextRank.pagerank(edges, iterations = 1)
+      .as[(String, Double)].collect().toMap
+    val early = TextRank.pagerank(edges, iterations = 50, tol = 1.0)
+      .as[(String, Double)].collect().toMap
+    assert(early == one)
+  }
+
   test("pagerank is deterministic across runs") {
     val a = TextRank.wordScores(docs, "toks").as[(String, Double)]
       .collect().toMap
