@@ -361,6 +361,19 @@ object Dedup {
     * windows with a `__cnt` ceiling addresses it. `n` plays the same
     * role as the 50-token threshold in suffix-array substring dedup:
     * longer windows → fewer, more meaningful matches.
+    *
+    * RECALL CONTRACT (what token windows cannot see): a shared
+    * passage is detected iff it survives tokenization identically in
+    * both documents AND spans ≥ `n` consecutive tokens. Misses, by
+    * construction: (a) real duplicates shorter than `n` tokens —
+    * lower `n` to trade noise for recall; (b) passages whose
+    * whitespace/punctuation tokenize differently between copies
+    * (token windows are not byte windows — a byte-level k-gram
+    * variant closes this at k× the explode volume); (c) a suffix-
+    * array's maximal-match EXTENTS — this reports which windows are
+    * shared, not the longest shared substring. These are the
+    * standard trades of hashed-window (winnowing-family) substring
+    * dedup vs true suffix automata; see SCALE.md §q106.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {

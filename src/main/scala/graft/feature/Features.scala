@@ -147,11 +147,23 @@ object Features {
     * (duplicate-trigram share; 0 for docs under 3 tokens).
     */
   def qualitySignalsE4(text: Column, toks: Column): (Column, Column) = {
-    val tg = TextFunctions.ngramsFast(toks, 3)
     val q = floor(linearQualityScore(text, toks) * 10000.0).cast("long")
-    val rep = when(size(tg) > 0,
+    // Distinct count over 64-bit WINDOW DIGESTS instead of trigram
+    // strings (the q40 digest trick): tokens hash once, each window
+    // mixes three long hashes — no trigram text is ever built and
+    // array_distinct compares longs, not strings. Tokens cannot
+    // contain the join space, so distinct digests == distinct
+    // trigrams up to xxhash64 collisions, which the string-distinct
+    // oracle would expose at test SFs (PERF r7 A/B: ~2.7 → ~1.5 s
+    // warm steady-state at sf0.1).
+    val n = size(toks)
+    val th = transform(toks, t => xxhash64(t))
+    val wh = transform(sequence(lit(1), n - 2), i =>
+      xxhash64(element_at(th, i), element_at(th, i + 1),
+        element_at(th, i + 2)))
+    val rep = when(n >= 3,
       floor(lit(1e4) * (lit(1.0) -
-        size(array_distinct(tg)) / size(tg).cast("double"))))
+        size(array_distinct(wh)) / (n - 2).cast("double"))))
       .otherwise(lit(0L)).cast("long")
     (q, rep)
   }
