@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * metadata struct the engine derives (byte length, content digest,
   * container format from magic bytes). All Spark-side plumbing —
   * schemas, partitioning, per-partition batch shape — is real and
-  * tested; the codec boundary (actual JPEG/WAV decode) is a STUB in
-  * this environment (no image/audio libraries in the container) with
-  * a deterministic byte-level fake standing in, clearly marked below.
-  * Swapping the stub for a real codec changes no plan shape: the
-  * kernels are per-row/per-partition maps with no shuffle, which is
-  * exactly how a decode stage must behave at 100 TB (decode cost
-  * scales out with partitions; nothing ever collects).
+  * tested. The codec boundary is REAL for lossless formats: 8-bit
+  * grayscale PNG encode/decode (javax.imageio) and 16-bit PCM WAV
+  * encode/decode (pure byte math) round-trip actual files; only
+  * LOSSY codecs (JPEG/MP3-class — absent from this container)
+  * remain stubbed with a deterministic byte-level fake, clearly
+  * marked below. Swapping a stub for a real codec changes no plan
+  * shape: every kernel is a per-row/per-partition map with no
+  * shuffle, which is exactly how a decode stage must behave at
+  * 100 TB (decode cost scales out with partitions; nothing ever
+  * collects).
   */
 object Multimodal {
 
@@ -244,6 +247,86 @@ object Multimodal {
     udf { (pixels: Seq[Int], w: Int, h: Int) =>
       dHash56(pixels.toArray, w, h)
     }
+
+  // ---- REAL PCM sample codec (pure byte math — no library at all) ----
+  // The audio half of the stub boundary closes the same way the PNG
+  // half did: canonical 16-bit little-endian PCM is arithmetic, not
+  // a codec. encode writes header+payload bytes, decode reads signed
+  // samples back; lossless by construction. Remaining stub: lossy
+  // codecs (JPEG/MP3-class) only.
+
+  /** Signed 16-bit samples → canonical 44-byte-header mono WAV. */
+  private[graft] def encodePcm16(samples: Array[Int], sampleRate: Int)
+      : Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1: Short).putShort(1: Short)
+    bb.putInt(sampleRate).putInt(sampleRate * 2)
+    bb.putShort(2: Short).putShort(16: Short)
+    bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** Real 16-bit LE PCM decode from a canonically-laid mono WAV
+    * (the [[wavInfo]] layout); null for non-WAV bytes.
+    */
+  private[graft] def decodePcm16(wav: Array[Byte]): Array[Int] = {
+    if (wav == null || wav.length < 44 ||
+      wav(0) != 'R' || wav(1) != 'I' || wav(2) != 'F' || wav(3) != 'F' ||
+      wav(8) != 'W' || wav(9) != 'A' || wav(10) != 'V' || wav(11) != 'E')
+      null
+    else {
+      val bb = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataBytes = math.min(bb.getInt(40),
+        wav.length - 44) // header field vs actual payload
+      val n = dataBytes / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(44 + 2 * i).toInt; i += 1 }
+      out
+    }
+  }
+
+  def pcmEncodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (samples: Seq[Int], sampleRate: Int) =>
+      encodePcm16(samples.toArray, sampleRate)
+    }
+
+  def pcmDecodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (wav: Array[Byte]) =>
+      val s = decodePcm16(wav)
+      if (s == null) null else s.toSeq
+    }
+
+  /** Exact-integer audio features over a decoded sample array —
+    * the scan-stage statistics an audio curation pass filters on
+    * (silence/clipping/noise screens), all integer arithmetic so
+    * any engine replays them: mean-square energy (floored),
+    * zero-crossing count (sign changes, zeros skipped), peak |s|.
+    */
+  def audioFeatures(samples: Column): Column = {
+    val n = size(samples)
+    val energy = floor(
+      aggregate(samples, lit(0L), (a, s) => a + s.cast("long") * s) /
+        greatest(n, lit(1)).cast("double")).cast("long")
+    // count sign CHANGES between consecutive nonzero samples
+    val signs = filter(transform(samples,
+      s => when(s > 0, 1).when(s < 0, -1).otherwise(0)), s => s =!= 0)
+    val zcr = when(size(signs) > 1,
+      aggregate(zip_with(slice(signs, lit(1), size(signs) - 1),
+        slice(signs, lit(2), size(signs) - 1), (a, b) =>
+          when(a =!= b, 1L).otherwise(0L)), lit(0L), _ + _))
+      .otherwise(lit(0L))
+    val peak = coalesce(array_max(transform(samples, s => abs(s))),
+      lit(0))
+    struct(n.cast("long").as("n_samples"), energy.as("energy_fx"),
+      zcr.as("zcr"), peak.cast("long").as("peak"))
+  }
 
   /** ---- RESIZE STUB ----
     * Deterministic fake "resize": truncate-or-zero-pad the payload

@@ -239,6 +239,22 @@ object DedupQueries extends QueryPack {
       Winnow.sharedFingerprintPairs(withInjectedDups(s, dir),
         "doc_id", "text")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Byte-level substring-span dedup — the q106 recall upgrade
+    // named in Dedup.duplicateSpans' contract. The injected copies
+    // here are PUNCTUATION-PERTURBED (", " for every " " under
+    // id+400000): every token changes, so q106's token windows all
+    // miss them, while winnowing's normalization makes the copies
+    // share their full fingerprint set (dup_ratio 1.0 for both ends
+    // of each pair).
+    "q146_winnow_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val punct = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          regexp_replace(col("text"), " ", ", ").as("text"))
+      Winnow.spanStats(d.unionByName(punct), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -493,6 +509,23 @@ object DedupQueries extends QueryPack {
          |FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 8
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q146_winnow_spans" -> {
+      val punctSrc =
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 400000, regexp_replace(text, ' ', ', ', 'g')
+          | FROM documents WHERE doc_id < 30)""".stripMargin
+      s"""WITH ${winnowCte(punctSrc)},
+         |nd AS (SELECT h, count(*) AS ndocs FROM wfp GROUP BY h),
+         |per AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |    CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup_fp
+         |  FROM wfp f JOIN nd USING (h) GROUP BY f.doc_id)
+         |SELECT doc_id, n_fp, n_dup_fp,
+         |  round(n_dup_fp / CAST(n_fp AS DOUBLE), 4) AS dup_ratio
+         |FROM per WHERE n_dup_fp > 0 ORDER BY doc_id""".stripMargin
     }
   )
 }

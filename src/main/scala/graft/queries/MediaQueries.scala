@@ -115,6 +115,33 @@ object MediaQueries extends QueryPack {
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL audio sample decode: deterministic 16-bit PCM waveforms
+    // (formula below) are encoded into genuine mono WAVs, decoded
+    // BACK by the pure-byte-math PCM reader, then screened with the
+    // exact-integer audio features a curation pass filters on
+    // (energy / zero-crossings / peak). decode(encode(x)) == x for
+    // PCM, so the oracle replays formula → features with no codec —
+    // an encoder, decoder, OR feature bug breaks the match. With
+    // q144 this closes the lossless half of the media stub boundary.
+    "q147_audio_features" -> ((s, dir) => {
+      val n = col("doc_id") % 200 + 50
+      val sr = (lit(8000) + (col("doc_id") % 5) * 1000).cast("int")
+      val samples = transform(sequence(lit(0), n - 1), i =>
+        (((i * i + col("doc_id") * 31 + i * 7) % 4096) - 2048)
+          .cast("int"))
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.audioFeatures(
+            Multimodal.pcmDecodeUdf(
+              Multimodal.pcmEncodeUdf(samples, sr))).as("af"))
+        .select(col("doc_id"),
+          col("af.n_samples").as("n_samples"),
+          col("af.energy_fx").as("energy_fx"),
+          col("af.zcr").as("zcr"),
+          col("af.peak").as("peak"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -191,7 +218,40 @@ object MediaQueries extends QueryPack {
          |  cast(bit_count(xor(a.phash, b.phash)) as int) AS hamming
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Replays the q147 waveform formula + integer features in SQL:
+    // 16-bit PCM round-trips losslessly, so the decoded samples ARE
+    // the formula. energy divides an exactly-representable integer
+    // sum by a double count (identical IEEE op both engines) before
+    // flooring; zcr lags over sign(s) with zeros dropped.
+    "q147_audio_features" ->
+      """WITH ds AS (
+        |  SELECT d.doc_id, i.range AS i,
+        |    ((i.range*i.range + d.doc_id*31 + i.range*7) % 4096) - 2048
+        |      AS s
+        |  FROM documents d, range(0, 250) i
+        |  WHERE d.doc_id < 200 AND i.range < d.doc_id % 200 + 50),
+        |sg AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN s > 0 THEN 1 ELSE -1 END AS sg
+        |  FROM ds WHERE s <> 0),
+        |zc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sg <> prev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcr
+        |  FROM (SELECT doc_id, sg,
+        |          lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |        FROM sg)
+        |  WHERE prev IS NOT NULL GROUP BY doc_id),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(floor(sum(CAST(s AS BIGINT) * s)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS energy_fx,
+        |    CAST(max(abs(s)) AS BIGINT) AS peak
+        |  FROM ds GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_samples, a.energy_fx,
+        |  coalesce(zc.zcr, 0) AS zcr, a.peak
+        |FROM ag a LEFT JOIN zc USING (doc_id) ORDER BY a.doc_id""".stripMargin
   )
 
   // Replays the q144 image formula + integer block means + dHash

@@ -183,4 +183,38 @@ object Winnow {
     // pruned's cache is released after the caller's first action
     graft.ops.CacheRelease.afterFirstUse(pairs, pruned)
   }
+
+  /** Per-document duplicate-passage stats over winnowed
+    * fingerprints — the BYTE-LEVEL recall upgrade of
+    * [[graft.dedup.Dedup.duplicateSpans]] (which hashes token
+    * windows): normalization strips whitespace/punctuation, so
+    * copies that TOKENIZE differently still share fingerprints, and
+    * the winnowing guarantee bounds the minimum detected passage at
+    * k+w-1 normalized characters instead of n tokens. Returns
+    * (id, n_fp, n_dup_fp, dup_ratio) for docs sharing ≥ 1
+    * fingerprint with another doc.
+    *
+    * Plan shape: identical to duplicateSpans — one corpus scan
+    * (fingerprinting fuses into it), fingerprints explode to
+    * per-doc-distinct (digest, id) pairs, ONE digest shuffle serves
+    * the distinct-doc window, then the per-doc aggregate. Shuffle
+    * payload is 8-byte digests + ids, never text.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+    docs.select(col(idCol),
+        explode(fingerprintsFast(col(textCol), k, w)).as("__h"))
+      .repartition(col("__h"))
+      // fingerprints are per-doc distinct, so each row is one doc
+      // and the count-over-digest window IS the distinct-doc count
+      .withColumn("__ndocs", count(lit(1)).over(wnd))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_fp"))
+      .filter(col("n_dup_fp") > 0)
+      .withColumn("dup_ratio",
+        round(col("n_dup_fp") / col("n_fp").cast("double"), 4))
+  }
 }

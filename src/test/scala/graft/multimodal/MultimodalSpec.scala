@@ -179,6 +179,53 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.dHash56(small, 9, 7))
   }
 
+  test("PCM16 codec round-trip is lossless and on-spec") {
+    val samples = Array(0, 1, -1, 32767, -32768, 1234, -4321)
+    val wav = Multimodal.encodePcm16(samples, 8000)
+    // genuinely a canonical WAV: the independent header parser
+    // reads the right stream parameters from it
+    val info = Seq(Tuple1(wav)).toDF("b")
+      .select(Multimodal.wavInfo(col("b")).as("w"))
+      .selectExpr("w.channels", "w.sample_rate", "w.bits")
+      .as[(Long, Long, Long)].head()
+    assert(info == ((1L, 8000L, 16L)))
+    assert(Multimodal.decodePcm16(wav).toSeq == samples.toSeq)
+    // non-WAV bytes decode to null, not garbage
+    assert(Multimodal.decodePcm16("not audio".getBytes("UTF-8")) == null)
+  }
+
+  test("audioFeatures: hand-computed exact-integer golden values") {
+    // samples [1,-1,0,2,-3]: signs (zeros dropped) [1,-1,1,-1] → 3
+    // crossings; energy floor((1+1+0+4+9)/5)=3; peak 3
+    val out = Seq(Tuple1(Seq(1, -1, 0, 2, -3))).toDF("s")
+      .select(Multimodal.audioFeatures(col("s")).as("af"))
+      .selectExpr("af.n_samples", "af.energy_fx", "af.zcr", "af.peak")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((5L, 3L, 3L, 3L)))
+    // degenerate inputs: empty and all-zero arrays
+    val zeros = Seq(Tuple1(Seq(0, 0)), Tuple1(Seq.empty[Int]))
+      .toDF("s")
+      .select(Multimodal.audioFeatures(col("s")).as("af"))
+      .selectExpr("af.n_samples", "af.energy_fx", "af.zcr", "af.peak")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(zeros == Set((2L, 0L, 0L, 0L), (0L, 0L, 0L, 0L)))
+  }
+
+  test("encode→decode→audioFeatures equals features on raw samples") {
+    val df = spark.range(5).select(col("id"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(99)),
+        i => (((i * i + col("id") * 31) % 4096) - 2048).cast("int"))
+        .as("s"))
+    val direct = df.select(col("id"),
+      Multimodal.audioFeatures(col("s")).as("af"))
+    val viaWav = df.select(col("id"), Multimodal.audioFeatures(
+      Multimodal.pcmDecodeUdf(
+        Multimodal.pcmEncodeUdf(col("s"), lit(8000)))).as("af"))
+    assert(direct.collect().toSeq.sortBy(_.getLong(0)) ==
+      viaWav.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("encode→decode→dHash pipeline matches direct dHash (UDF path)") {
     val w = 36; val h = 28
     val df = spark.range(6).select(col("id"),

@@ -94,4 +94,30 @@ class WinnowSpec extends SparkSpec {
     // no pair can share anything close to the full passage set
     assert(got.forall(_._3 <= 3))
   }
+
+  test("spanStats catches re-tokenized copies that token windows miss") {
+    // a doc and its punctuation-perturbed copy: every token differs
+    // (", " appended), so token-window span dedup sees nothing, but
+    // the normalized byte stream is identical
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with plenty of text to fingerprint reliably here"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace(" ", ", ")),
+      (3L, "completely unrelated content about something else entirely " +
+        "with its own distinct wording throughout the passage")
+    ).toDF("doc_id", "text")
+    // token windows (n=4 tokens, generous): the perturbed copy is
+    // invisible — no doc shares any 4-token window
+    val tokenSpans = graft.dedup.Dedup.duplicateSpans(
+      docs, "doc_id", "text", n = 4).collect()
+    assert(tokenSpans.isEmpty, s"token windows should miss: " +
+      tokenSpans.mkString(","))
+    // winnowed byte fingerprints: both copies fully flagged,
+    // the unrelated doc untouched
+    val got = Winnow.spanStats(docs, "doc_id", "text")
+      .select($"doc_id", $"dup_ratio").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0))
+  }
 }
