@@ -148,22 +148,18 @@ object Features {
     */
   def qualitySignalsE4(text: Column, toks: Column): (Column, Column) = {
     val q = floor(linearQualityScore(text, toks) * 10000.0).cast("long")
-    // Distinct count over 64-bit WINDOW DIGESTS instead of trigram
-    // strings (the q40 digest trick): tokens hash once, each window
-    // mixes three long hashes — no trigram text is ever built and
-    // array_distinct compares longs, not strings. Tokens cannot
-    // contain the join space, so distinct digests == distinct
-    // trigrams up to xxhash64 collisions, which the string-distinct
-    // oracle would expose at test SFs (PERF r7 A/B: ~2.7 → ~1.5 s
-    // warm steady-state at sf0.1).
+    // Distinct count via the compiled window-digest kernel
+    // (TextFunctions.distinctNgramCountFast): no trigram text is
+    // ever built and the distinct set holds longs. NOTE an
+    // expression-form digest chain (transform + element_at +
+    // xxhash64) was tried first and benched 2× SLOWER one-shot —
+    // higher-order functions run interpreted; only the JIT-compiled
+    // kernel wins (PERF r7 A/B).
     val n = size(toks)
-    val th = transform(toks, t => xxhash64(t))
-    val wh = transform(sequence(lit(1), n - 2), i =>
-      xxhash64(element_at(th, i), element_at(th, i + 1),
-        element_at(th, i + 2)))
     val rep = when(n >= 3,
       floor(lit(1e4) * (lit(1.0) -
-        size(array_distinct(wh)) / (n - 2).cast("double"))))
+        TextFunctions.distinctNgramCountFast(toks, 3) /
+          (n - 2).cast("double"))))
       .otherwise(lit(0L)).cast("long")
     (q, rep)
   }

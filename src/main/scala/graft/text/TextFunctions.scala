@@ -51,6 +51,55 @@ object TextFunctions {
     */
   def ngramsFast(toks: Column, n: Int): Column = ngramsUdf(n)(toks)
 
+  /** Compiled kernel: the number of DISTINCT n-token windows,
+    * counted over 64-bit window digests of per-token FNV-1a hashes —
+    * no n-gram string is ever built and nothing but a long-set
+    * allocates. Digest distinct equals string distinct up to 64-bit
+    * collisions (tokens are space-free, so windows biject to their
+    * joined strings; a collision would surface against the
+    * string-distinct oracles at test SFs). An expression-form
+    * twin (transform/zip_with) ran interpreted and benched 2×
+    * SLOWER one-shot than the string path it replaced — the win
+    * only exists as a JIT-compiled pass (PERF r7).
+    */
+  def distinctNgramCountFast(toks: Column, n: Int): Column =
+    distinctNgramCountUdf(n)(toks)
+
+  private def distinctNgramCountUdf(n: Int) = udf { (t: Seq[String]) =>
+    if (t == null || t.length < n) 0L
+    else {
+      val len = t.length
+      val th = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        val s = t(i)
+        var h = 0xcbf29ce484222325L // FNV-1a offset basis
+        if (s != null) {
+          var j = 0
+          while (j < s.length) {
+            h ^= s.charAt(j); h *= 0x100000001b3L; j += 1
+          }
+        }
+        th(i) = h
+        i += 1
+      }
+      val seen = new java.util.HashSet[java.lang.Long]()
+      i = 0
+      while (i <= len - n) {
+        var h = 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < n) {
+          h = java.lang.Long.rotateLeft(h ^ th(i + j), 27) *
+            0x100000001b3L
+          j += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+      seen.size.toLong
+    }
+  }
+
   private def ngramsUdf(n: Int) = udf { (t: Seq[String]) =>
     if (t == null || t.length < n) Seq.empty[String]
     else {

@@ -61,6 +61,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(withNull._1 == withNull._2)
   }
 
+  test("distinctNgramCountFast equals string-distinct, incl. repeats") {
+    val gen = for {
+      k <- Gen.choose(0, 15)
+      // tiny alphabet forces repeated windows
+      ws <- Gen.listOfN(k, Gen.oneOf("a", "b", "ab", "ba"))
+      n <- Gen.choose(1, 4)
+    } yield (ws, n)
+    val cases = (0 until 50).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(11L + i)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (ws, n) =>
+      val both = Seq(ws).toDF("toks")
+        .select(
+          size(array_distinct(TextFunctions.ngramsFast(col("toks"), n)))
+            .cast("long").as("ref"),
+          TextFunctions.distinctNgramCountFast(col("toks"), n)
+            .as("fast"))
+        .as[(Long, Long)].head()
+      assert(both._1 == both._2, s"tokens=$ws n=$n")
+    }
+    // and on real corpus text at n=3 (the q140 kernel's shape)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+    val diff = docs.select(
+      size(array_distinct(TextFunctions.ngramsFast(col("toks"), 3)))
+        .cast("long").as("ref"),
+      TextFunctions.distinctNgramCountFast(col("toks"), 3).as("fast"))
+      .filter(col("ref") =!= col("fast")).count()
+    assert(diff == 0)
+  }
+
   test("ngramsRange concatenates each n's grams") {
     val out = Seq("a b c").toDF("t")
       .select(TextFunctions.ngramsRange(
