@@ -150,8 +150,11 @@ object MlQueries extends QueryPack {
     "q65_word2vec" -> ((s, dir) => {
       val norm = udf((v: org.apache.spark.ml.linalg.Vector) =>
         math.rint(math.sqrt(v.toArray.map(x => x * x).sum) * 1000) / 1000)
+      // numPartitions = 1: the fixture wants exactly reproducible
+      // vectors (the serialize-the-fit side of the documented trade)
       Topics.word2vec(
-        table(s, dir, "documents").select(toks.as("toks")), "toks")
+        table(s, dir, "documents").select(toks.as("toks")), "toks",
+        numPartitions = 1)
         .select(col("word"), norm(col("vector")).as("vnorm"))
         .orderBy(col("word"))
     }),

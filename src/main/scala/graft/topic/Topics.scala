@@ -109,19 +109,24 @@ object Topics {
   /** Word2Vec embeddings (M15): token sequences → word vectors,
     * fixed seed, returned as (word, vector) rows.
     *
-    * `numPartitions` is the explicit determinism/speed trade:
-    * 1 (default) serializes the fit so the vectors are exactly
-    * reproducible run-to-run; at corpus scale set it toward the
-    * executor count and accept seed-level (not bit-level)
-    * stability — the same trade mllib documents.
+    * `numPartitions` is the explicit determinism/speed trade, and
+    * the ENGINE default now favors the cluster, not the toy bench
+    * (r6 verdict nit): 0 (default) resolves to the session's
+    * default parallelism — the distributed fit, seed-level (not
+    * bit-level) stable, the same trade mllib documents. Callers
+    * needing exactly reproducible vectors (the q65 fixture, golden
+    * tests) pass 1 explicitly to serialize the fit.
     */
   def word2vec(df: DataFrame, tokensCol: String, dim: Int = 8,
       minCount: Int = 5, seed: Long = 42L,
-      numPartitions: Int = 1): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     val w2v = new Word2Vec()
       .setInputCol(tokensCol).setOutputCol("vec")
       .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
-      .setNumPartitions(numPartitions)
+      .setNumPartitions(parts)
     w2v.fit(df).getVectors
   }
 }

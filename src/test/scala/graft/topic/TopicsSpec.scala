@@ -69,4 +69,17 @@ class TopicsSpec extends SparkSpec {
     assert(vecs.keySet == Set("apple", "banana", "shuffle", "join", "scan"))
     assert(vecs.values.forall(_.size == 4))
   }
+
+  test("word2vec: serialized fit reproduces exactly; default distributes") {
+    def fit(parts: Int) =
+      Topics.word2vec(docs, "toks", dim = 4, minCount = 2,
+        numPartitions = parts)
+        .as[(String, org.apache.spark.ml.linalg.Vector)].collect()
+        .map { case (w, v) => (w, v.toArray.toSeq) }.toMap
+    // numPartitions = 1 is the bit-reproducibility side of the trade
+    assert(fit(1) == fit(1))
+    // the engine default (0 → defaultParallelism) must still produce
+    // a full vocabulary — the distributed fit is the corpus path
+    assert(fit(0).keySet == fit(1).keySet)
+  }
 }
