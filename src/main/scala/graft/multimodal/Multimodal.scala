@@ -328,6 +328,56 @@ object Multimodal {
       zcr.as("zcr"), peak.cast("long").as("peak"))
   }
 
+  // ---- REAL frame container walk ----
+  // A "video" here is a stream of concatenated on-spec PNGs (an
+  // MJPEG-style layout with a lossless codec). Splitting it is REAL
+  // container parsing — each frame's extent is found by walking its
+  // chunk list ([len u32 BE][type][data][crc] … until IEND), exactly
+  // how any PNG stream consumer finds frame boundaries. Replaces
+  // [[frameSampleStub]]'s strided fake for PNG streams; with the
+  // per-frame [[decodeGrayPng]] + [[dHash56]] the whole
+  // video → frames → pixels → perceptual-hash path is codec-real.
+
+  /** Split a concatenated-PNG stream into frames; ignores a
+    * trailing partial frame; empty for non-PNG bytes.
+    */
+  private[graft] def splitPngs(bin: Array[Byte]): Array[Array[Byte]] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = 0
+    def sigAt(q: Int): Boolean =
+      q + 8 <= bin.length && (0 until 8).forall(i => bin(q + i) == sig(i))
+    def beU32At(q: Int): Long =
+      ((bin(q) & 0xFFL) << 24) | ((bin(q + 1) & 0xFFL) << 16) |
+        ((bin(q + 2) & 0xFFL) << 8) | (bin(q + 3) & 0xFFL)
+    while (sigAt(p)) {
+      var q = p + 8
+      var end = -1
+      while (end < 0 && q + 8 <= bin.length) {
+        val len = beU32At(q)
+        val isEnd = bin(q + 4) == 'I' && bin(q + 5) == 'E' &&
+          bin(q + 6) == 'N' && bin(q + 7) == 'D'
+        val next = q + 8L + len + 4L
+        if (next > bin.length) q = bin.length // truncated chunk
+        else {
+          q = next.toInt
+          if (isEnd) end = q
+        }
+      }
+      if (end < 0) return out.toArray // drop the partial tail
+      out += java.util.Arrays.copyOfRange(bin, p, end)
+      p = end
+    }
+    out.toArray
+  }
+
+  /** UDF: concatenated-PNG stream → array of frame binaries. */
+  def pngFramesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bin: Array[Byte]) =>
+      if (bin == null) Seq.empty[Array[Byte]] else splitPngs(bin).toSeq
+    }
+
   /** ---- RESIZE STUB ----
     * Deterministic fake "resize": truncate-or-zero-pad the payload
     * to `targetBytes`. A real implementation rescales pixels; the

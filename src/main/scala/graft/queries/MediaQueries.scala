@@ -142,8 +142,86 @@ object MediaQueries extends QueryPack {
           col("af.zcr").as("zcr"),
           col("af.peak").as("peak"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL video-frame extraction: per-doc "videos" are streams of
+    // 2-4 concatenated genuine PNGs (frame pixels from the formula
+    // below). The TESTED path is all real: the container walk finds
+    // each frame's extent by chunk-length parsing to IEND
+    // (Multimodal.splitPngs), frames decode through the real PNG
+    // reader, and each hashes to its 56-bit dHash. The oracle
+    // replays formula → block means → bits per (doc, frame), so the
+    // stream builder, the walk, the decoder, and the hash are all
+    // under test. Replaces the frame-sample stub for PNG streams.
+    "q148_video_frames" -> ((s, dir) => {
+      videoFrameHashes(s, dir).orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Aligned-frame video near-dup: candidate pairs must share a
+    // (frame_idx, 14-bit hash band) bucket — 4 tables make recall
+    // TOTAL at hamming<=3 (pigeonhole, the q145 contract), so the
+    // bucketed plan must equal the oracle's all-pairs frame join.
+    // Videos pair when >= 2 aligned frames match. At scale the band
+    // equi-join shuffles (idx, band, hash, id) rows only; no frame
+    // pixel ever shuffles.
+    "q149_video_neardup" -> ((s, dir) => {
+      val fh = videoFrameHashes(s, dir)
+      val bands = (0 until 4).map { t =>
+        fh.withColumn("__b",
+          shiftright(col("phash"), 42 - 14 * t)
+            .bitwiseAND(lit(0x3FFFL)))
+          .withColumn("__t", lit(t))
+      }.reduce(_.unionByName(_))
+      val a = bands.select(col("frame_idx"), col("__t"), col("__b"),
+        col("doc_id").as("doc_a"), col("phash").as("ha"))
+      val b = bands.select(col("frame_idx"), col("__t"), col("__b"),
+        col("doc_id").as("doc_b"), col("phash").as("hb"))
+      a.join(b, Seq("frame_idx", "__t", "__b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("frame_idx"),
+          col("ha"), col("hb")).distinct()
+        .filter(Dedup.hammingDist(col("ha"), col("hb")) <= 3)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** (doc_id, frame_idx, phash) over the synthesized PNG streams —
+    * the real walk→decode→hash path shared by q148/q149.
+    */
+  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        posexplode(Multimodal.pngFramesUdf(
+          mkVideoUdf(col("doc_id"), (col("doc_id") % 3 + 2).cast("int")))))
+      .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
+        Multimodal.dHash56Udf(Multimodal.pngDecodeGrayUdf(col("col")),
+          lit(imgW), lit(imgH)).as("phash"))
+
+  /** Fixture synthesizer: `frames` genuine PNGs back-to-back, frame
+    * f's pixels from the q144 formula family with f mixed into the
+    * gradients (and the sparse variant perturbation shifted by f).
+    */
+  private def mkVideoUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (docId: Long, frames: Int) =>
+      val base = docId - docId % 5
+      val v = docId % 5
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until frames).foreach { f =>
+        val px = Array.tabulate(imgW * imgH) { i =>
+          val x = i % imgW; val y = i / imgW
+          val g = ((x * (3 + (base + f) % 11) + y * (5 + (base + f) % 13)
+            + ((x.toLong * y + base + f * 7) % 17) * 15) % 256).toInt
+          if (v > 0 && (x + y * imgW + v * 13 + f) % 101 == 0)
+            (g + 128) % 256
+          else g
+        }
+        out.write(Multimodal.encodeGrayPng(px, imgW, imgH))
+      }
+      out.toByteArray
+    }
 
   // Deterministic test-image formula (W=36, H=28; 9x7 grid of 4x4
   // cells): base image keyed by the doc's group of 5, plus a sparse
@@ -251,8 +329,55 @@ object MediaQueries extends QueryPack {
         |  FROM ds GROUP BY doc_id)
         |SELECT a.doc_id, a.n_samples, a.energy_fx,
         |  coalesce(zc.zcr, 0) AS zcr, a.peak
-        |FROM ag a LEFT JOIN zc USING (doc_id) ORDER BY a.doc_id""".stripMargin
+        |FROM ag a LEFT JOIN zc USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    "q148_video_frames" ->
+      s"""WITH $videoCte
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx, phash
+         |FROM vh ORDER BY doc_id, frame_idx""".stripMargin,
+    "q149_video_neardup" ->
+      s"""WITH $videoCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_frames
+         |FROM vh a JOIN vh b ON a.f = b.f AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  // The q148 video formula + per-frame block means + dHash bits in
+  // SQL — decode(encode) is lossless per frame and the container
+  // walk is extent-exact, so replaying the formula replays what the
+  // real walk + decode must produce.
+  private val videoCte: String =
+    """vpx AS (
+      |  SELECT d.doc_id, d.doc_id - d.doc_id % 5 AS base,
+      |         d.doc_id % 5 AS v, f.range AS f, x.range AS x,
+      |         y.range AS y
+      |  FROM documents d, range(0, 4) f, range(0, 36) x, range(0, 28) y
+      |  WHERE d.doc_id < 200 AND f.range < d.doc_id % 3 + 2),
+      |vg AS (
+      |  SELECT doc_id, f, x, y,
+      |    CASE WHEN v > 0 AND (x + y*36 + v*13 + f) % 101 = 0
+      |      THEN ((x*(3 + (base + f) % 11) + y*(5 + (base + f) % 13)
+      |             + ((x*y + base + f*7) % 17) * 15) % 256 + 128) % 256
+      |      ELSE (x*(3 + (base + f) % 11) + y*(5 + (base + f) % 13)
+      |            + ((x*y + base + f*7) % 17) * 15) % 256 END AS gray
+      |  FROM vpx),
+      |vb AS (
+      |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by,
+      |         cast(sum(gray) // 16 AS BIGINT) AS m
+      |  FROM vg GROUP BY doc_id, f, x // 4, y // 4),
+      |vbits AS (
+      |  SELECT a.doc_id, a.f,
+      |    CASE WHEN b.m > a.m THEN 1::BIGINT << (a.by*8 + a.bx)
+      |         ELSE 0 END AS s
+      |  FROM vb a JOIN vb b
+      |    ON b.doc_id = a.doc_id AND b.f = a.f
+      |   AND b.by = a.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8),
+      |vh AS (
+      |  SELECT doc_id, f, cast(sum(s) AS BIGINT) AS phash
+      |  FROM vbits GROUP BY doc_id, f)""".stripMargin
 
   // Replays the q144 image formula + integer block means + dHash
   // bits entirely in SQL: decode(encode(x)) == x for lossless

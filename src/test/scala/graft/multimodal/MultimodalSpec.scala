@@ -226,6 +226,25 @@ class MultimodalSpec extends SparkSpec {
       viaWav.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("splitPngs walks chunk extents exactly") {
+    val a = Multimodal.encodeGrayPng(
+      Array.tabulate(36 * 28)(i => i % 256), 36, 28)
+    val b = Multimodal.encodeGrayPng(
+      Array.tabulate(36 * 28)(i => (i * 7) % 256), 36, 28)
+    val stream = a ++ b
+    val frames = Multimodal.splitPngs(stream)
+    // byte-exact frame extents — and each decodes independently
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == a.toSeq && frames(1).toSeq == b.toSeq)
+    assert(Multimodal.decodeGrayPng(frames(1)) != null)
+    // a truncated trailing frame is dropped, not mis-sliced
+    val truncated = a ++ b.take(b.length / 2)
+    val tf = Multimodal.splitPngs(truncated)
+    assert(tf.length == 1 && tf(0).toSeq == a.toSeq)
+    // non-PNG bytes produce no frames
+    assert(Multimodal.splitPngs("not a stream".getBytes("UTF-8")).isEmpty)
+  }
+
   test("encode→decode→dHash pipeline matches direct dHash (UDF path)") {
     val w = 36; val h = 28
     val df = spark.range(6).select(col("id"),
