@@ -195,27 +195,49 @@ object Multimodal {
     * differ in a few bits, so the SimHash multi-table bucketing
     * ([[graft.dedup.Dedup.bandedHammingPairs]]) applies unchanged.
     */
-  private[graft] def dHash56(pixels: Array[Int], w: Int, h: Int): Long = {
-    val (gc, gr) = (9, 7)
-    require(w % gc == 0 && h % gr == 0,
-      s"dHash56 needs dims divisible by ${gc}x$gr, got ${w}x$h")
-    val (cw, ch) = (w / gc, h / gr)
-    val means = new Array[Int](gc * gr) // floor(sum / cellArea)
+  /** REAL integer area-average downscale for exactly-divisible
+    * dims: target pixel = floor(mean) of its source cell — the
+    * resize [[dHash56]] uses internally, exposed as the pipeline
+    * resize stage for gray pixel arrays (the [[resizeStub]]
+    * byte-truncation fake remains only for opaque payloads where no
+    * decode exists; a fractional-scale resampler belongs with the
+    * lossy codecs).
+    */
+  private[graft] def resizeGrayArea(pixels: Array[Int], w: Int, h: Int,
+      tw: Int, th: Int): Array[Int] = {
+    require(w % tw == 0 && h % th == 0,
+      s"area resize needs divisible dims, got ${w}x$h -> ${tw}x$th")
+    val (cw, ch) = (w / tw, h / th)
+    val out = new Array[Int](tw * th)
     var by = 0
-    while (by < gr) {
+    while (by < th) {
       var bx = 0
-      while (bx < gc) {
+      while (bx < tw) {
         var s = 0; var y = by * ch
         while (y < (by + 1) * ch) {
           var x = bx * cw
           while (x < (bx + 1) * cw) { s += pixels(y * w + x); x += 1 }
           y += 1
         }
-        means(by * gc + bx) = s / (cw * ch)
+        out(by * tw + bx) = s / (cw * ch)
         bx += 1
       }
       by += 1
     }
+    out
+  }
+
+  /** UDF form of [[resizeGrayArea]]. */
+  def resizeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (pixels: Seq[Int], w: Int, h: Int, tw: Int, th: Int) =>
+      resizeGrayArea(pixels.toArray, w, h, tw, th).toSeq
+    }
+
+  private[graft] def dHash56(pixels: Array[Int], w: Int, h: Int): Long = {
+    val (gc, gr) = (9, 7)
+    require(w % gc == 0 && h % gr == 0,
+      s"dHash56 needs dims divisible by ${gc}x$gr, got ${w}x$h")
+    val means = resizeGrayArea(pixels, w, h, gc, gr)
     var hash = 0L; var r2 = 0
     while (r2 < gr) {
       var c = 0

@@ -226,6 +226,22 @@ class MultimodalSpec extends SparkSpec {
       viaWav.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("resizeGrayArea: exact integer area means; dHash delegates") {
+    // 2x scale of a 3x2 image: each target pixel = floor(mean of 2x2)
+    val src = Array(
+      1, 1, 2, 3, 10, 20,
+      1, 2, 3, 4, 30, 41)
+    assert(Multimodal.resizeGrayArea(src, 6, 2, 3, 1).toSeq ==
+      Seq((1 + 1 + 1 + 2) / 4, (2 + 3 + 3 + 4) / 4,
+        (10 + 20 + 30 + 41) / 4))
+    // identity resize is a no-op
+    assert(Multimodal.resizeGrayArea(src, 6, 2, 6, 2).toSeq == src.toSeq)
+    // indivisible dims fail loudly, not silently crop
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeGrayArea(src, 6, 2, 4, 1)
+    }
+  }
+
   test("splitPngs walks chunk extents exactly") {
     val a = Multimodal.encodeGrayPng(
       Array.tabulate(36 * 28)(i => i % 256), 36, 28)

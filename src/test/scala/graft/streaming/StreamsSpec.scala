@@ -210,6 +210,53 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("image-phash stream composes with nearDedupStream (real decode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // 9x7 cell patterns expanded 4x to 36x28, encoded as REAL PNGs:
+    // near differs from base in one cell of row 0 → dHash hamming 1;
+    // far reverses the row pattern → many bits differ
+    val row = Array(10, 20, 5, 30, 30, 40, 2, 9, 1)
+    def cells(mod: (Int, Int) => Int) =
+      Array.tabulate(9 * 7)(i => mod(i % 9, i / 9))
+    def expand(c: Array[Int]) =
+      Array.tabulate(36 * 28)(i => c((i / 4) % 9 + (i / (36 * 4)) * 9))
+    val base = cells((x, _) => row(x))
+    val near = cells((x, y) => if (y == 0 && x == 4) 32 else row(x))
+    val far = cells((x, _) => row(8 - x))
+    def png(c: Array[Int]) = Multimodal.encodeGrayPng(expand(c), 36, 28)
+    // sanity on the fixture itself
+    def hash(c: Array[Int]) =
+      Multimodal.dHash56(Multimodal.decodeGrayPng(png(c)), 36, 28)
+    assert(java.lang.Long.bitCount(hash(base) ^ hash(near)) == 1)
+    assert(java.lang.Long.bitCount(hash(base) ^ hash(far)) > 3)
+
+    // the stream: binary frames → real decode + phash in the map →
+    // the SAME hash-agnostic stateful near-dedup the simhash path
+    // uses (bucket = high bits of the hash)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val docs = input.toDS().map { case (id, t, bin) =>
+      Streams.SimDoc(id, t,
+        Multimodal.dHash56(Multimodal.decodeGrayPng(bin), 36, 28))
+    }
+    val query = Streams.nearDedupStream(docs, maxHamming = 3,
+      idleMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("phash_dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(1), png(base)))
+      query.processAllAvailable()
+      input.addData((2L, ts(2), png(near)), (3L, ts(3), png(far)))
+      query.processAllAvailable()
+      val out = spark.table("phash_dedup_test")
+        .as[Streams.DedupDecision].collect()
+        .map(d => d.docId -> ((d.isDup, d.nearId))).toMap
+      assert(out(1L) == ((false, -1L)))
+      assert(out(2L) == ((true, 1L))) // perceptual near-dup of 1
+      assert(out(3L) == ((false, -1L)))
+    } finally query.stop()
+  }
+
   test("passageNoveltyStream: first carrier owns the fingerprint, state expires") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.FpArrival]
