@@ -402,6 +402,44 @@ object Dedup {
         round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
   }
 
+  /** Cross-corpus n-gram-overlap contamination report (the GPT-3 /
+    * PaLM decontamination method: a training doc is contaminated to
+    * the degree its `n`-token windows appear anywhere in the
+    * benchmark corpus). Complements [[lshCandidatesAcross]] (set
+    * resemblance) and exact-hash decontam: window overlap catches
+    * partial containment — a benchmark question quoted inside a
+    * larger page — that whole-doc signatures dilute away. Returns
+    * (id, n_windows, n_hit, hit_frac) for train docs with ≥ 1
+    * benchmark window.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT window
+    * digests (benchmark-bounded, broadcastable); the training
+    * corpus streams map-side through explode → digest → broadcast
+    * left join → per-doc aggregate. ONE train-side shuffle (the
+    * per-doc aggregate of (id, flag) pairs); window text never
+    * shuffles. For a benchmark too large to broadcast the same plan
+    * becomes a shuffle equi-join on the digest — never a doc×doc
+    * product.
+    */
+  def ngramOverlapAcross(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    def windows(df: DataFrame) = df.select(col(idCol),
+        explode(TextFunctions.ngramsFast(
+          TextFunctions.tokens(col(textCol)), n)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__h"))
+    val benchH = broadcast(
+      windows(bench).select(col("__h")).distinct()
+        .withColumn("__hit", lit(1L)))
+    windows(train)
+      .join(benchH, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("hit_frac",
+        round(col("n_hit") / col("n_windows").cast("double"), 4))
+  }
+
   /** Cross-corpus LSH contamination candidates: pairs (left id,
     * right id) whose MinHash band keys collide — the two-table form
     * of [[lshCandidates]], e.g. training corpus × benchmark set.

@@ -117,6 +117,25 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Cross-corpus n-gram-overlap decontamination (the GPT-3/PaLM
+    // method; Dedup.ngramOverlapAcross): per-train-doc fraction of
+    // 13-token windows found anywhere in the benchmark. Same
+    // injected contamination as q110 (appended-token copies under
+    // id+300000) — here the report is the graded overlap fraction
+    // (high but < 1: the two appended tokens mint fresh tail
+    // windows), the partial-containment signal whole-doc signatures
+    // dilute away. Benchmark digests broadcast; train streams
+    // map-side with one per-doc aggregate shuffle.
+    "q150_ngram_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val cont = bench.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+      val train = d.filter(col("doc_id") >= 20).unionByName(cont)
+      Dedup.ngramOverlapAcross(train, bench, "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-based (α=0.5) language remixing of a 1000-doc
     // budget: per-lang targets ∝ √n, deterministic hash-rank picks.
     "q109_temp_mix" -> ((s, dir) => {
@@ -613,6 +632,29 @@ object CurationQueries extends QueryPack {
         |WHERE r.rn <= t.target_n
         |GROUP BY t.lang, t.n_total, t.target_n
         |ORDER BY t.lang""".stripMargin,
+    "q150_ngram_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
+         |bw AS (SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(l) - 12),
+         |           i -> md5(array_to_string(l[i:i+12], ' ')))) AS h
+         |       FROM tk WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, l FROM tk WHERE doc_id >= 20
+         |       UNION ALL
+         |       SELECT doc_id + 300000,
+         |              string_split(text || ' zq1 zq2', ' ')
+         |       FROM documents WHERE doc_id < 20),
+         |twin AS (SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, len(l) - 12),
+         |             i -> md5(array_to_string(l[i:i+12], ' ')))) AS h
+         |         FROM tr),
+         |per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |          CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hit
+         |        FROM twin t LEFT JOIN bw b USING (h)
+         |        GROUP BY t.doc_id)
+         |SELECT doc_id, n_windows, n_hit,
+         |  round(n_hit / CAST(n_windows AS DOUBLE), 4) AS hit_frac
+         |FROM per WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
     "q110_lsh_decontam" -> {
       val mhs = (0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")
       val bandList = (0 until 4).map(bandSql).mkString("[", ", ", "]")

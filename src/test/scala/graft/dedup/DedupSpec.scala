@@ -154,6 +154,25 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("ngramOverlapAcross grades partial containment exactly") {
+    // bench question of 6 tokens; train doc 1 quotes it inside a
+    // larger page; train doc 2 is clean. n=4-token windows.
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "intro words here what is the capital of france outro text"),
+      (2L, "a completely clean document with no overlap at all")
+    ).toDF("id", "text")
+    val rows = Dedup.ngramOverlapAcross(train, bench, "id", "text", n = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1: 11 tokens → 8 windows; the quoted 6 tokens yield 3
+    // bench windows, all hit → 3/8; clean doc 2 emits no row
+    assert(rows.map(_._1).toSeq == Seq(1L))
+    val (_, nw, nh, frac) = rows.head
+    assert((nw, nh) == ((8L, 3L)))
+    assert(math.abs(frac - 0.375) < 1e-9)
+  }
+
   test("simhashNearPairs delegation preserves the 60-bit windows") {
     // same fixture as the multi-table test: behavior must be
     // unchanged after the bandedHammingPairs refactor
