@@ -81,13 +81,20 @@ object Clustering {
       .select(col("__id").cast("int").as("__cid"), col("__qv").as("__cq"))
     require(init.count() == k,
       s"IVF-convention init needs ids 0..${k - 1} present")
+    // compiled distance kernel: the aggregate/zip_with expression
+    // form runs interpreted per (point, centroid) pair — the HOF
+    // trap PERF r7 documents for q140
+    val sqDist = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
     def assign(c: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("__id"))
         .orderBy(col("__dist"), col("__cid"))
       pts.crossJoin(broadcast(c))
-        .withColumn("__dist",
-          aggregate(zip_with(col("__qv"), col("__cq"),
-            (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+        .withColumn("__dist", sqDist(col("__qv"), col("__cq")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") === 1)
         .select(col("__id"), col("__cid").as("cluster"), col("__qv"))
