@@ -440,6 +440,21 @@ object Dedup {
         round(col("n_hit") / col("n_windows").cast("double"), 4))
   }
 
+  /** The offline artifact for streaming decontamination: the
+    * benchmark's distinct window digests as a driver-side set.
+    * DELIBERATELY bounded the way [[graft.feature.NaiveBayes
+    * .fitCompact]]'s collect is: a benchmark/holdout corpus is small
+    * by contract (that is what makes it the broadcast side of
+    * [[ngramOverlapAcross]] too); a training corpus must never pass
+    * through here.
+    */
+  def windowDigestSet(bench: DataFrame, textCol: String,
+      n: Int = 13): Set[String] =
+    bench.select(explode(TextFunctions.ngramsFast(
+        TextFunctions.tokens(col(textCol)), n)).as("__w"))
+      .select(md5(col("__w")).as("__h")).distinct()
+      .collect().map(_.getString(0)).toSet
+
   /** Cross-corpus LSH contamination candidates: pairs (left id,
     * right id) whose MinHash band keys collide — the two-table form
     * of [[lshCandidates]], e.g. training corpus × benchmark set.

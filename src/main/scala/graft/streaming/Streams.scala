@@ -385,6 +385,53 @@ object Streams {
           .otherwise("changed"))
       .drop("__d1", "__d2")
 
+  /** Streaming n-gram-overlap decontamination — the stream twin of
+    * [[graft.dedup.Dedup.ngramOverlapAcross]] (q150; the GPT-3
+    * method). The benchmark reduces OFFLINE to its distinct window
+    * digest set ([[graft.dedup.Dedup.windowDigestSet]], benchmark-
+    * bounded like the compact NB model and the boilerplate hot set);
+    * each arriving doc windows, digests, and counts hits entirely
+    * map-side in one kernel. Stateless — no state store, no
+    * watermark, no shuffle — so a contamination gate rides the
+    * ingestion stream at any rate. Emits (… , n_windows, n_hit,
+    * hit_frac); spec pins equality with the batch operator.
+    */
+  def decontamStream(docs: DataFrame, textCol: String,
+      benchDigests: Set[String], n: Int = 13): DataFrame = {
+    val statsUdf = udf { (text: String) =>
+      val toks =
+        if (text == null) Array.empty[String] else text.split(" ", -1)
+      if (toks.length < n) (0L, 0L)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var hits = 0L
+        var i = 0
+        while (i <= toks.length - n) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          md.reset()
+          val hex = md.digest(sb.toString.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (benchDigests.contains(hex)) hits += 1
+          i += 1
+        }
+        ((toks.length - n + 1).toLong, hits)
+      }
+    }
+    docs.withColumn("__s", statsUdf(col(textCol)))
+      .withColumn("n_windows", col("__s._1"))
+      .withColumn("n_hit", col("__s._2"))
+      .withColumn("hit_frac",
+        when(col("n_windows") > 0,
+          round(col("n_hit") / col("n_windows").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .drop("__s")
+  }
+
   /** Batch (non-streaming) sessionization over the same contract —
     * gap-based sessions via window lag, for parity testing and
     * backfills. Mirrors q31_sessionize's SQL shape.

@@ -257,6 +257,43 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontamStream equals the batch n-gram overlap, end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchRows = Seq(
+      (100L, "what is the capital of france asks the quiz"),
+      (101L, "name every planet in the solar system today"))
+    val trainRows = Seq(
+      (1L, "page intro what is the capital of france asks the quiz outro"),
+      (2L, "a clean document with no benchmark overlap anywhere at all"),
+      (3L, "double  spaced tokens what is the capital of france asks the quiz"))
+    val bench = benchRows.toDF("id", "text")
+    val digests = graft.dedup.Dedup.windowDigestSet(bench, "text", n = 4)
+    // batch truth from the q150 operator
+    val batch = graft.dedup.Dedup.ngramOverlapAcross(
+      trainRows.toDF("id", "text"), bench, "id", "text", n = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the stream: stateless per-row kernel against the digest set
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.decontamStream(
+      input.toDS().toDF("id", "text"), "text", digests, n = 4)
+      .writeStream.format("memory").queryName("decontam_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(trainRows: _*)
+      query.processAllAvailable()
+      val out = spark.table("decontam_test")
+        .selectExpr("id", "n_windows", "n_hit", "hit_frac")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // contaminated docs match the batch report exactly
+      batch.foreach { case (id, stats) => assert(out(id) == stats, id) }
+      // the clean doc streams through with zero hits (the batch
+      // operator drops it; the stream emits it for gating)
+      assert(out(2L)._2 == 0L)
+    } finally query.stop()
+  }
+
   test("passageNoveltyStream: first carrier owns the fingerprint, state expires") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.FpArrival]
