@@ -285,6 +285,18 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // The FULL 5-round Sennrich BPE merge-learning loop
+    // (text.Bpe.learnMerges): re-segment → pair-count → argmax →
+    // string-replace merge, five times. The space-joined symbol
+    // representation makes the merge a plain `replace` — left-to-
+    // right non-overlapping in both engines — so a TRAINED tokenizer
+    // artifact hash-verifies against DuckDB replaying the identical
+    // loop as chained CTEs.
+    "q151_bpe_learn" -> ((s, dir) => {
+      graft.text.Bpe.learnMerges(table(s, dir, "documents"), "text",
+        k = 5).orderBy(col("rank"))
+    }),
+
     // Budget-constrained selection (Pipelines.budgetSelect): take the
     // highest-quality docs (q108's fixed-point linear score) until a
     // 10k-token budget is spent. The corpus-wide running total is the

@@ -34,6 +34,76 @@ object Bpe {
     * Output: (pair, cnt) — each two-character window of each word,
     * weighted by the word's corpus frequency.
     */
+  /** The FULL Sennrich merge-learning loop, exactly replayable in
+    * SQL: words become space-joined symbol strings with a leading
+    * sentinel space (`"hello"` → `" h e l l o"`); each round counts
+    * adjacent symbol pairs over the re-segmented vocab (weighted by
+    * word frequency), picks the argmax pair (count desc, pair asc —
+    * deterministic), and applies the merge as a STRING REPLACE of
+    * `" a b"` with `" ab"`. Because every symbol occurrence is
+    * preceded by exactly one space and `replace` is left-to-right
+    * non-overlapping in Spark and in every SQL engine, the merge
+    * semantics (including overlapping-run behavior, `l l l` → one
+    * merge) agree everywhere — which is what lets q151 hash-verify
+    * a trained tokenizer artifact against DuckDB.
+    *
+    * Returns the merge table (rank, pair, merged). Scale: the loop
+    * runs over the VOCAB table (Zipf-bounded), never the corpus;
+    * each round is one pair-count aggregate plus a 1-row argmax
+    * collect (the bounded trained-artifact pattern — k rows total
+    * reach the driver). The re-segmented vocab is re-derived lazily
+    * per round from the persisted word table; with k in the
+    * thousands, checkpoint every few hundred rounds.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    var seg = words.withColumn("s",
+      concat(lit(" "), array_join(split(col("w"), ""), " ")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    for (r <- 1 to k) {
+      val syms = split(trim(col("s")), " ")
+      val best = seg
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .as[(String, Long)].collect()
+      if (best.nonEmpty) {
+        val pair = best.head._1
+        merges += ((r, pair))
+        seg = seg.withColumn("s",
+          replace(col("s"), lit(" " + pair),
+            lit(" " + pair.replace(" ", ""))))
+      }
+    }
+    val out = merges.toSeq.toDF("rank", "pair")
+      .withColumn("merged", regexp_replace(col("pair"), " ", ""))
+    words.unpersist(blocking = false)
+    out
+  }
+
+  /** Apply a learned merge table to a token column: each token is
+    * symbol-spaced and the merges replay in rank order; returns the
+    * per-token symbol arrays. Pure column expressions — the
+    * tokenizer APPLICATION is a scan-speed map with the merge list
+    * folded into the plan as literals, the shape a 100 TB
+    * tokenization pass needs (no UDF, no shuffle, no state).
+    */
+  def applyMerges(toks: org.apache.spark.sql.Column,
+      merges: Seq[String]): org.apache.spark.sql.Column =
+    transform(toks, w => {
+      val spacedW = concat(lit(" "), array_join(split(w, ""), " "))
+      val mergedAll = merges.foldLeft(spacedW)((s, p) =>
+        replace(s, lit(" " + p), lit(" " + p.replace(" ", ""))))
+      split(trim(mergedAll), " ")
+    })
+
   def pairCounts(words: DataFrame): DataFrame =
     words
       // defensive on the public surface: a 1-char word would make
