@@ -16,16 +16,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects. Read nanos as long and truncate to microsecond
-    // TimestampType — the same truncation DuckDB applies — so both
-    // engines see identical values.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    // vectorized reader rejects — read nanos as long and truncate) and
+    // as plain TIMESTAMP(MICROS) without isAdjustedToUTC (which Spark
+    // infers as TIMESTAMP_NTZ). Normalize every variant to session-TZ
+    // TimestampType at microsecond precision — the session TZ is UTC
+    // (GraftSession), so wall-clock values match what DuckDB reads
+    // from the same file in every case.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => // legacy nanos-as-long: truncate to micros
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // naive micros: relabel as UTC instant
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every table as a temp view so the SQL surface
