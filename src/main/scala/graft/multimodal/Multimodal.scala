@@ -153,8 +153,8 @@ object Multimodal {
   // (real IDAT, real CRCs — any reader opens it), decode reads
   // pixels back through the JDK's PNG plugin. Lossless round-trip
   // (8-bit gray has no chroma subsampling), pinned by
-  // MultimodalSpec. Remaining stubs: lossy codecs (JPEG) and audio
-  // samples only.
+  // MultimodalSpec. The lossy twin ([[encodeGrayJpeg]]) closes the
+  // JPEG half below; remaining stub: compressed audio only.
 
   /** Row-major gray pixels (0-255) → real PNG bytes. */
   private[graft] def encodeGrayPng(pixels: Array[Int], w: Int,
@@ -268,6 +268,100 @@ object Multimodal {
   def dHash56Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (pixels: Seq[Int], w: Int, h: Int) =>
       dHash56(pixels.toArray, w, h)
+    }
+
+  // ---- REAL lossy pixel codec (JDK javax.imageio JPEG plugin) ----
+  // The last documented pixel-codec stub closes here: encode writes a
+  // genuine baseline JFIF JPEG (real DCT, real Huffman tables — any
+  // reader opens it) at an explicit quality factor, decode reads the
+  // pixels back through the JDK's JPEG plugin. Lossy: the round-trip
+  // is NOT bit-exact, so oracle queries verify the structural facts
+  // (dims parsed from the real bytes, pixel count, bounded
+  // reconstruction error) and MultimodalSpec pins the error bands and
+  // dHash stability. Remaining stubs: compressed audio (MP3-class)
+  // only — the JDK ships no decoder for those and the sandbox has no
+  // external libs, documented at [[resizeStub]].
+
+  /** Row-major gray pixels (0-255) → real baseline JPEG bytes at the
+    * given quality (0..1).
+    */
+  private[graft] def encodeGrayJpeg(pixels: Array[Int], w: Int, h: Int,
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < w * h) { r.setSample(i % w, i / w, 0, pixels(i)); i += 1 }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Real JPEG decode → row-major gray pixels; null for undecodable.
+    * `ImageIO.read` sniffs the container, so this shares
+    * [[decodeGrayPng]]'s reader path with the JPEG plugin selected.
+    */
+  private[graft] def decodeGrayJpeg(jpeg: Array[Byte]): Array[Int] =
+    decodeGrayPng(jpeg)
+
+  /** (width, height) parsed from real JPEG bytes by pure byte math —
+    * no ImageIO. Walks the marker stream from SOI: each segment is
+    * 0xFF marker + big-endian u16 length (length includes itself);
+    * the frame headers SOF0–SOF15 (minus DHT 0xC4 / JPG 0xC8 / DAC
+    * 0xCC, which reuse the range) carry precision u8, height u16,
+    * width u16. Returns null for non-JPEG input. The JFIF twin of
+    * [[pngDims]]/[[wavInfo]], exercised in q152 against the real
+    * encoder's output.
+    */
+  private[graft] def jpegDims(bytes: Array[Byte]): Array[Int] = {
+    def u8At(i: Int): Int = bytes(i) & 0xFF
+    if (bytes.length < 4 || u8At(0) != 0xFF || u8At(1) != 0xD8) return null
+    var p = 2
+    while (p + 3 < bytes.length) {
+      if (u8At(p) != 0xFF) return null
+      val m = u8At(p + 1)
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { p += 2 } // standalone
+      else {
+        val len = (u8At(p + 2) << 8) | u8At(p + 3)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (p + 8 >= bytes.length) return null
+          val h = (u8At(p + 5) << 8) | u8At(p + 6)
+          val w = (u8At(p + 7) << 8) | u8At(p + 8)
+          return Array(w, h)
+        }
+        p += 2 + len
+      }
+    }
+    null
+  }
+
+  /** UDF: pixels + dims + quality → real JPEG bytes. */
+  def jpegEncodeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (pixels: Seq[Int], w: Int, h: Int, q: Double) =>
+      encodeGrayJpeg(pixels.toArray, w, h, q.toFloat)
+    }
+
+  /** UDF: JPEG binary → row-major gray pixel array (real decode). */
+  def jpegDecodeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (jpeg: Array[Byte]) =>
+      val p = decodeGrayJpeg(jpeg)
+      if (p == null) null else p.toSeq
+    }
+
+  /** UDF: JPEG binary → struct(width, height) via [[jpegDims]]. */
+  def jpegDimsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (jpeg: Array[Byte]) =>
+      val d = jpegDims(jpeg)
+      if (d == null) null else (d(0), d(1))
     }
 
   // ---- REAL PCM sample codec (pure byte math — no library at all) ----

@@ -420,7 +420,48 @@ object CurationQueries extends QueryPack {
        |    CAST(floor(sum(nll_e6) / count(*)) AS BIGINT) AS nll_e6
        |  FROM n GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of the FULL k-round Sennrich merge loop
+    * (text.Bpe.learnMerges): round i re-counts adjacent symbol pairs
+    * over the round-(i-1) segmentation, picks the argmax (count desc,
+    * pair asc) and applies the merge as the identical sentinel-space
+    * string replace. Unrolled as chained CTEs — standard SQL
+    * recursion cannot aggregate in the recursive term — which is
+    * exactly right for tokenizer-sized k: each round is one
+    * vocab-sized aggregate, mirroring the Spark loop's one job per
+    * round. Graduates q151 from rows-only to a full hash oracle.
+    */
+  private def bpeLearnOracle(k: Int): String = {
+    val head =
+      """WITH wc AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |seg0 AS (
+        |  SELECT freq, ' ' || array_to_string(string_split(w, ''), ' ') AS s
+        |  FROM wc)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, sum(freq) AS c FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+         |      j -> syms[j] || ' ' || syms[j+1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM seg${i - 1}))
+         |  GROUP BY pair),
+         |b$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |seg$i AS (
+         |  SELECT freq, replace(s, ' ' || b.pair,
+         |    ' ' || replace(b.pair, ' ', '')) AS s
+         |  FROM seg${i - 1}, b$i b)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT $i AS rank, pair FROM b$i")
+      .mkString(" UNION ALL ")
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT cast(rank as int) AS rank, pair," +
+      " replace(pair, ' ', '') AS merged" +
+      s"\nFROM ($union) ORDER BY rank"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q151_bpe_learn" -> bpeLearnOracle(5),
     "q122_para_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id,

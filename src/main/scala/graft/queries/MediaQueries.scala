@@ -185,6 +185,37 @@ object MediaQueries extends QueryPack {
         .agg(count(lit(1)).as("n_frames"))
         .filter(col("n_frames") >= 2)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL lossy codec round-trip: the q144 images encode as genuine
+    // baseline JPEGs (javax.imageio, q=0.9), dims parse back from the
+    // real bytes by the pure byte-math SOF walk (Multimodal.jpegDims —
+    // no ImageIO on the read side), and pixels decode back through the
+    // real JPEG plugin. Lossy codecs can't hash-verify pixel-exactly,
+    // so the oracle pins the structural facts — parsed dims, decoded
+    // pixel count, and a BOUNDED reconstruction error (measured worst
+    // max-abs error is 20 at q=0.9; the 48 bound leaves 2.4x headroom
+    // over encoder drift) — while MultimodalSpec pins the tight bands
+    // (max<=32, mean<=8, dHash distance<=10). Closes the last pixel
+    // stub: every image format the engine models now has a real codec.
+    "q152_jpeg_roundtrip" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.jpegEncodeGrayUdf(pixelsExpr, lit(imgW), lit(imgH),
+            lit(0.9)).as("jpeg"),
+          pixelsExpr.as("orig"))
+        .select(col("doc_id"),
+          Multimodal.jpegDimsUdf(col("jpeg")).as("dims"),
+          Multimodal.jpegDecodeGrayUdf(col("jpeg")).as("px"),
+          col("orig"))
+        .select(col("doc_id"),
+          col("dims._1").as("width"),
+          col("dims._2").as("height"),
+          size(col("px")).as("n_pixels"),
+          (aggregate(
+            zip_with(col("px"), col("orig"), (a, b) => abs(a - b)),
+            lit(0), (acc, x) => greatest(acc, x)) <= 48).as("err_bounded"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -229,10 +260,10 @@ object MediaQueries extends QueryPack {
   // bit-for-bit.
   private val (imgW, imgH) = (36, 28)
 
-  private def phashExpr: Column = {
+  private def pixelsExpr: Column = {
     val base = col("doc_id") - col("doc_id") % 5
     val v = col("doc_id") % 5
-    val pixels = transform(sequence(lit(0), lit(imgW * imgH - 1)), i => {
+    transform(sequence(lit(0), lit(imgW * imgH - 1)), i => {
       val x = i % imgW
       val y = floor(i / imgW).cast("int")
       // base enters the x/y GRADIENTS (not just brightness): a pure
@@ -243,11 +274,13 @@ object MediaQueries extends QueryPack {
       when(v > 0 && (x + y * imgW + v * 13) % 101 === 0,
         (g + 128) % 256).otherwise(g).cast("int")
     })
+  }
+
+  private def phashExpr: Column =
     Multimodal.dHash56Udf(
       Multimodal.pngDecodeGrayUdf(
-        Multimodal.pngEncodeGrayUdf(pixels, lit(imgW), lit(imgH))),
+        Multimodal.pngEncodeGrayUdf(pixelsExpr, lit(imgW), lit(imgH))),
       lit(imgW), lit(imgH))
-  }
 
   def oracles: Map[String, String] = Map(
     "q71_media_metadata" ->
@@ -341,7 +374,15 @@ object MediaQueries extends QueryPack {
          |FROM vh a JOIN vh b ON a.f = b.f AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Lossy codec: the oracle pins what is exactly replayable for a
+    // real JPEG — parsed dims, decoded pixel count, bounded error —
+    // not pixel values (those belong to MultimodalSpec's tight bands).
+    "q152_jpeg_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(36 AS INT) AS width, CAST(28 AS INT) AS height,
+        |  CAST(36 * 28 AS INT) AS n_pixels, TRUE AS err_bounded
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
   )
 
   // The q148 video formula + per-frame block means + dHash bits in

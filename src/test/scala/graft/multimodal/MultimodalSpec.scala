@@ -261,6 +261,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.splitPngs("not a stream".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real JPEG codec: genuine bytes, SOF dims parse, bounded loss") {
+    val (w, h) = (36, 28)
+    // the q144/q152 image family — gradients with sharp mod-256 wraps,
+    // the worst case for DCT ringing among the fixture images
+    var worstMax = 0; var worstMeanE4 = 0L; var worstDh = 0
+    for (docId <- 0L until 200L) {
+      val base = docId - docId % 5; val v = docId % 5
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val g = ((x * (3 + base % 11) + y * (5 + base % 13) +
+          ((x.toLong * y + base) % 17) * 15) % 256).toInt
+        if (v > 0 && (x + y * w + v * 13) % 101 == 0) (g + 128) % 256 else g
+      }
+      val jpg = Multimodal.encodeGrayJpeg(px, w, h, 0.9f)
+      // genuine JFIF stream: SOI marker, and the JDK's own reader
+      // opens it (any reader would)
+      assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8)
+      // pure byte-math SOF walk finds the real encoder's frame header
+      assert(Multimodal.jpegDims(jpg).toSeq == Seq(w, h))
+      val dec = Multimodal.decodeGrayJpeg(jpg)
+      assert(dec.length == w * h)
+      val diffs = px.zip(dec).map { case (a, b) => math.abs(a - b) }
+      worstMax = math.max(worstMax, diffs.max)
+      worstMeanE4 =
+        math.max(worstMeanE4, diffs.map(_.toLong).sum * 10000 / diffs.length)
+      worstDh = math.max(worstDh, java.lang.Long.bitCount(
+        Multimodal.dHash56(px, w, h) ^ Multimodal.dHash56(dec, w, h)))
+    }
+    // measured at q=0.9: max 20, mean 3.2, dHash 6 — bands leave
+    // headroom for encoder drift while staying far inside the q152
+    // oracle bound (48) and the near-dup band budget
+    assert(worstMax <= 32, s"max abs err $worstMax")
+    assert(worstMeanE4 <= 80000L, s"mean err e4 $worstMeanE4")
+    assert(worstDh <= 10, s"dHash dist $worstDh")
+  }
+
+  test("jpegDims walks markers, rejects non-JPEG, survives padding") {
+    // hand-built marker stream: SOI, APP0 (JFIF), COM, then SOF0
+    val bb = java.nio.ByteBuffer.allocate(64)
+    bb.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    bb.put(Array(0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46).map(_.toByte)) // APP0
+    bb.put(Array(0xFF, 0xFE, 0x00, 0x03, 0x21).map(_.toByte)) // COM
+    bb.put(Array(0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)) // SOF0, prec 8
+    bb.putShort(300.toShort).putShort(500.toShort) // height 300, width 500
+    bb.put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
+    assert(Multimodal.jpegDims(bb.array()).toSeq == Seq(500, 300))
+    // DHT (0xC4) in the SOF range must NOT be read as a frame header
+    val bb2 = java.nio.ByteBuffer.allocate(64)
+    bb2.put(Array(0xFF, 0xD8).map(_.toByte))
+    bb2.put(Array(0xFF, 0xC4, 0x00, 0x04, 0x00, 0x00).map(_.toByte)) // DHT
+    bb2.put(Array(0xFF, 0xC2, 0x00, 0x0B, 0x08).map(_.toByte)) // SOF2 (prog.)
+    bb2.putShort(77.toShort).putShort(99.toShort)
+    bb2.put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
+    assert(Multimodal.jpegDims(bb2.array()).toSeq == Seq(99, 77))
+    // non-JPEG inputs → null, never a throw
+    assert(Multimodal.jpegDims("not an image".getBytes("UTF-8")) == null)
+    assert(Multimodal.jpegDims(
+      Multimodal.encodeGrayPng(Array.fill(16)(0), 4, 4)) == null)
+    assert(Multimodal.jpegDims(Array[Byte](0xFF.toByte)) == null)
+  }
+
   test("encode→decode→dHash pipeline matches direct dHash (UDF path)") {
     val w = 36; val h = 28
     val df = spark.range(6).select(col("id"),
