@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.feature.Features
 import graft.io.Tables.table
 import graft.pipeline.Pipelines
-import graft.text.{TextFunctions => T}
+import graft.text.{Bpe, TextFunctions => T}
 
 /** Round-5 curation pack — the corpus-assembly operators a training
   * pipeline runs between raw scans and packing: exact-substring span
@@ -293,8 +293,68 @@ object CurationQueries extends QueryPack {
     // artifact hash-verifies against DuckDB replaying the identical
     // loop as chained CTEs.
     "q151_bpe_learn" -> ((s, dir) => {
-      graft.text.Bpe.learnMerges(table(s, dir, "documents"), "text",
+      Bpe.learnMerges(table(s, dir, "documents"), "text",
         k = 5).orderBy(col("rank"))
+    }),
+
+    // The tokenizer APPLICATION twin of q151: the 5 learned merges
+    // (a bounded trained artifact — 5 rows reach the driver) replay
+    // over the top-100 vocabulary as the expression-only
+    // Bpe.applyMerges fold, producing each word's subword
+    // segmentation. The oracle re-learns the merges in SQL (the q151
+    // CTE chain) and reads the segmentation straight out of the
+    // final re-segmented vocab table, so learn AND apply must agree
+    // end-to-end. At scale the apply side is the shape that matters:
+    // a scan-speed map with the merge list folded into the plan as
+    // literals — no UDF, no shuffle, no state — which is how a
+    // 100 TB tokenization pass runs.
+    "q154_bpe_segment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", k = 5)
+        .orderBy(col("rank")).select("pair").as[String].collect().toSeq
+      Bpe.wordCounts(docs, "text")
+        .orderBy(col("freq").desc, col("w")).limit(100)
+        .select(col("w"), col("freq"),
+          array_join(element_at(
+            Bpe.applyMerges(array(col("w")), merges), 1), " ").as("seg"))
+        .withColumn("n_subwords",
+          size(split(col("seg"), " ")).cast("long"))
+        .orderBy(col("freq").desc, col("w"))
+    }),
+
+    // Extended PII scrub (text.Redact's q153 classes): q91 covers
+    // emails + short phone groups; this adds full 10-digit NANP
+    // numbers and dotted-quad IPv4, with the 4-class chain order
+    // under oracle (NANP must mask before the short phone pattern —
+    // its ddd-dddd tail is a substring of every NANP number).
+    // Injection is deterministic — email for doc_id%3==0, NANP for
+    // %4==1, IP for %5==2, so docs carry 0-3 classes. Counts AND the
+    // md5 of the fully-redacted text hash-compare.
+    "q153_pii_redact" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          graft.text.Redact.emailCount(col("t")).cast("long")
+            .as("n_emails"),
+          graft.text.Redact.nanpCount(col("t")).cast("long")
+            .as("n_phones"),
+          graft.text.Redact.ipCount(col("t")).cast("long").as("n_ips"),
+          md5(graft.text.Redact.redactAll(col("t"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // Budget-constrained selection (Pipelines.budgetSelect): take the
@@ -430,14 +490,15 @@ object CurationQueries extends QueryPack {
     * vocab-sized aggregate, mirroring the Spark loop's one job per
     * round. Graduates q151 from rows-only to a full hash oracle.
     */
-  private def bpeLearnOracle(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val head =
       """WITH wc AS (
         |  SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) >= 2 GROUP BY w),
         |seg0 AS (
-        |  SELECT freq, ' ' || array_to_string(string_split(w, ''), ' ') AS s
+        |  SELECT w, freq,
+        |    ' ' || array_to_string(string_split(w, ''), ' ') AS s
         |  FROM wc)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
@@ -448,20 +509,62 @@ object CurationQueries extends QueryPack {
          |  GROUP BY pair),
          |b$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
          |seg$i AS (
-         |  SELECT freq, replace(s, ' ' || b.pair,
+         |  SELECT w, freq, replace(s, ' ' || b.pair,
          |    ' ' || replace(b.pair, ' ', '')) AS s
          |  FROM seg${i - 1}, b$i b)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeLearnOracle(k: Int): String = {
     val union = (1 to k).map(i => s"SELECT $i AS rank, pair FROM b$i")
       .mkString(" UNION ALL ")
-    (head +: rounds).mkString(",\n") +
+    bpeCtes(k) +
       "\nSELECT cast(rank as int) AS rank, pair," +
       " replace(pair, ' ', '') AS merged" +
       s"\nFROM ($union) ORDER BY rank"
   }
 
+  /** q154: the segmentation after k merges read straight from the
+    * re-segmented vocab — what Bpe.applyMerges must reproduce.
+    */
+  private def bpeSegmentOracle(k: Int): String =
+    bpeCtes(k) +
+      s"""
+         |SELECT w, freq, trim(s) AS seg,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_subwords
+         |FROM seg$k ORDER BY freq DESC, w LIMIT 100""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q151_bpe_learn" -> bpeLearnOracle(5),
+    "q154_bpe_segment" -> bpeSegmentOracle(5),
+    "q153_pii_redact" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact agent'
+         |         || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 1 THEN ' call 555-010-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.0.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |         || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |       ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${graft.text.Redact.emailRe}'))
+         |    AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${graft.text.Redact.nanpRe}'))
+         |    AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${graft.text.Redact.ipRe}'))
+         |    AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${graft.text.Redact.emailRe}', '<EMAIL>', 'g'),
+         |    '${graft.text.Redact.nanpRe}', '<PHONE>', 'g'),
+         |    '${graft.text.Redact.phoneRe}', '<PHONE>', 'g'),
+         |    '${graft.text.Redact.ipRe}', '<IP>', 'g')) AS clean_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q122_para_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -30,4 +30,30 @@ object Redact {
 
   def phoneCount(c: Column): Column =
     size(regexp_extract_all(c, lit(phoneRe), lit(0)))
+
+  // ---- extended classes (q153): full NANP numbers and IPv4 ----
+  // \b word boundaries are RE2-compatible (ASCII semantics match
+  // java.util.regex on ASCII text) and keep a 10-digit NANP number
+  // from being half-eaten by the short phoneRe above.
+
+  val nanpRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def maskNanp(c: Column): Column = regexp_replace(c, nanpRe, "<PHONE>")
+
+  def maskIps(c: Column): Column = regexp_replace(c, ipRe, "<IP>")
+
+  def nanpCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(nanpRe), lit(0)))
+
+  def ipCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(ipRe), lit(0)))
+
+  /** Full chain over every class. Order is load-bearing and fixed:
+    * emails first (digit runs inside addresses disappear with them),
+    * then 10-digit NANP before the short phone pattern (whose
+    * ddd-dddd shape is a substring of every NANP number), IPs last.
+    */
+  def redactAll(c: Column): Column =
+    maskIps(maskPhones(maskNanp(maskEmails(c))))
 }

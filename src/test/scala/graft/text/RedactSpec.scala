@@ -24,6 +24,23 @@ class RedactSpec extends SparkSpec {
     assert(out(2)._1.contains("<PHONE> is"))
   }
 
+  test("redactAll: NANP before short-phone, IPs, chain order pinned") {
+    val df = Seq(
+      "call 555-010-1234 or 555-0012 from 10.0.3.77 end",
+      "a@b.io at 192.168.1.1",
+      // a NANP number must become ONE <PHONE>, not a half-eaten
+      // "555-<PHONE>" from the short ddd-dddd pattern
+      "just 800-555-0199").toDF("t")
+    val out = df.select(
+      Redact.redactAll(col("t")).as("r"),
+      Redact.nanpCount(col("t")).as("np"),
+      Redact.ipCount(col("t")).as("ip"))
+      .as[(String, Int, Int)].collect()
+    assert(out(0) === (("call <PHONE> or <PHONE> from <IP> end", 1, 1)))
+    assert(out(1) === (("<EMAIL> at <IP>", 0, 1)))
+    assert(out(2) === (("just <PHONE>", 1, 0)))
+  }
+
   test("tokenChunks windows with overlap, short tail kept") {
     val df = Seq("a b c d e").toDF("t")
     val out = df.select(explode(
