@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.io.Tables.table
-import graft.multimodal.Multimodal
+import graft.multimodal.{G711, Multimodal}
 
 /** Multimodal surface: binary media columns built deterministically
   * from the documents table (magic prefix by doc_id % 4 + utf8 text
@@ -185,6 +185,35 @@ object MediaQueries extends QueryPack {
         .agg(count(lit(1)).as("n_frames"))
         .filter(col("n_frames") >= 2)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL standardized lossy AUDIO codec: G.711 μ-law companding of
+    // the q147 waveforms — 16-bit PCM → 8-bit log codes → decoded
+    // back. μ-law is exact integer math, so unlike JPEG this lossy
+    // round-trip carries a FULL hash oracle: DuckDB replays the
+    // companding (threshold-chain exponent + shifts/masks) and every
+    // decoded sample, its md5 stream digest, and the exact error
+    // sums must all match. Shrinks the audio stub to perceptual
+    // (MP3-class) codecs, which no JDK decoder exists for.
+    "q155_g711_roundtrip" -> ((s, dir) => {
+      val n = col("doc_id") % 200 + 50
+      val samples = transform(sequence(lit(0), n - 1), i =>
+        (((i * i + col("doc_id") * 31 + i * 7) % 4096) - 2048)
+          .cast("int"))
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), samples.as("x"))
+        .select(col("doc_id"), col("x"),
+          G711.ulawDecodeUdf(G711.ulawEncodeUdf(col("x"))).as("y"))
+        .select(col("doc_id"),
+          size(col("y")).cast("long").as("n_samples"),
+          aggregate(zip_with(col("x"), col("y"), (a, b) => abs(a - b)),
+            lit(0), (acc, e) => greatest(acc, e)).cast("long")
+            .as("max_abs_err"),
+          aggregate(zip_with(col("x"), col("y"), (a, b) => abs(a - b)),
+            lit(0L), (acc, e) => acc + e).as("sum_abs_err"),
+          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
+            .as("dec_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // REAL lossy codec round-trip: the q144 images encode as genuine
@@ -375,6 +404,51 @@ object MediaQueries extends QueryPack {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // G.711 μ-law is integer-exact, so the lossy round-trip replays
+    // FULLY in SQL: threshold-chain exponent (equal to the bit-scan
+    // loop on all 65536 inputs — G711Spec pins the sweep), then
+    // shifts/masks for code and reconstruction. Every decoded sample
+    // reaches the md5 stream digest; nothing is tolerance-banded.
+    "q155_g711_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
+        |  WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id, i.range AS i,
+        |    CAST(((i.range*i.range + doc_id*31 + i.range*7) % 4096) - 2048
+        |      AS INT) AS x
+        |  FROM d, range(0, 250) i WHERE i.range < d.n),
+        |e AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
+        |    least(CASE WHEN x < 0 THEN -x ELSE x END, 32635) + 132 AS xb
+        |  FROM s),
+        |u AS (
+        |  SELECT doc_id, i, x, sign, xb,
+        |    CASE WHEN xb >= 16384 THEN 7 WHEN xb >= 8192 THEN 6
+        |         WHEN xb >= 4096 THEN 5 WHEN xb >= 2048 THEN 4
+        |         WHEN xb >= 1024 THEN 3 WHEN xb >= 512 THEN 2
+        |         WHEN xb >= 256 THEN 1 ELSE 0 END AS ex
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, i, x,
+        |    255 - (sign | (ex << 4) | ((xb >> (ex + 3)) & 15)) AS code
+        |  FROM u),
+        |dc AS (
+        |  SELECT doc_id, i, x, 255 - code AS ui FROM c),
+        |dec AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN (ui & 128) <> 0
+        |      THEN -(((((ui & 15) << 3) + 132) << ((ui >> 4) & 7)) - 132)
+        |      ELSE ((((ui & 15) << 3) + 132) << ((ui >> 4) & 7)) - 132
+        |    END AS y
+        |  FROM dc)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(y - x)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(abs(y - x)) AS BIGINT) AS sum_abs_err,
+        |  md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY i)) AS dec_md5
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Lossy codec: the oracle pins what is exactly replayable for a
     // real JPEG — parsed dims, decoded pixel count, bounded error —
     // not pixel values (those belong to MultimodalSpec's tight bands).
