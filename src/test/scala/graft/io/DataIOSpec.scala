@@ -109,4 +109,38 @@ class DataIOSpec extends SparkSpec {
     DataIO.write(df, "parquet", path) // overwrite resets
     assert(DataIO.read(spark, "parquet", path).count() == 3)
   }
+
+  test("Tables.table normalizes every events.ts physical variant to " +
+      "UTC TimestampType") {
+    // the driver has regenerated events.parquet with different ts
+    // physical types across rounds (TIMESTAMP(NANOS) read as long
+    // under nanosAsLong; plain TIMESTAMP(MICROS) inferred as
+    // TIMESTAMP_NTZ) — r8 silently lost 10 queries to the switch.
+    // Pin all three branches to the same wall-clock micros.
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    def writeEvents(dir: String, frame: org.apache.spark.sql.DataFrame)
+        : Unit =
+      frame.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // legacy shape: ts as long nanos
+    val nanosDir = s"$tmp/ev_nanos"
+    writeEvents(nanosDir,
+      Seq((1L, micros * 1000L)).toDF("event_id", "ts"))
+    // current shape: ts as TIMESTAMP_NTZ micros
+    val ntzDir = s"$tmp/ev_ntz"
+    writeEvents(ntzDir, Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"),
+        expr("timestamp_micros(us)").cast(TimestampNTZType).as("ts")))
+    // already-zoned shape: plain TimestampType passes through
+    val tzDir = s"$tmp/ev_tz"
+    writeEvents(tzDir, Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts")))
+
+    for (dir <- Seq(nanosDir, ntzDir, tzDir)) {
+      val out = Tables.table(spark, dir, "events")
+      assert(out.schema("ts").dataType == TimestampType, dir)
+      assert(out.select(unix_micros(col("ts"))).as[Long].head() == micros,
+        dir)
+    }
+  }
 }
