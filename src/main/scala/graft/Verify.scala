@@ -19,6 +19,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = String.valueOf(e.getMessage)
+        // a stale result dir from a previous run must not be
+        // hash-compared as if it were this run's output — delete it
+        // so the failure surfaces as a missing query + an entry in
+        // verify_errors.json, never as silently stale results
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

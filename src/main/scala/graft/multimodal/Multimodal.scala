@@ -326,11 +326,18 @@ object Multimodal {
     def u8At(i: Int): Int = bytes(i) & 0xFF
     if (bytes.length < 4 || u8At(0) != 0xFF || u8At(1) != 0xD8) return null
     var p = 2
-    while (p + 3 < bytes.length) {
+    while (p + 1 < bytes.length) {
       if (u8At(p) != 0xFF) return null
+      // ITU T.81 B.1.1.2: markers may be preceded by any number of
+      // 0xFF fill bytes — skip the run, then read the marker code
+      while (p + 1 < bytes.length && u8At(p + 1) == 0xFF) p += 1
+      if (p + 1 >= bytes.length) return null
       val m = u8At(p + 1)
-      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { p += 2 } // standalone
-      else {
+      if (m == 0xD9) return null // EOI before any frame header
+      else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2 // standalone: SOI, TEM, RSTn carry no length
+      } else {
+        if (p + 3 >= bytes.length) return null
         val len = (u8At(p + 2) << 8) | u8At(p + 3)
         if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
           if (p + 8 >= bytes.length) return null
@@ -350,12 +357,12 @@ object Multimodal {
       encodeGrayJpeg(pixels.toArray, w, h, q.toFloat)
     }
 
-  /** UDF: JPEG binary → row-major gray pixel array (real decode). */
+  /** UDF: JPEG binary → row-major gray pixel array. Same reader as
+    * [[pngDecodeGrayUdf]] — `ImageIO.read` sniffs the container — so
+    * this is an alias, kept named for call-site clarity.
+    */
   def jpegDecodeGrayUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (jpeg: Array[Byte]) =>
-      val p = decodeGrayJpeg(jpeg)
-      if (p == null) null else p.toSeq
-    }
+    pngDecodeGrayUdf
 
   /** UDF: JPEG binary → struct(width, height) via [[jpegDims]]. */
   def jpegDimsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

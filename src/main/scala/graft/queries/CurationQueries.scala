@@ -511,7 +511,9 @@ object CurationQueries extends QueryPack {
       """WITH wc AS (
         |  SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE length(w) >= 2 GROUP BY w),
+        |  WHERE length(w) >= 2
+        |    AND NOT regexp_matches(w, '[\x{10000}-\x{10FFFF}]')
+        |  GROUP BY w),
         |seg0 AS (
         |  SELECT w, freq,
         |    ' ' || array_to_string(string_split(w, ''), ' ') AS s

@@ -204,13 +204,15 @@ object MediaQueries extends QueryPack {
         .select(col("doc_id"), samples.as("x"))
         .select(col("doc_id"), col("x"),
           G711.ulawDecodeUdf(G711.ulawEncodeUdf(col("x"))).as("y"))
+        // build the abs-diff array ONCE (HOFs are not CSE'd) and run
+        // both error folds over the column
+        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
         .select(col("doc_id"),
           size(col("y")).cast("long").as("n_samples"),
-          aggregate(zip_with(col("x"), col("y"), (a, b) => abs(a - b)),
-            lit(0), (acc, e) => greatest(acc, e)).cast("long")
-            .as("max_abs_err"),
-          aggregate(zip_with(col("x"), col("y"), (a, b) => abs(a - b)),
-            lit(0L), (acc, e) => acc + e).as("sum_abs_err"),
+          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
+            .cast("long").as("max_abs_err"),
+          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
+            .as("sum_abs_err"),
           md5(array_join(transform(col("y"), v => v.cast("string")), ","))
             .as("dec_md5"))
         .orderBy(col("doc_id"))
@@ -229,10 +231,13 @@ object MediaQueries extends QueryPack {
     // stub: every image format the engine models now has a real codec.
     "q152_jpeg_roundtrip" -> ((s, dir) => {
       table(s, dir, "documents").filter(col("doc_id") < 200)
+        // synthesize the 1008-cell pixel array ONCE per row (HOF
+        // transforms are not CSE'd), then encode from the column
+        .select(col("doc_id"), pixelsExpr.as("orig"))
         .select(col("doc_id"),
-          Multimodal.jpegEncodeGrayUdf(pixelsExpr, lit(imgW), lit(imgH),
+          Multimodal.jpegEncodeGrayUdf(col("orig"), lit(imgW), lit(imgH),
             lit(0.9)).as("jpeg"),
-          pixelsExpr.as("orig"))
+          col("orig"))
         .select(col("doc_id"),
           Multimodal.jpegDimsUdf(col("jpeg")).as("dims"),
           Multimodal.jpegDecodeGrayUdf(col("jpeg")).as("px"),

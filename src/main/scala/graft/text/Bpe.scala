@@ -59,6 +59,12 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordCounts(docs, textCol)
+      // supplementary-plane guard: Spark's split(w, "") cuts UTF-16
+      // code units (a surrogate pair becomes two lone-surrogate
+      // "symbols") while SQL engines split codepoints — the oracle
+      // could never agree. Both sides drop such words (the SQL twin
+      // filters '[\x{10000}-\x{10FFFF}]'); BMP text is unaffected.
+      .filter(!col("w").rlike("[\\uD800-\\uDFFF]"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count()
     var seg = words.withColumn("s",
@@ -67,6 +73,12 @@ object Bpe {
     for (r <- 1 to k) {
       val syms = split(trim(col("s")), " ")
       val best = seg
+        // a word can collapse to ONE symbol once merges stack up
+        // ("in" after the 'i n' merge); sequence(1, 0) would DESCEND
+        // and index element_at(syms, 0) — the same hazard pairCounts
+        // guards. Such rows simply carry no pairs, as in the oracle
+        // (generate_series(1, 0) is empty).
+        .filter(size(syms) >= 2)
         .select(col("freq"), explode(
           transform(sequence(lit(1), size(syms) - 1),
             i => concat(element_at(syms, i), lit(" "),

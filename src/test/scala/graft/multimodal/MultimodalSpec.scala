@@ -315,6 +315,25 @@ class MultimodalSpec extends SparkSpec {
     bb2.putShort(77.toShort).putShort(99.toShort)
     bb2.put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
     assert(Multimodal.jpegDims(bb2.array()).toSeq == Seq(99, 77))
+    // 0xFF fill bytes before a marker are legal padding (T.81
+    // B.1.1.2) — the walk must skip the run, not parse it as a marker
+    val bb3 = java.nio.ByteBuffer.allocate(64)
+    bb3.put(Array(0xFF, 0xD8).map(_.toByte))
+    bb3.put(Array(0xFF, 0xFF, 0xFF).map(_.toByte)) // fill run
+    bb3.put(Array(0xC0, 0x00, 0x0B, 0x08).map(_.toByte)) // SOF0 after fill
+    bb3.putShort(12.toShort).putShort(34.toShort)
+    bb3.put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
+    assert(Multimodal.jpegDims(bb3.array()).toSeq == Seq(34, 12))
+    // standalone TEM (0x01) carries no length and must be stepped over
+    val bb4 = java.nio.ByteBuffer.allocate(64)
+    bb4.put(Array(0xFF, 0xD8, 0xFF, 0x01).map(_.toByte)) // SOI, TEM
+    bb4.put(Array(0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte))
+    bb4.putShort(7.toShort).putShort(9.toShort)
+    bb4.put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
+    assert(Multimodal.jpegDims(bb4.array()).toSeq == Seq(9, 7))
+    // EOI before any frame header → null
+    assert(Multimodal.jpegDims(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)) == null)
     // non-JPEG inputs → null, never a throw
     assert(Multimodal.jpegDims("not an image".getBytes("UTF-8")) == null)
     assert(Multimodal.jpegDims(

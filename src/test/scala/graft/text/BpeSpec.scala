@@ -32,4 +32,30 @@ class BpeSpec extends SparkSpec {
       .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
     assert(viaVocab == brute)
   }
+
+  test("learnMerges survives a word collapsing to one symbol and " +
+      "stops when no pairs remain") {
+    // 'in' merges first (freq 3) and becomes a SINGLE symbol — the
+    // next round's pair generation must skip it (sequence(1, 0)
+    // would descend and index element 0), then 'a b' merges, then
+    // the loop finds no pairs at all and stops early.
+    val docs = Seq((1L, "in in ab"), (2L, "in ab")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", k = 4)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    assert(merges == Seq((1, "i n", "in"), (2, "a b", "ab")))
+  }
+
+  test("learnMerges drops supplementary-plane words both engines " +
+      "cannot segment identically") {
+    // U+1F600 splits into two UTF-16 lone surrogates under Spark's
+    // split(w, "") but one codepoint under SQL string_split — such
+    // words are excluded on both sides rather than silently diverging
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"ab$emoji ab ab cd cd")).toDF("id", "text")
+    val merges = Bpe.learnMerges(docs, "text", k = 2)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    // only 'ab' (freq 2) and 'cd' (freq 2) participate; the emoji
+    // word is gone entirely
+    assert(merges == Seq((1, "a b", "ab"), (2, "c d", "cd")))
+  }
 }
