@@ -321,7 +321,9 @@ object Streams {
       .filter(length(col(textCol)) >= minChars)
       .withColumn("__digest", md5(col(textCol)))
     dedupStream(gated, tsCol, watermark, Seq("__digest"))
-      .withColumn(textCol, graft.text.Redact.redactPii(col(textCol)))
+      // the full 4-class chain (email, NANP, short phone, IPv4) —
+      // same ordered passes the batch q153 verifies against DuckDB
+      .withColumn(textCol, graft.text.Redact.redactAll(col(textCol)))
       .drop("__digest")
   }
 

@@ -141,7 +141,8 @@ class StreamsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("curate_stream_test")
       .outputMode(OutputMode.Append()).start()
     try {
-      val body = "a long enough document reach me at bob@example.com ok"
+      val body = "a long enough document reach me at bob@example.com " +
+        "or 800-555-0199 from 10.0.3.77 ok"
       input.addData((ts(1), 1L, body), (ts(2), 2L, "short"),
         (ts(3), 3L, body)) // in-batch exact dup of doc 1
       query.processAllAvailable()
@@ -153,6 +154,9 @@ class StreamsSpec extends SparkSpec {
       assert(rows.map(_._1).toSeq == Seq(1L))
       assert(rows.head._2.contains("<EMAIL>"))
       assert(!rows.head._2.contains("bob@example.com"))
+      // the extended classes scrub at ingestion too (q153's chain)
+      assert(rows.head._2.contains("<PHONE> from <IP>"))
+      assert(!rows.head._2.contains("800-555-0199"))
     } finally query.stop()
   }
 
