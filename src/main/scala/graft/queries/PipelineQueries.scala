@@ -241,6 +241,37 @@ object PipelineQueries extends QueryPack {
           sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sampled"))
         .withColumn("rate", round(col("n_sampled") / col("n_total"), 4))
         .orderBy(col("lang"))
+    }),
+
+    // Source-keyed train/val/test split with a leakage PROOF in the
+    // result: a doc's split is a pure function of md5(source) — never
+    // of the doc — so same-source documents co-locate by
+    // construction (the guard an eval-contamination-aware corpus
+    // split needs; splitting on doc hash instead leaks near-identical
+    // same-site pages across train and test). The per-split
+    // n_leaky_sources column re-derives the property from the data
+    // (count of sources seen in >1 split, always 0) rather than
+    // asserting it, so the oracle verifies the guarantee itself. At
+    // scale: two aggregates over (source, split) pairs — the heavy
+    // per-doc stage is a scan-speed map, and the source-level tables
+    // are web-domain-bounded.
+    "q156_leakage_split" -> ((s, dir) => {
+      val bucket =
+        conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long") % 10
+      val split = when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test")
+      val docs = table(s, dir, "documents").withColumn("split", split)
+      val leaky = docs.groupBy(col("source"))
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("n_leaky_sources"))
+      docs.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("source")).cast("long").as("n_sources"))
+        .crossJoin(leaky)
+        .select(col("split"), col("n_docs"), col("n_sources"),
+          col("n_leaky_sources"))
+        .orderBy(col("split"))
     })
   )
 
@@ -485,6 +516,25 @@ object PipelineQueries extends QueryPack {
         |    AS n_sampled,
         |  round(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) * 1.0
         |        / count(*), 4) AS rate
-        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "q156_leakage_split" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN CAST(CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT)
+        |        % 10 AS BIGINT) < 8 THEN 'train'
+        |      WHEN CAST(CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT)
+        |        % 10 AS BIGINT) = 8 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |leaky AS (
+        |  SELECT cast(count(*) as bigint) AS n_leaky_sources FROM (
+        |    SELECT source FROM d GROUP BY source
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split, cast(count(*) as bigint) AS n_docs,
+        |  cast(count(DISTINCT source) as bigint) AS n_sources,
+        |  l.n_leaky_sources
+        |FROM d, leaky l GROUP BY split, l.n_leaky_sources
+        |ORDER BY split""".stripMargin
   )
 }
