@@ -341,6 +341,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDims(Array[Byte](0xFF.toByte)) == null)
   }
 
+  test("jpegDims never throws on arbitrary bytes and parses SOF " +
+      "through arbitrary junk segments (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    // arbitrary byte blobs: any outcome but an exception is fine
+    (1 to 500).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Multimodal.jpegDims(b) // must not throw
+    }
+    // well-formed streams: SOI + n junk APPn/COM segments with random
+    // lengths and bodies + SOF0 — dims must always come back exact
+    (1 to 200).foreach { _ =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xFF); out.write(0xD8)
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val body = new Array[Byte](rnd.nextInt(20))
+        rnd.nextBytes(body)
+        out.write(0xFF); out.write(0xE0 + rnd.nextInt(15)) // APPn/COM area
+        val len = body.length + 2
+        out.write(len >> 8); out.write(len & 0xFF); out.write(body)
+      }
+      val (w, h) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      out.write(0xFF); out.write(0xC0); out.write(0); out.write(11)
+      out.write(8); out.write(h >> 8); out.write(h & 0xFF)
+      out.write(w >> 8); out.write(w & 0xFF)
+      out.write(1); out.write(0x11); out.write(0); out.write(0)
+      assert(Multimodal.jpegDims(out.toByteArray).toSeq == Seq(w, h))
+    }
+  }
+
   test("encode→decode→dHash pipeline matches direct dHash (UDF path)") {
     val w = 36; val h = 28
     val df = spark.range(6).select(col("id"),
