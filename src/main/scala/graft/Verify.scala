@@ -24,7 +24,9 @@ object Verify {
         // so the failure surfaces as a missing query + an entry in
         // verify_errors.json, never as silently stale results
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() is null on I/O error — an NPE here would abort
+          // the whole verify run from inside the catch block
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
         val dir = new java.io.File(s"$outDir/$name")

@@ -313,6 +313,11 @@ object CurationQueries extends QueryPack {
       val merges = bpeMerges(s, dir)
         .orderBy(col("rank")).select("pair").as[String].collect().toSeq
       Bpe.wordCounts(docs, "text")
+        // same supplementary-plane guard as learnMerges: the oracle's
+        // wc CTE filters '[\x{10000}-\x{10FFFF}]', so a surrogate-pair
+        // word reaching the top-100 would diverge in both membership
+        // and segmentation (UTF-16 code units vs codepoints)
+        .filter(!col("w").rlike("[\\uD800-\\uDFFF]"))
         .orderBy(col("freq").desc, col("w")).limit(100)
         .select(col("w"), col("freq"),
           array_join(element_at(
@@ -527,9 +532,9 @@ object CurationQueries extends QueryPack {
          |  GROUP BY pair),
          |b$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
          |seg$i AS (
-         |  SELECT w, freq, replace(s, ' ' || b.pair,
-         |    ' ' || replace(b.pair, ' ', '')) AS s
-         |  FROM seg${i - 1}, b$i b)""".stripMargin
+         |  SELECT w, freq, coalesce(replace(s, ' ' || b.pair,
+         |    ' ' || replace(b.pair, ' ', '')), s) AS s
+         |  FROM seg${i - 1} LEFT JOIN b$i b ON true)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }

@@ -128,24 +128,18 @@ object VectorQueries extends QueryPack {
 
     // Fixed-point Gramian of the embedding column — the Σ xxᵀ input
     // every offline PCA/whitening/linear-probe fit starts from,
-    // as a pure aggregation: per-row element pairs (upper triangle)
-    // floor to integer millionths BEFORE the sum, so the 64×64
-    // matrix is exact integers (partition-order independent, SQL-
-    // replayable). Map-side partial agg collapses the element-pair
-    // stream to ≤ 2080 keys per partition; the shuffle moves 2080
-    // keys, never N·d² rows. (At extreme d, the per-partition BLAS
-    // Gramian via mapPartitions is the optimization; the aggregate
-    // form is the declarative contract.)
+    // as a pure aggregation (Gramian.gramAggregate): per-row element
+    // pairs (upper triangle) floor to integer millionths BEFORE the
+    // sum, so the 64×64 matrix is exact integers (partition-order
+    // independent, SQL-replayable). Map-side partial agg collapses
+    // the element-pair stream to ≤ 2080 keys per partition; the
+    // shuffle moves 2080 keys, never N·d² rows. At extreme d the
+    // per-partition BLAS twin (Gramian.gramBlas, GramianSpec-pinned
+    // exact-integer-equal) removes the Generate constant factor; the
+    // aggregate form stays the declarative oracle contract.
     "q142_embed_gram" -> ((s, dir) => {
-      table(s, dir, "embeddings")
-        .select(col("embedding").as("v"))
-        .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(floor(lit(1e6) *
-          (col("xi").cast("double") * col("xj").cast("double"))))
-          .as("gram_fx"))
+      graft.similarity.Gramian
+        .gramAggregate(table(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))
     }),
 

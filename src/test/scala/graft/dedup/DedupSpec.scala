@@ -296,4 +296,67 @@ class DedupSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // --- lshCandidatesAcross(broadcastRight = false): the two-large-
+  // corpora decontamination mode. Fixture mirrors q110's shape: a
+  // small benchmark corpus plus a training corpus that contains
+  // near-verbatim copies of every benchmark doc.
+  private def decontamFixture = {
+    val base = (0L until 40L).map { i =>
+      (i, s"document number $i discusses topic ${i % 7} using a " +
+        s"shared pool of filler words plus marker w${i % 11} w${i % 13}")
+    }.toDF("doc_id", "text")
+    val bench = base.filter($"doc_id" < 10)
+    val cont = bench.select(($"doc_id" + 1000L).as("doc_id"),
+      concat($"text", lit(" zq1 zq2")).as("text"))
+    (base.filter($"doc_id" >= 10).unionByName(cont), bench)
+  }
+
+  test("lshCandidatesAcross: broadcastRight=false returns exactly the broadcast-mode pairs") {
+    val (train, bench) = decontamFixture
+    def pairs(bc: Boolean) =
+      Dedup.lshCandidatesAcross(train, bench, "doc_id", "text",
+          w = 3, k = 8, bands = 4, broadcastRight = bc)
+        .as[(Long, Long)].collect().sorted.toSeq
+    val viaBroadcast = pairs(bc = true)
+    val viaShuffle = pairs(bc = false)
+    assert(viaShuffle == viaBroadcast)
+    // the planted near-verbatim copies must be among the candidates —
+    // an empty intersection would make the equality above vacuous
+    assert(viaBroadcast.exists { case (l, r) => l == r + 1000L })
+  }
+
+  test("lshCandidatesAcross: broadcastRight=false plans a shuffle equi-join on the band key") {
+    val (train, bench) = decontamFixture
+    // test data is tiny, so the STATIC planner would auto-broadcast
+    // under the 10 MB threshold regardless of the hint; disable the
+    // size-based promotion so the plan shows what the mode flag alone
+    // decides — which is the contract at two-large-corpora scale,
+    // where both sides exceed any threshold. (AQE re-promoting a
+    // runtime-small side back to broadcast is separately allowed and
+    // documented at the call site.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // executedPlan, not sparkPlan: exchanges are only inserted by
+      // EnsureRequirements during preparation (with AQE this prints
+      // the initial plan, before any runtime re-promotion)
+      val shufflePlan = Dedup.lshCandidatesAcross(train, bench,
+          "doc_id", "text", broadcastRight = false)
+        .queryExecution.executedPlan.toString
+      assert(!shufflePlan.contains("BroadcastExchange"))
+      assert(shufflePlan.contains("SortMergeJoin") ||
+        shufflePlan.contains("ShuffledHashJoin"))
+      // the equi-join key is the band digest, not a cartesian + filter
+      assert(shufflePlan.contains("band"))
+      assert(!shufflePlan.contains("CartesianProduct"))
+      // and the default mode still broadcasts even with the size-based
+      // promotion off: the explicit hint, not statistics, carries it
+      val broadcastPlan = Dedup.lshCandidatesAcross(train, bench,
+          "doc_id", "text", broadcastRight = true)
+        .queryExecution.executedPlan.toString
+      assert(broadcastPlan.contains("BroadcastExchange"))
+      assert(!broadcastPlan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
