@@ -49,11 +49,27 @@ object Redact {
   def ipCount(c: Column): Column =
     size(regexp_extract_all(c, lit(ipRe), lit(0)))
 
-  /** Full chain over every class. Order is load-bearing and fixed:
-    * emails first (digit runs inside addresses disappear with them),
-    * then 10-digit NANP before the short phone pattern (whose
-    * ddd-dddd shape is a substring of every NANP number), IPs last.
+  /** Full scrub over every class, as ONE codegen'd single-scan kernel
+    * ([[graft.expressions.PiiScrub]]): a combined alternation in
+    * chain-priority order with class-keyed replacement. The chained
+    * form below is the reference semantics (and the DuckDB oracle
+    * shape); RedactSpec pins byte-equality between the two on
+    * PII-laden corpora — they can differ only on raw adjacency
+    * collisions between classes, documented at the kernel.
     */
-  def redactAll(c: Column): Column =
+  def redactAll(c: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(
+      graft.expressions.PiiScrub(GraftShim.expression(c)))
+  }
+
+  /** Reference chain over every class — 4 sequential full-text
+    * scans. Order is load-bearing and fixed: emails first (digit
+    * runs inside addresses disappear with them), then 10-digit NANP
+    * before the short phone pattern (whose ddd-dddd shape is a
+    * substring of every NANP number), IPs last. [[redactAll]] is the
+    * single-scan production form of exactly this chain.
+    */
+  def redactAllChained(c: Column): Column =
     maskIps(maskPhones(maskNanp(maskEmails(c))))
 }
