@@ -51,11 +51,23 @@ object Bpe {
     * runs over the VOCAB table (Zipf-bounded), never the corpus;
     * each round is one pair-count aggregate plus a 1-row argmax
     * collect (the bounded trained-artifact pattern — k rows total
-    * reach the driver). The re-segmented vocab is re-derived lazily
-    * per round from the persisted word table; with k in the
-    * thousands, checkpoint every few hundred rounds.
+    * reach the driver).
+    *
+    * Lineage control: the re-segmentation is a `withColumn` fold, so
+    * without truncation round r's plan carries r stacked `replace`s —
+    * per-round analysis/optimization cost grows linearly in r
+    * (quadratic total), and past a few hundred rounds the plan tree
+    * itself becomes the bottleneck, long before any data does. Every
+    * `checkpointEvery` merges the segmented vocab is materialized via
+    * `localCheckpoint` (vocab-sized — the word table, not the
+    * corpus), resetting the plan to a scan. On a real cluster prefer
+    * a reliable `checkpoint` dir for fault tolerance at k in the tens
+    * of thousands; the truncation contract is the same (BpeSpec pins
+    * that checkpointed and un-checkpointed runs learn identical
+    * merge tables).
     */
-  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, k: Int,
+      checkpointEvery: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordCounts(docs, textCol)
@@ -92,6 +104,8 @@ object Bpe {
         seg = seg.withColumn("s",
           replace(col("s"), lit(" " + pair),
             lit(" " + pair.replace(" ", ""))))
+        if (r % checkpointEvery == 0 && r < k)
+          seg = seg.localCheckpoint(true)
       }
     }
     val out = merges.toSeq.toDF("rank", "pair")

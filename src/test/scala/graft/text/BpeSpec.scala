@@ -45,6 +45,44 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq((1, "i n", "in"), (2, "a b", "ab")))
   }
 
+  // rich synthetic corpus: enough vocab diversity to sustain 64+
+  // genuine merge rounds (pseudo-random words over a 12-letter
+  // alphabet, Zipf-ish frequencies via repetition)
+  private def richCorpus = {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "abcdefghijkl"
+    val words = (1 to 400).map { _ =>
+      (3 + rnd.nextInt(8)).to(1, -1)
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = (1 to 120).map { id =>
+      val n = 5 + rnd.nextInt(20)
+      (id.toLong,
+        Seq.fill(n)(words(math.min(rnd.nextInt(400), rnd.nextInt(400))))
+          .mkString(" "))
+    }
+    docs.toDF("id", "text")
+  }
+
+  test("learnMerges at k=64: checkpointed run equals the un-checkpointed " +
+      "run, and its first 5 merges equal the k=5 artifact") {
+    val docs = richCorpus
+    // tight checkpoint cadence so the truncation path runs 8 times
+    val k64 = Bpe.learnMerges(docs, "text", k = 64, checkpointEvery = 8)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    assert(k64.size == 64, s"corpus exhausted at ${k64.size} merges")
+    // lineage truncation must not change WHAT is learned
+    val k64NoCp = Bpe.learnMerges(docs, "text", k = 64,
+        checkpointEvery = Int.MaxValue)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    assert(k64 == k64NoCp)
+    // greedy argmax is prefix-stable: a longer run extends, never
+    // rewrites, a shorter one (the q151 k=5 artifact contract)
+    val k5 = Bpe.learnMerges(docs, "text", k = 5)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    assert(k64.take(5) == k5)
+  }
+
   test("learnMerges drops supplementary-plane words both engines " +
       "cannot segment identically") {
     // U+1F600 splits into two UTF-16 lone surrogates under Spark's
