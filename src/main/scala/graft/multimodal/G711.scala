@@ -64,4 +64,65 @@ object G711 {
 
   def ulawDecodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) => decodeUlaw(bytes).toSeq }
+
+  // ---- A-law: μ-law's telephony companion (E1 regions), the same
+  // threshold-chain structure in a 13-bit magnitude domain (the
+  // 16-bit sample pre-shifts by 3). Like μ-law it is exact integer
+  // arithmetic — q157 carries a full per-sample hash oracle, and
+  // G711Spec sweeps all 65536 inputs. Arithmetic follows the
+  // canonical public-domain g711.c (Sun/ITU): segment ends 0x1F..
+  // 0xFFF, even-bit inversion masks 0xD5/0x55.
+
+  /** One 16-bit sample → A-law code (0..255). */
+  def linearToAlaw(s: Int): Int = {
+    // arithmetic >> 3 == floor(s/8), spelled CASE-safe for the SQL twin
+    val p = if (s >= 0) s >> 3 else -((-s + 7) >> 3)
+    val mask = if (p >= 0) 0xD5 else 0x55
+    val x = if (p >= 0) p else -p - 1
+    val seg =
+      if (x <= 0x1F) 0 else if (x <= 0x3F) 1 else if (x <= 0x7F) 2
+      else if (x <= 0xFF) 3 else if (x <= 0x1FF) 4 else if (x <= 0x3FF) 5
+      else if (x <= 0x7FF) 6 else if (x <= 0xFFF) 7 else 8
+    if (seg >= 8) 0x7F ^ mask
+    else {
+      val low = if (seg < 2) (x >> 1) & 0xF else (x >> seg) & 0xF
+      ((seg << 4) | low) ^ mask
+    }
+  }
+
+  /** A-law code (0..255) → 16-bit sample. */
+  def alawToLinear(c: Int): Int = {
+    val a = (c ^ 0x55) & 0xFF
+    val t0 = (a & 0xF) << 4
+    val seg = (a & 0x70) >> 4
+    val t =
+      if (seg == 0) t0 + 8
+      else if (seg == 1) t0 + 0x108
+      else (t0 + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  def encodeAlaw(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      out(i) = linearToAlaw(samples(i)).toByte; i += 1
+    }
+    out
+  }
+
+  def decodeAlaw(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = alawToLinear(bytes(i) & 0xFF); i += 1
+    }
+    out
+  }
+
+  def alawEncodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (samples: Seq[Int]) => encodeAlaw(samples.toArray) }
+
+  def alawDecodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) => decodeAlaw(bytes).toSeq }
 }

@@ -218,6 +218,33 @@ object MediaQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // q155's telephony companion: ITU-T G.711 A-law (E1 regions) —
+    // the same exact-integer companding contract, so the same FULL
+    // per-sample hash oracle scheme. The generator spans the whole
+    // 16-bit range (q155's ±2048 would leave A-law's top segments
+    // untouched); G711Spec sweeps all 65536 inputs against the SQL
+    // threshold-chain form and pins the ≤512 error bound.
+    "q157_alaw_roundtrip" -> ((s, dir) => {
+      val n = col("doc_id") % 200 + 50
+      val samples = transform(sequence(lit(0), n - 1), i =>
+        (((i * i * 37 + col("doc_id") * 131 + i * 11) % 65536) - 32768)
+          .cast("int"))
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), samples.as("x"))
+        .select(col("doc_id"), col("x"),
+          G711.alawDecodeUdf(G711.alawEncodeUdf(col("x"))).as("y"))
+        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
+        .select(col("doc_id"),
+          size(col("y")).cast("long").as("n_samples"),
+          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
+            .cast("long").as("max_abs_err"),
+          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
+            .as("sum_abs_err"),
+          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
+            .as("dec_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL lossy codec round-trip: the q144 images encode as genuine
     // baseline JPEGs (javax.imageio, q=0.9), dims parse back from the
     // real bytes by the pure byte-math SOF walk (Multimodal.jpegDims —
@@ -448,6 +475,62 @@ object MediaQueries extends QueryPack {
         |      ELSE ((((ui & 15) << 3) + 132) << ((ui >> 4) & 7)) - 132
         |    END AS y
         |  FROM dc)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(y - x)) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(abs(y - x)) AS BIGINT) AS sum_abs_err,
+        |  md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY i)) AS dec_md5
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // A-law replay: floor-div-by-8 pre-shift (CASE-safe for negative
+    // samples), value-threshold segment chain, even-bit inversion via
+    // xor(·, 0xD5/0x55), then the inverse shifts — every decoded
+    // sample reaches the md5 stream digest, exactly like q155.
+    "q157_alaw_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
+        |  WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id, i.range AS i,
+        |    CAST(((i.range*i.range*37 + doc_id*131 + i.range*11) % 65536)
+        |      - 32768 AS INT) AS x
+        |  FROM d, range(0, 250) i WHERE i.range < d.n),
+        |p AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN x >= 0 THEN x >> 3 ELSE -((-x + 7) >> 3) END AS pv
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN pv >= 0 THEN 213 ELSE 85 END AS mask,
+        |    CASE WHEN pv >= 0 THEN pv ELSE -pv - 1 END AS xm
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, i, x, mask, xm,
+        |    CASE WHEN xm <= 31 THEN 0 WHEN xm <= 63 THEN 1
+        |         WHEN xm <= 127 THEN 2 WHEN xm <= 255 THEN 3
+        |         WHEN xm <= 511 THEN 4 WHEN xm <= 1023 THEN 5
+        |         WHEN xm <= 2047 THEN 6 WHEN xm <= 4095 THEN 7
+        |         ELSE 8 END AS seg
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN seg >= 8 THEN xor(127, mask)
+        |         ELSE xor((seg << 4) |
+        |           (CASE WHEN seg < 2 THEN (xm >> 1) & 15
+        |                 ELSE (xm >> seg) & 15 END), mask)
+        |    END AS code
+        |  FROM g),
+        |dc AS (SELECT doc_id, i, x, xor(code, 85) & 255 AS a FROM c),
+        |dt AS (
+        |  SELECT doc_id, i, x, a,
+        |    CASE WHEN ((a & 112) >> 4) = 0 THEN ((a & 15) << 4) + 8
+        |         WHEN ((a & 112) >> 4) = 1 THEN ((a & 15) << 4) + 264
+        |         ELSE (((a & 15) << 4) + 264) << (((a & 112) >> 4) - 1)
+        |    END AS t
+        |  FROM dc),
+        |dec AS (
+        |  SELECT doc_id, i, x,
+        |    CASE WHEN (a & 128) <> 0 THEN t ELSE -t END AS y
+        |  FROM dt)
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(max(abs(y - x)) AS BIGINT) AS max_abs_err,
