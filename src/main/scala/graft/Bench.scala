@@ -28,25 +28,23 @@ object Bench {
     // The generic warm-up above still leaves a ~13 s one-time cost that
     // lands on whichever query the Map iteration runs FIRST (r8 charged
     // it to q63, r9 to q14 — both sub-second in every other series
-    // reading). Two defenses: (a) run the first-in-order query once
-    // untimed, so the residual first-action machinery (broadcast
-    // thread pool, first real parquet scan codegen, OS page-cache
-    // population after a host phase) is paid outside the timers;
-    // (b) min-of-2 for any query whose first reading exceeds 3 s —
-    // a second run of a genuinely expensive query reproduces the
-    // cost, while a one-off host-phase stall does not. Bounded extra
-    // work: only the handful of >3 s queries re-run.
+    // reading): residual first-action machinery — broadcast thread
+    // pool, first real parquet scan codegen, OS page-cache population
+    // after a host phase. Run the first-in-order query once untimed so
+    // that cost is paid outside the timers; the main loop then times
+    // it like every other query. (A min-of-2 retry for slow readings
+    // was considered and REJECTED: queries carrying a session-memoized
+    // fit — LDA, PageRank, LSH, BPE — would have their second run read
+    // the memo and the min would silently drop the fit cost the bench
+    // charges once per run, by design. Mid-run one-off stalls on other
+    // queries remain visible noise; re-run before attributing.)
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val first = timeOnce(fn)
-      name -> (if (first > 3.0) math.min(first, timeOnce(fn)) else first)
+      name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
     // The driver captures only the LAST 2000 chars of stdout, and sbt
