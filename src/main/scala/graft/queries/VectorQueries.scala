@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables.table
-import graft.similarity.{Ann, Clustering}
+import graft.similarity.{Ann, Clustering, Pq}
 
 /** Vector-at-scale surface beyond q48/q49: IVF cluster-then-probe
   * ANN (the index shape that bounds the candidate shuffle at 100 TB)
@@ -161,6 +161,21 @@ object VectorQueries extends QueryPack {
       Ann.hardNegativesLsh(table(s, dir, "embeddings"), "vec_id",
         "embedding", "label", planes = 8, k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-quantization ANN (Pq.adcTopK): 4 subspaces × 4-centroid
+    // exact-integer codebooks (one Lloyd loop over all subspaces at
+    // once), vectors encoded to 4 codes, queries scored by ADC — the
+    // compressed-index shape where the candidate scan reads m BYTES
+    // per vector and the codebook/distance tables broadcast, which is
+    // what makes embedding search tractable when the raw vectors are
+    // 100 TB. Training included, the whole pass replays in SQL.
+    "q158_ann_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Pq.adcTopK(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+        dim = 64, m = 4, k = 4, iters = 2, topK = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -236,7 +251,58 @@ object VectorQueries extends QueryPack {
       +: rounds :+ assign(iters + 1, s"c$iters")).mkString(",\n")
   }
 
+  /** PQ replay (q158): the q120 Lloyd arithmetic with the subspace id
+    * as an extra grouping key, then codes + ADC. subDim fixed at 16
+    * (dim 64 / m 4; DuckDB range() rejects lateral len() args).
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int, subDim: Int): String = {
+    val up = subDim + 1
+    def assign(n: Int, c: String) =
+      s"""a$n AS (SELECT p.id, p.s, c.cid, p.v,
+         |  cast(list_sum(list_transform(range(1, $up),
+         |    i -> (p.v[i] - c.cq[i]) * (p.v[i] - c.cq[i])))
+         |    AS BIGINT) AS d
+         |FROM sub p JOIN $c c ON p.s = c.s
+         |QUALIFY row_number() OVER (PARTITION BY p.id, p.s
+         |  ORDER BY d, c.cid) = 1)""".stripMargin
+    def update(n: Int) =
+      s"""c$n AS (SELECT s, cid, list(m ORDER BY pos) AS cq
+         |FROM (SELECT s, cid, i.range AS pos,
+         |        cast(sum(v[i.range]) AS BIGINT) // count(*) AS m
+         |      FROM a$n CROSS JOIN range(1, $up) i
+         |      GROUP BY s, cid, i.range)
+         |GROUP BY s, cid)""".stripMargin
+    val rounds = (1 to iters).map(n => s"${assign(n, s"c${n - 1}")},\n${update(n)}")
+    (s"""q AS (SELECT vec_id AS id,
+        |  list_transform(embedding,
+        |    x -> cast(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+        |FROM embeddings),
+        |sub AS (SELECT id, cast(s.range AS INT) AS s,
+        |          qv[$subDim * s.range + 1 : $subDim * s.range + $subDim] AS v
+        |        FROM q CROSS JOIN range(0, $m) s),
+        |c0 AS (SELECT s, cast(id AS INT) AS cid, v AS cq FROM sub
+        |       WHERE id < $k)""".stripMargin
+      +: rounds :+ assign(iters + 1, s"c$iters")).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q158_ann_pq" ->
+      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, subDim = 16)},
+         |qdt AS (SELECT p.id AS query_id, p.s, c.cid,
+         |    cast(list_sum(list_transform(range(1, 17),
+         |      i -> (p.v[i] - c.cq[i]) * (p.v[i] - c.cq[i])))
+         |      AS BIGINT) AS d
+         |  FROM sub p JOIN c2 c ON p.s = c.s
+         |  WHERE p.id >= 20 AND p.id < 40),
+         |adc AS (SELECT t.query_id, codes.id AS neighbor_id,
+         |    cast(sum(t.d) AS BIGINT) AS adist
+         |  FROM a3 codes JOIN qdt t ON codes.s = t.s AND codes.cid = t.cid
+         |  WHERE codes.id != t.query_id
+         |  GROUP BY t.query_id, codes.id),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adist, neighbor_id) AS INT) AS rank FROM adc)
+         |SELECT query_id, neighbor_id, adist, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q120_embed_clusters" ->
       s"""WITH ${lloydCtes(k = 8, iters = 2)}
          |SELECT cluster, cast(count(*) AS BIGINT) AS n
