@@ -275,6 +275,42 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode cleanup pass (T.nfc + control/zero-width strip +
+    // space unification + whitespace collapse) — the first transform
+    // of every pretraining text pipeline. The corpus is ASCII, so a
+    // deterministic marker injects the cases that matter (combining
+    // accents, the U+212B singleton, a control char, NBSP, ZWSP,
+    // double spaces) identically on both sides; the oracle then
+    // verifies the normalization arithmetic itself via DuckDB's
+    // nfc_normalize. Everything fuses into one codegen'd Project —
+    // zero exchanges beyond the presentation sort, the q153 scrub
+    // shape: cleanup rides the scan.
+    "q159_unicode_clean" -> ((s, dir) => {
+      // A+U+030A (combining ring) and the U+212B angstrom singleton
+      // both map to U+00C5 under NFC; e/o + combining accents
+      // compose; U+0007 strips, U+00A0 unifies, U+200B drops.
+      val marker = " A\u030A\u212B Cafe\u0301 No\u0308el\u0007ctl" +
+        "\u00A0nb\u200Bzw  t "
+      val dirty = concat(col("text"), lit(marker))
+      val nfcd = T.nfc(dirty)
+      val clean = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(nfcd,
+              "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+            "[\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
+          "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]",
+          " "),
+        "\\s+", " "))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          (dirty =!= nfcd).as("changed_nfc"),
+          length(dirty).cast("long").as("n_raw"),
+          length(clean).cast("long").as("n_clean"),
+          md5(clean).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // First BPE-training iteration (text.Bpe): adjacent symbol-pair
     // counts over the distinct word table weighted by frequency —
     // pair work scales with |vocab|, not corpus tokens.
@@ -559,6 +595,32 @@ object CurationQueries extends QueryPack {
          |FROM seg$k ORDER BY freq DESC, w LIMIT 100""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // marker built from chr() so the SQL carries no raw control or
+    // combining bytes; codepoints match the Scala \uXXXX escapes
+    "q159_unicode_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' A' || chr(778) || chr(8491)
+        |    || ' Cafe' || chr(769) || ' No' || chr(776) || 'el'
+        |    || chr(7) || 'ctl' || chr(160) || 'nb' || chr(8203)
+        |    || 'zw  t ' AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfcd FROM d),
+        |c AS (SELECT doc_id, dirty, nfcd,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(nfcd,
+        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+        |      ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM n)
+        |SELECT doc_id, dirty != nfcd AS changed_nfc,
+        |  CAST(length(dirty) AS BIGINT) AS n_raw,
+        |  CAST(length(clean) AS BIGINT) AS n_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q151_bpe_learn" -> bpeLearnOracle(5),
     "q154_bpe_segment" -> bpeSegmentOracle(5),
     "q153_pii_redact" ->

@@ -221,6 +221,22 @@ object TextFunctions {
       .toLowerCase(java.util.Locale.ROOT)
   }
 
+  /** Unicode NFC canonical composition (UAX #15) — the lossless
+    * sibling of [[foldAccents]]: decomposed accents and singleton
+    * compatibility points (Å vs A+ring, Ω vs ohm sign) collapse to
+    * one canonical spelling WITHOUT dropping content, so dedup,
+    * shingling and tokenization see one byte sequence per grapheme.
+    * A native codegen expression
+    * ([[graft.expressions.NfcNormalize]]) with a zero-allocation
+    * fast path for already-NFC rows (nearly all of a real corpus).
+    * Cross-engine: agrees with DuckDB's `nfc_normalize` (q159).
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.expressions.NfcNormalize(
+      GraftShim.expression(text)))
+  }
+
   /** Order-independent document fingerprint: md5 of the sorted
     * distinct token set. Stable under token reordering — the cheap
     * "same bag of words" dedup key.
