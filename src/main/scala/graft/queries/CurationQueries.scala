@@ -41,41 +41,29 @@ object CurationQueries extends QueryPack {
 
     // Gopher repetition rules: fraction of characters taken by the
     // single most frequent 2-/3-/4-gram (ties broken by gram text).
-    // ONE scan and ONE shuffle for all three sizes: n-grams carry
-    // their size tag through a single explode, and repartitioning by
-    // doc alone satisfies every downstream clustering requirement
-    // (per-(doc,n,gram) count, per-(doc,n) top-1 window, per-doc
-    // pivot) — docs are small, so per-doc co-location cannot skew.
+    // A per-document statistic, so it is computed ENTIRELY map-side
+    // (T.topNgramPerSize counts each size in one per-row hash map):
+    // the r5–r9 form exploded every tagged gram and shuffled the
+    // stream back to its own document (~tokens×3 rows/doc) for no
+    // cross-document information; now the whole operator is one
+    // Project on the scan — zero exchanges beyond the presentation
+    // sort, the q153/q159 shape. PERF r10 has the A/B.
     "q107_top_ngram" -> ((s, dir) => {
-      val w = Window.partitionBy(col("doc_id"), col("n"))
-        .orderBy(col("c").desc, col("g"))
-      def pick(n: Int, c: org.apache.spark.sql.Column) =
-        max(when(col("n") === n, c))
+      def frac(e: org.apache.spark.sql.Column) =
+        round(e.getField("_3") * length(e.getField("_2"))
+          / col("n_chars").cast("double"), 4)
       table(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), T.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("n_chars"),
-          explode(T.taggedNgramsFast(col("toks"), 2, 4)).as("ng"))
-        .select(col("doc_id"), col("n_chars"),
-          col("ng._1").as("n"), col("ng._2").as("g"))
-        .repartition(col("doc_id"))
-        .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .withColumn("frac",
-          round(col("c") * length(col("g")) / col("n_chars").cast("double"), 4))
-        .groupBy(col("doc_id"))
-        .agg(pick(2, col("g")).as("top2_gram"),
-          pick(2, col("c")).as("top2_n"),
-          pick(2, col("frac")).as("top2_frac"),
-          pick(3, col("frac")).as("top3_frac"),
-          pick(4, col("frac")).as("top4_frac"))
-        // docs too short for a size produce no row for it: drop them,
+          T.topNgramPerSize(T.tokens(col("text")), 2, 4).as("tops"))
+        // docs too short for a size have no entry for it: drop them,
         // matching the previous inner-join semantics (and the oracle)
-        .filter(col("top2_frac").isNotNull && col("top3_frac").isNotNull &&
-          col("top4_frac").isNotNull)
-        .select(col("doc_id"), col("top2_gram"), col("top2_n"),
-          col("top2_frac"), col("top3_frac"), col("top4_frac"))
+        .filter(size(col("tops")) === 3)
+        .select(col("doc_id"),
+          col("tops")(0).getField("_2").as("top2_gram"),
+          col("tops")(0).getField("_3").as("top2_n"),
+          frac(col("tops")(0)).as("top2_frac"),
+          frac(col("tops")(1)).as("top3_frac"),
+          frac(col("tops")(2)).as("top4_frac"))
         .orderBy(col("doc_id"))
     }),
 

@@ -221,6 +221,67 @@ object TextFunctions {
       .toLowerCase(java.util.Locale.ROOT)
   }
 
+  /** Per-document most-frequent n-gram for each size in
+    * [minN, maxN], computed entirely map-side — the Gopher
+    * repetition signal is a PER-DOCUMENT statistic, so shuffling the
+    * exploded gram stream only to group it back by document (the
+    * q107 shape before r10) moves ~tokens×sizes rows per doc for no
+    * cross-document information. This kernel counts each size's
+    * grams in one hash map per (row, size) and emits the (count
+    * desc, gram asc) winner, so the whole operator fuses into the
+    * scan: zero exchanges beyond presentation.
+    *
+    * Returns array<struct<_1:n, _2:gram, _3:count>> ordered by n;
+    * sizes with no gram (too few tokens) are absent. Tie-break is
+    * String.compareTo (UTF-16 code units) == UTF-8 binary order on
+    * ASCII/BMP text — the same order the grouped-aggregate form and
+    * the DuckDB oracle use on this corpus.
+    */
+  def topNgramPerSize(toks: Column, minN: Int, maxN: Int): Column =
+    topNgramUdf(minN, maxN)(toks)
+
+  private def topNgramUdf(minN: Int, maxN: Int) = udf {
+    (t: Seq[String]) =>
+      if (t == null) Seq.empty[(Int, String, Long)]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, Long)]
+        var n = minN
+        while (n <= maxN) {
+          if (t.length >= n) {
+            val m = new java.util.HashMap[String, java.lang.Long]()
+            var i = 0
+            while (i <= t.length - n) {
+              val sb = new java.lang.StringBuilder()
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(t(i + j))
+                j += 1
+              }
+              m.merge(sb.toString, java.lang.Long.valueOf(1L),
+                (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+              i += 1
+            }
+            var bestG: String = null
+            var bestC = 0L
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c = e.getValue.longValue
+              if (bestG == null || c > bestC ||
+                  (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+                bestG = e.getKey; bestC = c
+              }
+            }
+            out += ((n, bestG, bestC))
+          }
+          n += 1
+        }
+        out.toSeq
+      }
+  }
+
   /** Unicode NFC canonical composition (UAX #15) — the lossless
     * sibling of [[foldAccents]]: decomposed accents and singleton
     * compatibility points (Å vs A+ring, Ω vs ohm sign) collapse to

@@ -89,29 +89,46 @@ object Winnow {
   def fingerprintsFast(text: Column, k: Int = 8, w: Int = 4): Column =
     winnowUdf(k, w)(text)
 
+  /** One digest per thread (not per row) and one 16-byte output
+    * buffer reused across grams — the per-gram loop allocates
+    * nothing (the old form built a String + byte[] per gram and a
+    * MessageDigest per row; PERF r10 has the A/B).
+    */
+  private val localMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private def winnowUdf(k: Int, w: Int) =
     udf { (raw: String) =>
       if (raw == null) Seq.empty[Long]
       else {
         val lower = raw.toLowerCase(java.util.Locale.ROOT)
-        val sb = new java.lang.StringBuilder(lower.length)
+        // kept chars are [a-z0-9] — single-byte UTF-8 by construction,
+        // so the gram bytes can be sliced straight from one array
+        val bytes = new Array[Byte](lower.length)
+        var n = 0
         var i = 0
         while (i < lower.length) {
           val c = lower.charAt(i)
-          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+            bytes(n) = c.toByte; n += 1
+          }
           i += 1
         }
-        val s = sb.toString
-        val nGrams = s.length - k + 1
+        val nGrams = n - k + 1
         if (nGrams < w) Seq.empty[Long]
         else {
-          val digest = java.security.MessageDigest.getInstance("MD5")
+          val digest = localMd5.get()
+          val out16 = new Array[Byte](16)
           val hashes = new Array[Long](nGrams)
           var p = 0
           while (p < nGrams) {
             digest.reset()
-            digest.update(s.substring(p, p + k).getBytes("UTF-8"))
-            val d = digest.digest()
+            digest.update(bytes, p, k)
+            digest.digest(out16, 0, 16)
+            val d = out16
             hashes(p) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
               ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
             p += 1
