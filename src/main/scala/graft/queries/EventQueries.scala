@@ -34,6 +34,45 @@ object EventQueries extends QueryPack {
         .orderBy(col("win_start"))
     }),
 
+    // Explicit key-salting for a KNOWN hot join key
+    // (ops.SaltedJoin): half the corpus collapses onto key 1 (the
+    // even user_ids), the event→segment dimension join salts 8 ways
+    // on a hash of event_id, and the hot key's rows land on 8
+    // reducers instead of one. Salting is semantics-preserving by
+    // construction, so the oracle runs the UNSALTED SQL — what the
+    // hash-compare verifies is exactly that the mitigation changed
+    // nothing but the partitioning.
+    "q161_salted_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("k",
+          when(col("user_id") % 2 === 0, 1L).otherwise(col("user_id")))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.ops.SaltedJoin.equiJoin(ev, dim, "k", col("event_id"),
+          nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).as("value_fx"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Certified heavy hitters in bounded memory
+    // (ops.HeavyHitters): per-partition Misra-Gries summaries
+    // (≤ 256 counters each) → candidate union → exact recount →
+    // integer certification n×capacity > N. The contract is provable
+    // containment, not approximation, so the oracle is the plain
+    // HAVING-count aggregate — at 100 TB the difference is that the
+    // full groupBy shuffles every distinct key while this shuffles
+    // ≤ partitions×capacity candidates. Same skewed key as q161.
+    "q162_heavy_hitters" -> ((s, dir) => {
+      val keyed = table(s, dir, "events")
+        .select(when(col("user_id") % 2 === 0, 1L)
+          .otherwise(col("user_id")).as("k"))
+      graft.ops.HeavyHitters.certified(keyed, "k", capacity = 256)
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -47,6 +86,31 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the UNSKETCHED aggregate: the certification contract says the
+    // bounded-memory pipeline equals this bit-for-bit
+    "q162_heavy_hitters" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END AS k
+        |  FROM events),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY k),
+        |t AS (SELECT count(*) AS total FROM ev)
+        |SELECT c.k, c.n FROM c, t
+        |WHERE c.n * 256 > t.total ORDER BY c.n DESC, c.k""".stripMargin,
+    // deliberately UNSALTED: the oracle proves the salt changed
+    // nothing but the partitioning
+    "q161_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END AS k
+        |  FROM events),
+        |j AS (SELECT ev.user_id, ev.value, c.c_mktsegment
+        |      FROM ev JOIN customer c ON ev.k = c.c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_fx
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q68_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |       cast(count(*) as bigint) AS n, round(sum(value), 4) AS total

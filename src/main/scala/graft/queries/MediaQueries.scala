@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.io.Tables.table
-import graft.multimodal.{G711, Multimodal}
+import graft.multimodal.{G711, ImaAdpcm, Multimodal}
 
 /** Multimodal surface: binary media columns built deterministically
   * from the documents table (magic prefix by doc_id % 4 + utf8 text
@@ -233,6 +233,33 @@ object MediaQueries extends QueryPack {
         .select(col("doc_id"), samples.as("x"))
         .select(col("doc_id"), col("x"),
           G711.alawDecodeUdf(G711.alawEncodeUdf(col("x"))).as("y"))
+        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
+        .select(col("doc_id"),
+          size(col("y")).cast("long").as("n_samples"),
+          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
+            .cast("long").as("max_abs_err"),
+          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
+            .as("sum_abs_err"),
+          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
+            .as("dec_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The STATEFUL member of the telephony family: IMA/DVI4 ADPCM
+    // (multimodal.ImaAdpcm) — 4:1 compression with a (predictor,
+    // step-index) recurrence across samples, still exact integer
+    // arithmetic, so the oracle replays the whole recurrence with a
+    // recursive CTE and every decoded sample + error sums + stream
+    // digest hash-match. Same generator/corpus slice as q157.
+    "q160_adpcm_roundtrip" -> ((s, dir) => {
+      val n = col("doc_id") % 200 + 50
+      val samples = transform(sequence(lit(0), n - 1), i =>
+        (((i * i * 37 + col("doc_id") * 131 + i * 11) % 65536) - 32768)
+          .cast("int"))
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), samples.as("x"))
+        .select(col("doc_id"), col("x"),
+          ImaAdpcm.decodeUdf(ImaAdpcm.encodeUdf(col("x"))).as("y"))
         .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
         .select(col("doc_id"),
           size(col("y")).cast("long").as("n_samples"),
@@ -537,6 +564,68 @@ object MediaQueries extends QueryPack {
         |  CAST(sum(abs(y - x)) AS BIGINT) AS sum_abs_err,
         |  md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY i)) AS dec_md5
         |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ADPCM replay: the encoder's quantize + the decoder-mirrored
+    // reconstruction walk sample-by-sample in a RECURSIVE CTE (state
+    // = (predictor, step-index) per doc; LATERAL chain stages the
+    // intermediate integers because the recursive SELECT list must
+    // keep the anchor's arity). Step/index tables are injected from
+    // ImaAdpcm so Scala and SQL share one source of truth. Every
+    // decoded sample reaches the md5 stream digest.
+    "q160_adpcm_roundtrip" -> {
+      val st = ImaAdpcm.StepTable.mkString("[", ",", "]")
+      val it = ImaAdpcm.IndexTable.mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, doc_id % 200 + 50),
+         |      i -> CAST((i*i*37 + doc_id*131 + i*11) % 65536 - 32768
+         |        AS INTEGER)) AS x
+         |  FROM documents WHERE doc_id < 200),
+         |rec AS (
+         |  SELECT doc_id, 0 AS pos, 0 AS pred, 0 AS idx,
+         |         CAST('' AS VARCHAR) AS acc, 0 AS maxe,
+         |         CAST(0 AS BIGINT) AS sume
+         |  FROM g
+         |  UNION ALL
+         |  SELECT r.doc_id, r.pos + 1, z5.npred, z5.nidx,
+         |         r.acc || CASE WHEN r.pos = 0 THEN '' ELSE ',' END
+         |               || CAST(z5.npred AS VARCHAR),
+         |         greatest(r.maxe, z6.err), r.sume + z6.err
+         |  FROM rec r JOIN g USING (doc_id),
+         |  LATERAL (SELECT g.x[r.pos + 1] AS xv,
+         |                  ($st)[r.idx + 1] AS step) z1,
+         |  LATERAL (SELECT z1.xv - r.pred AS diff) z2,
+         |  LATERAL (SELECT CASE WHEN z2.diff < 0 THEN 8 ELSE 0 END AS sgn,
+         |                  abs(z2.diff) AS ad0) z3,
+         |  LATERAL (SELECT CASE WHEN z3.ad0 >= z1.step
+         |                       THEN 4 ELSE 0 END AS b2) z3a,
+         |  LATERAL (SELECT z3.ad0 - CASE WHEN z3a.b2 = 4
+         |                       THEN z1.step ELSE 0 END AS ad1) z3b,
+         |  LATERAL (SELECT CASE WHEN z3b.ad1 >= z1.step // 2
+         |                       THEN 2 ELSE 0 END AS b1) z3c,
+         |  LATERAL (SELECT CASE WHEN z3b.ad1 - CASE WHEN z3c.b1 = 2
+         |                         THEN z1.step // 2 ELSE 0 END
+         |                       >= z1.step // 4
+         |                       THEN 1 ELSE 0 END AS b0) z3d,
+         |  LATERAL (SELECT z1.step // 8
+         |                + CASE WHEN z3a.b2 = 4 THEN z1.step ELSE 0 END
+         |                + CASE WHEN z3c.b1 = 2 THEN z1.step // 2 ELSE 0 END
+         |                + CASE WHEN z3d.b0 = 1 THEN z1.step // 4 ELSE 0 END
+         |                  AS v) z4,
+         |  LATERAL (SELECT greatest(-32768, least(32767,
+         |             CASE WHEN z3.sgn = 8 THEN r.pred - z4.v
+         |                  ELSE r.pred + z4.v END)) AS npred,
+         |           greatest(0, least(88, r.idx +
+         |             ($it)[z3a.b2 + z3c.b1 + z3d.b0 + 1])) AS nidx) z5,
+         |  LATERAL (SELECT abs(z1.xv - z5.npred) AS err) z6
+         |  WHERE r.pos < len(g.x))
+         |SELECT r.doc_id, CAST(len(g.x) AS BIGINT) AS n_samples,
+         |  CAST(r.maxe AS BIGINT) AS max_abs_err, r.sume AS sum_abs_err,
+         |  md5(r.acc) AS dec_md5
+         |FROM rec r JOIN g USING (doc_id)
+         |WHERE r.pos = len(g.x)
+         |ORDER BY r.doc_id""".stripMargin
+    },
     // Lossy codec: the oracle pins what is exactly replayable for a
     // real JPEG — parsed dims, decoded pixel count, bounded error —
     // not pixel values (those belong to MultimodalSpec's tight bands).

@@ -49,11 +49,14 @@ class EntrySpec extends AnyFunSuite {
     // clause is declared RECURSIVE (found via q139: duplicate edges
     // flipped a vote argmax at sf0.1 only). Guard: RECURSIVE is
     // allowed only when the SQL contains a self-referencing CTE —
-    // every recursive oracle here uses the reach(a, b) pattern.
+    // the graph oracles' reach(a, b) pattern, or a `name AS (...)`
+    // whose body reads FROM itself (q160's per-sample state walk).
+    val selfRef = "(?s).*\\b(\\w+) AS \\(.*FROM \\1\\b.*".r
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
           if sql.toUpperCase.contains("WITH RECURSIVE") &&
-            !sql.contains("reach(") =>
+            !sql.contains("reach(") &&
+            !selfRef.matches(sql) =>
         name
     }
     assert(offenders.isEmpty,
