@@ -149,6 +149,27 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("nationkey"))
     }),
 
+    // Bucketed co-located join (io.Bucketing): orders and lineitem
+    // are written ONCE per session+sfDir as bucketed+sorted external
+    // tables (8 buckets on the orderkey, one file per bucket), and
+    // the join then reads bucket layout straight from the catalog —
+    // Scan → SortMergeJoin with NO Exchange on either side
+    // (BucketingSpec pins the plan). The storage-side answer to
+    // repeated fact-×-fact joins: shuffle each table once at ingest,
+    // never again. The oracle is the plain join — layout must change
+    // nothing but the plan.
+    "q163_bucketed_join" -> ((s, dir) => {
+      val (ot, lt) = bucketedTables(s, dir)
+      graft.io.Bucketing
+        .colocatedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("rev_fx"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Union + distinct (U1) across two inputs.
     "q10_union_distinct" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -218,7 +239,40 @@ object RelationalQueries extends QueryPack {
     })
   )
 
+  /** One bucketed-layout write per (session, sfDir) — the ingest
+    * cost q163 amortizes; repeat invocations (Verify then Bench in
+    * one JVM) reuse the registered tables. Table names and paths are
+    * keyed by the dir digest so scale factors never collide.
+    */
+  private val bucketedDone =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedDone.computeIfAbsent(Memo.key(s, dir), _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val ot = s"graft_b_orders_$tag"
+      val lt = s"graft_b_lineitem_$tag"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+      graft.io.Bucketing.writeBucketed(
+        table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")),
+        ot, s"$base/orders", "o_orderkey", buckets = 8)
+      graft.io.Bucketing.writeBucketed(
+        table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        lt, s"$base/lineitem", "l_orderkey", buckets = 8)
+      (ot, lt)
+    })
+
   def oracles: Map[String, String] = Map(
+    "q163_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_fx,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
