@@ -35,5 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_term_counts takes exactly 1 argument")
         TermCounts(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -73,6 +73,23 @@ object EventQueries extends QueryPack {
       graft.ops.HeavyHitters.certified(keyed, "k", capacity = 256)
     }),
 
+    // KMV distinct-count sketch (ops.DistinctSketch): k smallest
+    // 48-bit md5-prefix hashes, estimate (k−1)·2^48 div h_k. The
+    // sketch is exactly deterministic given the hash — unlike HLL
+    // there is no engine-private bias table — so the "approximation"
+    // replays in SQL and the oracle hash-compares the estimate
+    // itself, next to the exact count it stands in for. At 100 TB
+    // the exact form shuffles every distinct key; this shuffles
+    // ≤ partitions×k longs.
+    "q164_kmv_distinct" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val sk = graft.ops.DistinctSketch.kmv(ev, "user_id", k = 32)
+      val ex = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      sk.crossJoin(broadcast(ex))
+        .select(col("k_used"), col("h_k"), col("est_distinct"),
+          col("n_exact"))
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -86,6 +103,23 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q164_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(CAST('0x'
+        |    || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS UBIGINT)
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |mins AS (SELECT hv FROM h ORDER BY hv LIMIT 32),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |               max(hv) AS h_k FROM mins),
+        |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events)
+        |SELECT k_used, h_k,
+        |  CAST(CASE WHEN k_used < 32 THEN k_used
+        |       ELSE (k_used - 1) * 281474976710656 // h_k END AS BIGINT)
+        |    AS est_distinct,
+        |  n_exact
+        |FROM agg, ex""".stripMargin,
     // the UNSKETCHED aggregate: the certification contract says the
     // bounded-memory pipeline equals this bit-for-bit
     "q162_heavy_hitters" ->
