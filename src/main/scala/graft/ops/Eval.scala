@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation aggregates — the checks a classifier- or
+  * score-gated pipeline runs BEFORE trusting the gate. Everything is
+  * exact integer arithmetic so the metrics themselves hash-compare
+  * against a SQL replay (q165/q166); no float threshold or
+  * engine-private estimator is involved.
+  */
+object Eval {
+
+  /** Exact tie-aware AUC (Mann–Whitney form) of an integer score
+    * against a {0,1} label, as parts-per-million.
+    *
+    * Average ranks are carried DOUBLED (2·cum + cnt + 1), so ties
+    * never produce a fractional rank; the only division is one
+    * truncating integer div at the end. The rank prefix runs over
+    * the score-VALUE histogram (one row per distinct score — for an
+    * e4 fixed-point score that is ≤ 10001 rows), never over corpus
+    * rows; the unpartitioned window is bounded by the score domain,
+    * the same discipline as the DSIR bucket windows.
+    *
+    * Output: one row (n_pos, n_neg, auc_e6).
+    */
+  def aucE6(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val hist = df.select(col(scoreCol).as("s"),
+        col(labelCol).cast("long").as("pos"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pcnt"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("pcnt") * (lit(2) * col("cum") + col("cnt") + 1)).as("r2"),
+        sum(col("pcnt")).as("p"),
+        sum(col("cnt")).as("t"))
+      .select(col("p").as("n_pos"), (col("t") - col("p")).as("n_neg"),
+        expr("(r2 - p * (p + 1)) * 1000000 div (2 * p * (t - p))")
+          .as("auc_e6"))
+  }
+}

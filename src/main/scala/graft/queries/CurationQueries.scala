@@ -299,6 +299,24 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact tie-aware AUC (Mann–Whitney form) of the q108 quality
+    // score as an English-document detector — the ranking-quality
+    // eval a score-gated pipeline needs before trusting a threshold.
+    // Average ranks are carried DOUBLED (2·cum + cnt + 1) so ties
+    // never mint a float; the final AUC is one truncating integer
+    // division to e6. The rank prefix runs over the SCORE-VALUE
+    // HISTOGRAM (≤ 10001 e4 values — the q116 B-bounded-window
+    // discipline), never over corpus rows.
+    "q166_quality_auc" -> ((s, dir) => {
+      graft.ops.Eval.aucE6(
+        table(s, dir, "documents")
+          .select(
+            floor(Features.linearQualityScore(col("text"),
+              T.tokens(col("text"))) * 10000.0).cast("long").as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+        "s", "pos")
+    }),
+
     // First BPE-training iteration (text.Bpe): adjacent symbol-pair
     // counts over the distinct word table weighted by frequency —
     // pair work scales with |vocab|, not corpus tokens.
@@ -774,6 +792,42 @@ object CurationQueries extends QueryPack {
          |FROM t2 JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)
          |ORDER BY t2.doc_id""".stripMargin
     },
+    // the q108 score chain + histogram rank prefix; doubled average
+    // ranks keep everything integer, one // division at the end
+    "q166_quality_auc" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t),
+         |sc AS (SELECT
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT) AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM f),
+         |h AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         |        CAST(sum(pos) AS BIGINT) AS pcnt
+         |      FROM sc GROUP BY s),
+         |r AS (SELECT s, cnt, pcnt,
+         |        COALESCE(sum(cnt) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cum
+         |      FROM h),
+         |a AS (SELECT CAST(sum(pcnt * (2 * cum + cnt + 1)) AS BIGINT) AS r2,
+         |        CAST(sum(pcnt) AS BIGINT) AS p,
+         |        CAST(sum(cnt) AS BIGINT) AS t
+         |      FROM r)
+         |SELECT p AS n_pos, t - p AS n_neg,
+         |  CAST((r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
+         |    AS BIGINT) AS auc_e6
+         |FROM a""".stripMargin,
     "q108_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),
          |f AS (SELECT doc_id,

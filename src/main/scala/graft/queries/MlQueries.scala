@@ -164,17 +164,56 @@ object MlQueries extends QueryPack {
     // (floor millionths before any sum) make the whole train+score
     // pipeline an exact SQL replay — the trainable-classifier
     // curation step with no rows-only escape hatch.
-    "q132_nb_langid" -> ((s, dir) => {
+    "q132_nb_langid" -> ((s, dir) =>
+      nbScored(s, dir).orderBy(col("doc_id"))),
+
+    // Model evaluation (the operator class every classifier-gated
+    // pipeline needs BEFORE trusting the gate): per-class
+    // tp/fp/fn + precision/recall/F1 over q132's scored test split,
+    // all exact integers (counts and `div`-truncated e4 ratios — no
+    // float boundary). Reuses the memoized scorer; the eval itself
+    // is two bounded aggregates over the per-doc predictions.
+    "q165_classifier_eval" -> ((s, dir) => {
+      val scored = nbScored(s, dir)
+      val perClass = scored.groupBy(col("actual").as("lang"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+            .as("tp"))
+      val predTotals = scored.groupBy(col("pred").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      perClass.join(predTotals, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"), col("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - col("tp")).as("fp"),
+          (col("n_true") - col("tp")).as("fn"))
+        .select(col("lang"), col("n_true"), col("tp"), col("fp"),
+          col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN 0L " +
+            "ELSE (tp * 10000L) div (tp + fp) END").as("prec_e4"),
+          expr("(tp * 10000L) div n_true").as("rec_e4"),
+          expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L " +
+            "ELSE (2 * tp * 10000L) div (2 * tp + fp + fn) END")
+            .as("f1_e4"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  /** q132/q165 share one NB train+score pass per (session, sfDir). */
+  private val nbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def nbScored(s: SparkSession, dir: String): DataFrame =
+    nbMemo.computeIfAbsent(Memo.key(s, dir), _ => {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), toks.as("toks"))
       val train = d.filter(col("doc_id") % 2 === 0)
       val test = d.filter(col("doc_id") % 2 === 1)
-      NaiveBayes.classify(train, test, "doc_id", "toks", "lang")
+      val out = NaiveBayes.classify(train, test, "doc_id", "toks", "lang")
         .join(test.select(col("doc_id"), col("lang").as("actual")), "doc_id")
         .select(col("doc_id"), col("pred"), col("score_fx"), col("actual"))
-        .orderBy(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
     })
-  )
 
   def oracles: Map[String, String] = Map(
     "q88_term_tf_gen" ->
@@ -254,7 +293,42 @@ object MlQueries extends QueryPack {
     // Mirrors NaiveBayes.classify's IEEE op order exactly: every
     // log-prob floors to integer millionths before the per-doc sum.
     "q132_nb_langid" ->
-      """WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      s"""WITH $nbCtes
+         |SELECT doc_id, pred, score_fx, actual
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // eval tail over the same scored CTE chain: per-class counts +
+    // div-truncated e4 ratios (denominators: precision = tp/n_pred,
+    // recall = tp/n_true, F1 = 2tp/(2tp+fp+fn))
+    "q165_classifier_eval" ->
+      s"""WITH $nbCtes,
+         |pc AS (SELECT actual AS lang,
+         |         CAST(count(*) AS BIGINT) AS n_true,
+         |         CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS tp
+         |       FROM scored GROUP BY actual),
+         |pt AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+         |       FROM scored GROUP BY pred)
+         |SELECT pc.lang, n_true, tp,
+         |  CAST(COALESCE(n_pred, 0) - tp AS BIGINT) AS fp,
+         |  CAST(n_true - tp AS BIGINT) AS fn,
+         |  CAST(CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0
+         |       ELSE (tp * 10000) // COALESCE(n_pred, 0) END AS BIGINT)
+         |    AS prec_e4,
+         |  CAST((tp * 10000) // n_true AS BIGINT) AS rec_e4,
+         |  CAST(CASE WHEN tp + COALESCE(n_pred, 0) + n_true - tp = 0 THEN 0
+         |       ELSE (2 * tp * 10000)
+         |            // (COALESCE(n_pred, 0) + n_true) END AS BIGINT)
+         |    AS f1_e4
+         |FROM pc LEFT JOIN pt ON pc.lang = pt.lang
+         |ORDER BY pc.lang""".stripMargin
+  )
+
+  /** q132's full NB train+score CTE chain, ending in
+    * `scored(doc_id, pred, score_fx, actual)` — shared by the q132
+    * per-doc oracle and the q165 eval tail.
+    */
+  private val nbCtes: String =
+      """tr AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
         |            FROM documents WHERE doc_id % 2 = 0),
         |te AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
         |       FROM documents WHERE doc_id % 2 = 1),
@@ -289,10 +363,10 @@ object MlQueries extends QueryPack {
         |       LEFT JOIN sp ON sp.doc_id = md.doc_id AND sp.l = lab.l),
         |p AS (SELECT doc_id, l AS pred, score,
         |        row_number() OVER (PARTITION BY doc_id
-        |          ORDER BY score DESC, l) AS rk FROM sc)
-        |SELECT p.doc_id, pred, CAST(score AS BIGINT) AS score_fx,
-        |       te.lang AS actual
-        |FROM p JOIN te ON te.doc_id = p.doc_id
-        |WHERE rk = 1 ORDER BY p.doc_id""".stripMargin
-  )
+        |          ORDER BY score DESC, l) AS rk FROM sc),
+        |scored AS (
+        |  SELECT p.doc_id, pred, CAST(score AS BIGINT) AS score_fx,
+        |         te.lang AS actual
+        |  FROM p JOIN te ON te.doc_id = p.doc_id
+        |  WHERE rk = 1)""".stripMargin
 }

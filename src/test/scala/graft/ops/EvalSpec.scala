@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long) =
+    Eval.aucE6(rows.toDF("s", "pos"), "s", "pos")
+      .as[(Long, Long, Long)].head()
+
+  test("perfect separation scores exactly 1.0; reversed exactly 0.0") {
+    val perfect = (1L to 50L).map(i => (i, if (i > 25) 1L else 0L))
+    assert(auc(perfect) == ((25L, 25L, 1000000L)))
+    val reversed = (1L to 50L).map(i => (i, if (i <= 25) 1L else 0L))
+    assert(auc(reversed) == ((25L, 25L, 0L)))
+  }
+
+  test("a constant score (all ties) is exactly 0.5") {
+    val ties = (1L to 40L).map(i => (7L, if (i % 4 == 0) 1L else 0L))
+    assert(auc(ties) == ((10L, 30L, 500000L)))
+  }
+
+  test("hand-computed tie case") {
+    // scores: pos at {3, 2}, neg at {2, 1}.
+    // pairs: (3>2)=1, (3>1)=1, (2=2)=0.5, (2>1)=1 → AUC = 3.5/4
+    val rows = Seq((3L, 1L), (2L, 1L), (2L, 0L), (1L, 0L))
+    assert(auc(rows) == ((2L, 2L, 875000L)))
+  }
+
+  test("deterministic under repartitioning") {
+    val rows = (1L to 500L).map(i => (i % 37, i % 3 / 2))
+    val a = Eval.aucE6(rows.toDF("s", "pos").repartition(7), "s", "pos")
+      .as[(Long, Long, Long)].head()
+    assert(a == auc(rows))
+  }
+}
