@@ -14,6 +14,24 @@ import graft.io.Tables.table
 object AnalyticQueries extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass column profiler (ops.Profiler): every metric for all
+    // four columns in ONE agg over ONE scan, unpivoted from the
+    // 1-row result — the ingest quality gate. The exact-distinct
+    // form is the oracle surface; ProfilerSpec bounds the HLL twin
+    // (approxProfile — fixed-size sketches, the 100 TB form)
+    // against it.
+    "q169_profile" -> ((s, dir) => {
+      graft.ops.Profiler.profile(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // Equi-width histogram in fx space: stats-then-sweep two-pass,
+    // exact integer binning, one ≤20-row shuffle.
+    "q170_histogram" -> ((s, dir) => {
+      graft.ops.Profiler.histogramFx(table(s, dir, "lineitem"),
+        "l_extendedprice", buckets = 20)
+    }),
+
     // Offset windows: previous/next order price per customer, delta
     // to previous. Ordered by the unique order key so offsets are
     // deterministic.
@@ -144,6 +162,28 @@ object AnalyticQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q169_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_present,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min(floor($c * 100)) AS BIGINT) AS min_fx,
+           |  CAST(max(floor($c * 100)) AS BIGINT) AS max_fx
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q170_histogram" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS fx
+        |  FROM lineitem),
+        |st AS (SELECT min(fx) AS mn, max(fx) AS mx FROM f)
+        |SELECT ((fx - mn) * 20) // (mx - mn + 1) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(fx) AS lo_fx, max(fx) AS hi_fx
+        |FROM f, st GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q81_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

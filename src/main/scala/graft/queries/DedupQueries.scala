@@ -67,7 +67,30 @@ object DedupQueries extends QueryPack {
       p
     })
 
+  /** documents ∪ near-variant copies: every 7th doc re-appears at
+    * +200000 with a 4-char suffix — edit distance 4 from its source,
+    * far outside exact-dup reach, inside `maxDist`.
+    */
+  private def withNearVariants(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" nd"),
+          (col("doc_id") % 4).cast("string")))
+        .withColumn("doc_id", col("doc_id") + 200000L))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocked edit-distance fuzzy dedup: prefix-digest blocking
+    // turns all-pairs Levenshtein into an equi-join; the THRESHOLDED
+    // banded DP (3-arg levenshtein) bounds per-pair cost. Catches
+    // few-character edits that shingle-set similarity blurs over.
+    "q168_edit_dedup" -> ((s, dir) => {
+      Dedup.editDistancePairs(withNearVariants(s, dir), "doc_id", "text",
+        blockPrefix = 40, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Exact-dup groups over a 16-byte digest (never shuffles text).
     "q41_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(withInjectedDups(s, dir), "doc_id", "text")
@@ -330,6 +353,20 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q168_edit_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    text || ' nd' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |k AS (SELECT doc_id, text,
+        |  md5(substr(text, 1, 40)) AS bk FROM c)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q41_dedup_exact" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

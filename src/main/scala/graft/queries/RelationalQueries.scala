@@ -170,6 +170,23 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Z-order layout statistics (io.Zorder): every "file" is one
+    // aligned z-prefix range over the Morton interleave of
+    // (l_partkey, l_suppkey) — exactly the ranges a z-ordered write
+    // lays down — and the query emits each file's bounding rectangle
+    // and side spans, i.e. the min/max footer stats a pruning reader
+    // consults. Computed as ONE parallel groupBy over a codegen'd
+    // shift/mask cascade: no window, no global sort, no UDF.
+    // LayoutSpec writes the layout for real and measures the pruning
+    // ratio vs a single-key sort; the oracle replays the identical
+    // masked interleave in SQL.
+    "q167_zorder_layout" -> ((s, dir) => {
+      graft.io.Zorder
+        .fileStats(table(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", shift = 24)
+        .orderBy(col("file_id"))
+    }),
+
     // Union + distinct (U1) across two inputs.
     "q10_union_distinct" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -265,6 +282,27 @@ object RelationalQueries extends QueryPack {
     })
 
   def oracles: Map[String, String] = Map(
+    "q167_zorder_layout" -> {
+      val z = graft.io.Zorder.zvalueSql("sa", "sb")
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         |         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_partkey AS a, l_suppkey AS b,
+         |    ((l_partkey - amin) * 65535)
+         |      // greatest(amax - amin, 1) AS sa,
+         |    ((l_suppkey - bmin) * 65535)
+         |      // greatest(bmax - bmin, 1) AS sb
+         |  FROM lineitem, st),
+         |z AS (SELECT a, b, $z AS z FROM s)
+         |SELECT (z >> 24) AS file_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(a) AS min_a, max(a) AS max_a,
+         |  min(b) AS min_b, max(b) AS max_b,
+         |  max(a) - min(a) AS span_a, max(b) - min(b) AS span_b
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
+    },
     "q163_bucketed_join" ->
       """SELECT o.o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,

@@ -359,4 +359,31 @@ class DedupSpec extends SparkSpec {
       assert(!broadcastPlan.contains("SortMergeJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("editDistancePairs: same-prefix small edits found, big edits cut by threshold") {
+    val prefix = "shared forty-character document prefix xx "
+    val docs = Seq(
+      (1L, prefix + "tail one common words here"),
+      (2L, prefix + "tail two common words here"),   // dist 3 from #1
+      (3L, prefix + "completely different ending that rambles on for long enough to exceed any small edit budget"),
+      (4L, "another prefix entirely " + prefix),      // blocked apart
+      (5L, prefix + "tail one common words here")     // exact dup of #1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+        blockPrefix = 40, maxDist = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) within threshold; (1,5)/(2,5) because 5 duplicates 1;
+    // 3 shares the block but exceeds maxDist; 4 never enters it
+    assert(pairs == Set((1L, 2L, 3L), (1L, 5L, 0L), (2L, 5L, 3L)))
+  }
+
+  test("editDistancePairs: blocked join shuffles on the digest, no cartesian") {
+    val docs = (1L to 100L)
+      .map(i => (i, s"prefix ${i % 5} padded out to cover the block window " +
+        s"body $i")).toDF("doc_id", "text")
+    val plan = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
