@@ -64,6 +64,49 @@ object Profiler {
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
+  /** Chi-square distribution drift between a REFERENCE slice and a
+    * CURRENT slice of the same numeric column — the monitoring gate
+    * that catches a feed silently changing distribution between
+    * ingest batches. Bucket edges come from the reference only
+    * (1-row broadcast min/max; out-of-range current values clamp
+    * into the edge buckets, which is exactly where fresh drift
+    * shows), both sides bin with the same exact-integer expression,
+    * and the per-bucket χ² term uses Laplace-smoothed proportions so
+    * an empty reference bucket never divides by zero:
+    *
+    *   p_r = (r+1)/(N_r+B),  p_c = (c+1)/(N_c+B)
+    *   term = (p_c − p_r)² / p_r,   emitted as floor(term · 1e6)
+    *
+    * All float math is plain IEEE −,×,÷ in a FIXED left-to-right
+    * shape, so the floored fixed-point replays exactly in any engine
+    * (the q108 round-tie lesson: floor, never round). Shuffles: two
+    * ≤B-row aggregates + one ≤B-row join; corpus rows never move.
+    */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, c: String,
+      buckets: Int): DataFrame = {
+    val stats = ref.agg(min(fx(col(c))).as("__mn"), max(fx(col(c))).as("__mx"))
+    def binned(df: DataFrame, as: String): DataFrame =
+      df.select(fx(col(c)).as("__fx"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          least(lit(buckets - 1L), greatest(lit(0L),
+            expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(as))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
+    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("term_e6",
+        floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Equi-width histogram over `c` in fx space: min/max from a 1-row
     * broadcast aggregate (the stats-then-sweep two-pass every layout
     * / binning operator shares), bucket by EXACT integer arithmetic

@@ -15,6 +15,19 @@ import graft.streaming.Streams
 object EventQueries extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distribution-drift gate (ops.Profiler.chiSquareDrift): the
+    // 'view' slice is the reference, 'purchase' the current batch;
+    // 16 reference-edged buckets, Laplace-smoothed χ² terms in
+    // floor-e6 fixed point. Two ≤16-row aggregates + one ≤16-row
+    // join — corpus rows never shuffle.
+    "q171_drift_chi2" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Profiler.chiSquareDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", buckets = 16)
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q68_tumbling_window" -> ((s, dir) => {
       table(s, dir, "events")
@@ -103,6 +116,33 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q171_drift_chi2" ->
+      """WITH ref AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'view'),
+        |cur AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'purchase'),
+        |st AS (SELECT min(fx) AS mn, max(fx) AS mx FROM ref),
+        |rb AS (SELECT least(15, greatest(0,
+        |    ((fx - mn) * 16) // (mx - mn + 1))) AS bucket,
+        |  count(*) AS n_ref FROM ref, st GROUP BY bucket),
+        |cb AS (SELECT least(15, greatest(0,
+        |    ((fx - mn) * 16) // (mx - mn + 1))) AS bucket,
+        |  count(*) AS n_cur FROM cur, st GROUP BY bucket),
+        |j AS (SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+        |    CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(floor(
+        |    ((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
+        |    * ((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
+        |    / ((n_ref + 1.0) / (tr + 16)) * 1000000.0) AS BIGINT)
+        |    AS term_e6
+        |FROM j, t ORDER BY bucket""".stripMargin,
     "q164_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(CAST('0x'

@@ -396,24 +396,8 @@ object TextQueries extends QueryPack {
          | cast(count(DISTINCT gram) as bigint) AS n_distinct
          |FROM grams GROUP BY n ORDER BY n""".stripMargin,
     "q131_bm25" ->
-      s"""WITH d AS (SELECT doc_id, $splitToks AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |              CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
-         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
-         |       WHERE term IN ('hash', 'join', 'vector')
-         |       GROUP BY doc_id, dl, term),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |  CAST(floor(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0)
-         |    * (tf * 2.2)
-         |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n))))
-         |    AS BIGINT) AS s
-         |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
-         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25
-         |FROM sc GROUP BY doc_id
+      s"""WITH ${Fragments.bm25ScoresSql(Seq("hash", "join", "vector"))}
+         |SELECT doc_id, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q133_zipf_slope" ->
       s"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS f

@@ -27,6 +27,32 @@ object VectorQueries extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hybrid retrieval (similarity.Fusion): the BM25 sparse list
+    // and the embedding-cosine dense list for one query, fused by
+    // reciprocal rank in exact integer space (1e9 div (60+rank)).
+    // Ranks are row_number over TOTAL orders, so the whole fusion
+    // replays bit-for-bit; the global rank windows are bounded by
+    // the retrieval candidate sets, never a corpus (see Fusion's
+    // scale contract).
+    "q172_rrf_hybrid" -> ((s, dir) => {
+      val sparse = graft.text.Tfidf.bm25Scores(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "vector"))
+      val emb = table(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qv"))
+      val dense = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(Ann.cosine(col("embedding"), col("__qv")), 6).as("cos"))
+      graft.similarity.Fusion.rrf(
+        graft.similarity.Fusion.rankByScore(sparse, "doc_id", "bm25"),
+        graft.similarity.Fusion.rankByScore(dense, "doc_id", "cos"),
+        "doc_id")
+        .select(col("doc_id"), col("rank_a").as("rank_sparse"),
+          col("rank_b").as("rank_dense"), col("rrf_e9"))
+    }),
+
     // IVF ANN: 8 deterministic centroids, probe the 2 nearest
     // clusters per query, exact top-5 within the probed candidates.
     "q79_ann_ivf" -> ((s, dir) => {
@@ -286,6 +312,28 @@ object VectorQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q172_rrf_hybrid" ->
+      s"""WITH ${Fragments.bm25ScoresSql(Seq("hash", "join", "vector"))},
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |dn AS (SELECT e.vec_id AS doc_id,
+         |  round(list_dot_product(q, v) /
+         |    (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))),
+         |    6) AS cos
+         |  FROM e, qv WHERE e.vec_id != 0),
+         |sr AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_sparse FROM bm),
+         |dr AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, doc_id) AS INT) AS rank_dense FROM dn),
+         |f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+         |    rank_sparse, rank_dense,
+         |    COALESCE(1000000000 // (60 + rank_sparse), 0)
+         |      + COALESCE(1000000000 // (60 + rank_dense), 0) AS rrf_e9
+         |  FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+         |SELECT doc_id, rank_sparse, rank_dense,
+         |  CAST(rrf_e9 AS BIGINT) AS rrf_e9
+         |FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin,
     "q158_ann_pq" ->
       s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, subDim = 16)},
          |qdt AS (SELECT p.id AS query_id, p.s, c.cid,

@@ -86,6 +86,17 @@ object Tfidf {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+
+  /** The full (id, bm25) score table over every query-matching doc —
+    * the retrieval-stage surface rank fusion (q172) consumes. Same
+    * contract and plan as [[bm25TopK]] minus the ordered limit.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val d = docs
@@ -116,8 +127,6 @@ object Tfidf {
       .select(col(idCol), contrib.as("__st"))
       .groupBy(col(idCol))
       .agg(sum(col("__st")).as("bm25"))
-      .orderBy(col("bm25").desc, col(idCol))
-      .limit(k)
     graft.ops.CacheRelease.afterFirstUse(out, tf)
   }
 }

@@ -56,6 +56,39 @@ class ProfilerSpec extends SparkSpec {
     assert(h == List((0L, 3L, 777L, 777L)))
   }
 
+  test("chiSquareDrift: identical distributions score zero everywhere") {
+    val df = (0 until 1000).map(i => (i % 100) / 10.0).toDF("v")
+    val out = Profiler.chiSquareDrift(df, df, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out.nonEmpty)
+    out.foreach { case (b, r, c, t) =>
+      assert(b >= 0 && b <= 15)
+      assert(r == c)
+      assert(t == 0L, s"bucket $b term $t")
+    }
+    assert(out.map(_._2).sum == 1000L)
+  }
+
+  test("chiSquareDrift: shifted current mass concentrates in edge buckets") {
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    // current sits entirely above the reference max → clamps into
+    // bucket 15, the drift signature the gate must flag
+    val cur = (0 until 500).map(_ => 500.0).toDF("v")
+    val out = Profiler.chiSquareDrift(ref, cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 15))
+    val top = out.find(_._1 == 15L).get
+    assert(top._3 == 500L)
+    // its χ² term dominates every other bucket's
+    assert(out.filter(_._1 != 15L).forall(_._4 < top._4))
+    // and replays the documented smoothed formula exactly
+    val (tr, tc) = (out.map(_._2).sum, out.map(_._3).sum)
+    val pr = (top._2 + 1.0) / (tr + 16)
+    val pc = (top._3 + 1.0) / (tc + 16)
+    assert(top._4 ==
+      math.floor((pc - pr) * (pc - pr) / pr * 1000000.0).toLong)
+  }
+
   test("profile is one scan: a single aggregate, no join in the plan") {
     val df = (1L to 100L).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")
     val plan = Profiler.profile(df, Seq("a", "b"))
