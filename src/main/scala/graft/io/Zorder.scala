@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * O(sqrt(files)) files instead of all of them (ZorderSpec measures
   * the actual ratio on written parquet). Everything is shift/mask/
   * integer-div expressions — whole-stage codegen, no UDF; the q167
-  * oracle replays the identical arithmetic in SQL.
+  * oracle replays the identical arithmetic in SQL. See [[Hilbert]]
+  * for the continuous-curve variant with strictly better locality.
   */
 object Zorder {
 
@@ -63,15 +64,15 @@ object Zorder {
   def zvalueSql(a: String, b: String): String =
     s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
 
-  /** Append the scaled z-value of `(a, b)` as column `zName`:
+  /** Append 16-bit-scaled copies of `(a, b)` as `__sa`/`__sb`:
     * min/max of each key from one tiny aggregate, broadcast back,
     * each key mapped to 0..65535 by exact integer division (`div` —
-    * no floats, so any engine reproduces it bit-for-bit), then
-    * Morton-interleaved. Two passes over the input by construction,
-    * like any stats-then-rewrite layout pass.
+    * no floats, so any engine reproduces it bit-for-bit). Two passes
+    * over the input by construction, like any stats-then-rewrite
+    * layout pass. Shared by the Morton and Hilbert layouts.
     */
-  def withScaledZ(df: DataFrame, a: String, b: String,
-      zName: String): DataFrame = {
+  private[io] def withScaled(df: DataFrame, a: String,
+      b: String): DataFrame = {
     val stats = df.agg(
       min(col(a).cast("long")).as("__amin"),
       max(col(a).cast("long")).as("__amax"),
@@ -84,9 +85,15 @@ object Zorder {
       .withColumn("__sb", expr(
         s"((cast($b as bigint) - __bmin) * 65535)" +
           " div greatest(__bmax - __bmin, 1)"))
-      .withColumn(zName, zvalue(col("__sa"), col("__sb")))
-      .drop("__amin", "__amax", "__bmin", "__bmax", "__sa", "__sb")
+      .drop("__amin", "__amax", "__bmin", "__bmax")
   }
+
+  /** Append the scaled Morton z-value of `(a, b)` as `zName`. */
+  def withScaledZ(df: DataFrame, a: String, b: String,
+      zName: String): DataFrame =
+    withScaled(df, a, b)
+      .withColumn(zName, zvalue(col("__sa"), col("__sb")))
+      .drop("__sa", "__sb")
 
   /** Re-write `df` z-ordered on `(a, b)`: range-partition on the
     * scaled z-value into `files` output files, sort within each,
@@ -101,20 +108,18 @@ object Zorder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
-  /** File-layout statistics under fixed z-prefix bucketing: file =
-    * `z >> shift`, so each "file" covers one aligned z-range exactly
-    * as a z-ordered write lays them down — but computed as a plain
-    * parallel aggregate (no global sort, no window), deterministic
-    * at any scale. Emits each file's bounding rectangle and its
-    * side spans: the min/max stats a reader would prune against.
-    * With the 32-bit scaled z, `shift = 24` yields at most 256
-    * files, each an (aligned) 1/16 × 1/16 rectangle of key space.
+  /** File-layout statistics under fixed curve-prefix bucketing:
+    * file = `index >> shift`, so each "file" covers one aligned
+    * index range exactly as a curve-ordered write lays them down —
+    * but computed as a plain parallel aggregate (no global sort, no
+    * window), deterministic at any scale. Emits each file's bounding
+    * rectangle and its side spans: the min/max stats a reader would
+    * prune against. With a 32-bit index, `shift = 24` yields at most
+    * 256 files.
     */
-  def fileStats(df: DataFrame, a: String, b: String,
+  private[io] def curveFileStats(scaledWithIndex: DataFrame,
       shift: Int): DataFrame =
-    withScaledZ(
-      df.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
-      "a", "b", "__z")
+    scaledWithIndex
       .withColumn("file_id", shiftright(col("__z"), shift))
       .groupBy(col("file_id"))
       .agg(
@@ -123,4 +128,13 @@ object Zorder {
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
       .withColumn("span_a", col("max_a") - col("min_a"))
       .withColumn("span_b", col("max_b") - col("min_b"))
+
+  /** [[curveFileStats]] under the Morton z-order (q167's surface). */
+  def fileStats(df: DataFrame, a: String, b: String,
+      shift: Int): DataFrame =
+    curveFileStats(
+      withScaledZ(
+        df.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
+        "a", "b", "__z"),
+      shift)
 }

@@ -187,6 +187,18 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("file_id"))
     }),
 
+    // Hilbert-curve layout (io.Hilbert): the continuous curve —
+    // one grid step per index step, so every file is one CONNECTED
+    // blob and bounding boxes are strictly tighter than Morton's at
+    // the same file count (HilbertSpec measures it). 16 integer
+    // rounds as chained Projects; the oracle replays all 16 as CTEs.
+    "q173_hilbert_layout" -> ((s, dir) => {
+      graft.io.Hilbert
+        .fileStats(table(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", shift = 24)
+        .orderBy(col("file_id"))
+    }),
+
     // Union + distinct (U1) across two inputs.
     "q10_union_distinct" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -303,6 +315,25 @@ object RelationalQueries extends QueryPack {
          |  max(a) - min(a) AS span_a, max(b) - min(b) AS span_b
          |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
     },
+    "q173_hilbert_layout" ->
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         |         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_partkey AS a, l_suppkey AS b,
+         |    ((l_partkey - amin) * 65535)
+         |      // greatest(amax - amin, 1) AS sa,
+         |    ((l_suppkey - bmin) * 65535)
+         |      // greatest(bmax - bmin, 1) AS sb
+         |  FROM lineitem, st),
+         |${graft.io.Hilbert.ctesSql(16)}
+         |SELECT (z >> 24) AS file_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(a) AS min_a, max(a) AS max_a,
+         |  min(b) AS min_b, max(b) AS max_b,
+         |  max(a) - min(a) AS span_a, max(b) - min(b) AS span_b
+         |FROM h GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q163_bucketed_join" ->
       """SELECT o.o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
