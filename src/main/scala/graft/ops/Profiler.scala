@@ -85,22 +85,32 @@ object Profiler {
   def chiSquareDrift(ref: DataFrame, cur: DataFrame, c: String,
       buckets: Int): DataFrame = {
     val stats = ref.agg(min(fx(col(c))).as("__mn"), max(fx(col(c))).as("__mx"))
-    def binned(df: DataFrame, as: String): DataFrame =
-      df.select(fx(col(c)).as("__fx"))
-        .crossJoin(broadcast(stats))
-        .withColumn("bucket",
-          least(lit(buckets - 1L), greatest(lit(0L),
-            expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as(as))
-    val joined = binned(ref, "n_ref")
-      .join(binned(cur, "n_cur"), Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
-    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
-      sum(col("n_cur")).as("__tc"))
+    // ONE binning pass over ref ∪ cur with a side tag — a per-side
+    // groupBy + full-outer join would re-inline the stats subtree
+    // under both sides and the totals aggregate would re-run the
+    // whole join pipeline (the q116 re-inlined-subtree trap,
+    // plan-audited); the tagged union bins both sides in one
+    // aggregate, and the N_r/N_c totals come from an unpartitioned
+    // Window over the ≤B bucket rows, never a re-scan.
+    val tagged = ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
+      .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
+    val binned = tagged
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), greatest(lit(0L),
+          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // ≤ buckets rows by construction
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
     val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
-    joined.crossJoin(broadcast(totals))
+    binned
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
       .withColumn("term_e6",
         floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long"))
       .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
