@@ -41,4 +41,29 @@ object Eval {
         expr("(r2 - p * (p + 1)) * 1000000 div (2 * p * (t - p))")
           .as("auc_e6"))
   }
+
+  /** Per-query recall@k of an APPROXIMATE neighbor list against the
+    * exact one — the quality meter every recall-trading operator
+    * (LSH/IVF/PQ ANN) must ship with, as an operator rather than a
+    * spec-time assertion, so production can monitor recall on live
+    * data. Exact rational arithmetic: hits are an equi-join on
+    * (query, neighbor), recall is `hits * 1e6 div k`. Queries the
+    * approximate pass starved entirely (no shared bucket) surface as
+    * recall 0 via the left join from the exact side's query set —
+    * silently dropping them would overstate recall, the one mistake
+    * a recall meter cannot make.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, k: Int): DataFrame = {
+    val hits = approx.select(col(queryCol), col(neighborCol))
+      .join(exact.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_hits"))
+    exact.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_e6", expr(s"n_hits * 1000000 div $k"))
+      .orderBy(col(queryCol))
+  }
 }

@@ -229,6 +229,22 @@ object DedupQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Recall@5 of the LSH ANN pass against the exact baseline
+    // (ops.Eval.recallAtK) — the quality meter a recall-trading
+    // operator ships with AS an operator, so live recall is
+    // monitorable. Exact rational arithmetic; starved queries
+    // surface as recall 0, never silently drop.
+    "q174_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val exact = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+      val approx = Ann.lshTopK(emb, "vec_id", "embedding",
+        planes = 8, k = 5)
+        .filter(col("query_id") < 20)
+      graft.ops.Eval.recallAtK(approx, exact,
+        "query_id", "neighbor_id", 5)
+    }),
+
     // LSH-bucketed ANN (scale path; recall < 1 by design) — the
     // hyperplanes are deterministic integer hashes, so the oracle
     // reproduces them exactly.
@@ -508,6 +524,40 @@ object DedupQueries extends QueryPack {
          |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q174_ann_recall" -> {
+      val sigExpr = Fragments.rhpSigSql(8, "v")
+      s"""WITH $cosineCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |s1 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, e.v) /
+         |    (sqrt(list_dot_product(q.v, q.v))
+         |     * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s1)
+         |  WHERE rank <= 5),
+         |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+         |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v))
+         |     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s2)
+         |  WHERE rank <= 5 AND query_id < 20),
+         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ap JOIN ex ON ap.query_id = ex.query_id
+         |    AND ap.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
+         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+         |ORDER BY qs.query_id""".stripMargin
+    },
     "q49_ann_lsh" -> {
       val sigExpr = Fragments.rhpSigSql(8, "v")
       s"""WITH $cosineCte,

@@ -28,6 +28,22 @@ object EventQueries extends QueryPack {
         "value", buckets = 16)
     }),
 
+    // Incremental aggregate maintenance (ops.Incremental): the
+    // rollup is maintained as mergeable per-group state — aggregate
+    // only the delta batch, merge states, never rescan the base.
+    // The oracle is the FROM-SCRATCH aggregate over everything, so
+    // the check is the maintenance invariant itself.
+    "q175_incremental_agg" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val inc = graft.ops.Incremental
+      inc.finish(inc.merge(
+        inc.aggState(ev.filter(col("event_id") % 10 =!= 0),
+          "event_type", "value"),
+        inc.aggState(ev.filter(col("event_id") % 10 === 0),
+          "event_type", "value")))
+        .orderBy(col("event_type"))
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q68_tumbling_window" -> ((s, dir) => {
       table(s, dir, "events")
@@ -116,6 +132,16 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q175_incremental_agg" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_fx,
+        |  CAST(min(floor(value * 100)) AS BIGINT) AS min_fx,
+        |  CAST(max(floor(value * 100)) AS BIGINT) AS max_fx,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS avg_fx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q171_drift_chi2" ->
       """WITH ref AS (
         |  SELECT CAST(floor(value * 100) AS BIGINT) AS fx

@@ -34,4 +34,22 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(a == auc(rows))
   }
+
+  test("recallAtK: hits counted, extras ignored, starved queries score 0") {
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("q", "n")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // perfect
+      (2L, 20L), (2L, 99L), (2L, 98L)    // 1 of 3; extras don't count
+      // query 3 starved entirely
+    ).toDF("q", "n")
+    val out = Eval.recallAtK(approx, exact, "q", "n", 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 3L, 1000000L),
+      (2L, 1L, 333333L),
+      (3L, 0L, 0L)))
+  }
 }
