@@ -53,6 +53,42 @@ object Eval {
     * silently dropping them would overstate recall, the one mistake
     * a recall meter cannot make.
     */
+  /** The NDCG@k position discounts as e6-floored integer constants:
+    * `floor(1e6 / log2(i+1))` for i = 1..k. Computed ONCE here in
+    * Scala and injected as literals into both the Column expression
+    * and the oracle SQL — the float log never runs inside either
+    * engine, so there is nothing to diverge.
+    */
+  def ndcgDiscountsE6(k: Int): Seq[Long] =
+    (1 to k).map(i => (1e6 * math.log(2) / math.log(i + 1)).toLong)
+
+  /** Per-query NDCG@k of an approximate ranking against the exact
+    * top-k set (binary relevance): position-discounted credit for
+    * each hit, normalized by the ideal prefix. Complements
+    * [[recallAtK]] — recall says HOW MANY of the true neighbors
+    * survived, NDCG says WHERE the ranking put them. Exact integer
+    * arithmetic end to end (see [[ndcgDiscountsE6]]); starved
+    * queries surface as 0 via the exact-side left join.
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, rankCol: String, k: Int): DataFrame = {
+    val disc = ndcgDiscountsE6(k)
+    val credit = disc.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (d, i)) => when(col(rankCol) === (i + 1), d).otherwise(acc)
+    }
+    val idcg = disc.sum
+    val dcg = approx.select(col(queryCol), col(neighborCol), col(rankCol))
+      .join(exact.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol))
+      .agg(sum(credit).as("dcg_e6"))
+    exact.select(col(queryCol)).distinct()
+      .join(dcg, Seq(queryCol), "left_outer")
+      .na.fill(0L, Seq("dcg_e6"))
+      .withColumn("ndcg_e6", expr(s"dcg_e6 * 1000000 div $idcg"))
+      .orderBy(col(queryCol))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       neighborCol: String, k: Int): DataFrame = {
     val hits = approx.select(col(queryCol), col(neighborCol))

@@ -117,6 +117,63 @@ object Profiler {
       .orderBy(col("bucket"))
   }
 
+  /** The offline half of STREAMING drift monitoring: the reference
+    * histogram as a bounded artifact (≤B rows), each row carrying
+    * the binning stats and the reference total — everything
+    * [[driftAgainst]] needs without ever re-scanning the reference.
+    * Persist this between batches; it is tens of rows.
+    */
+  def referenceHistogram(ref: DataFrame, c: String,
+      buckets: Int): DataFrame = {
+    val stats = ref.agg(min(fx(col(c))).as("__mn"), max(fx(col(c))).as("__mx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    ref.select(fx(col(c)).as("__fx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), greatest(lit(0L),
+          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .groupBy(col("bucket"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n_ref"))
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+  }
+
+  /** Chi-square drift of ONE batch (or micro-batch) against a
+    * precomputed [[referenceHistogram]] — [[chiSquareDrift]]'s
+    * stream-friendly twin: the reference never re-scans, only `cur`
+    * does, so a `foreachBatch` can run this per micro-batch at
+    * per-batch cost (see `streaming.Streams.driftMonitorStream`).
+    * Result equality with the batch form is spec-pinned.
+    */
+  def driftAgainst(refHist: DataFrame, cur: DataFrame, c: String,
+      buckets: Int): DataFrame = {
+    val stats = refHist.agg(max(col("__mn")).as("__mn"),
+      max(col("__mx")).as("__mx")) // constant across the ≤B rows
+    val curHist = cur.select(fx(col(c)).as("__fx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), greatest(lit(0L),
+          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
+    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    refHist.select(col("bucket"), col("n_ref"), col("__tr"))
+      .join(curHist, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      // a cur-only bucket has a null reference total — the total is
+      // constant on every reference row, so the bounded window max
+      // restores it without touching the reference data again
+      .withColumn("__tr", max(col("__tr")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
+      .withColumn("term_e6",
+        floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Equi-width histogram over `c` in fx space: min/max from a 1-row
     * broadcast aggregate (the stats-then-sweep two-pass every layout
     * / binning operator shares), bucket by EXACT integer arithmetic

@@ -245,6 +245,22 @@ object DedupQueries extends QueryPack {
         "query_id", "neighbor_id", 5)
     }),
 
+    // NDCG@5 of the same LSH pass (ops.Eval.ndcgAtK): recall says
+    // how many true neighbors survived, NDCG says WHERE the ranking
+    // put them. Discounts are e6-floored integer constants computed
+    // once in Scala and shared with the oracle — no float log runs
+    // in either engine.
+    "q176_ann_ndcg" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val exact = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+      val approx = Ann.lshTopK(emb, "vec_id", "embedding",
+        planes = 8, k = 5)
+        .filter(col("query_id") < 20)
+      graft.ops.Eval.ndcgAtK(approx, exact,
+        "query_id", "neighbor_id", "rank", 5)
+    }),
+
     // LSH-bucketed ANN (scale path; recall < 1 by design) — the
     // hyperplanes are deterministic integer hashes, so the oracle
     // reproduces them exactly.
@@ -555,6 +571,46 @@ object DedupQueries extends QueryPack {
          |SELECT qs.query_id,
          |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(COALESCE(n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
+         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+         |ORDER BY qs.query_id""".stripMargin
+    },
+    "q176_ann_ndcg" -> {
+      val sigExpr = Fragments.rhpSigSql(8, "v")
+      val disc = graft.ops.Eval.ndcgDiscountsE6(5)
+      val whens = disc.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      val idcg = disc.sum
+      s"""WITH $cosineCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |s1 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, e.v) /
+         |    (sqrt(list_dot_product(q.v, q.v))
+         |     * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s1)
+         |  WHERE rank <= 5),
+         |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+         |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v))
+         |     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
+         |ap AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s2)
+         |  WHERE rank <= 5 AND query_id < 20),
+         |h AS (SELECT ex.query_id,
+         |  CAST(sum(CASE ap.rank $whens ELSE 0 END) AS BIGINT) AS dcg_e6
+         |  FROM ap JOIN ex ON ap.query_id = ex.query_id
+         |    AND ap.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(dcg_e6, 0) AS BIGINT) AS dcg_e6,
+         |  CAST(COALESCE(dcg_e6, 0) * 1000000 // $idcg AS BIGINT)
+         |    AS ndcg_e6
          |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
          |ORDER BY qs.query_id""".stripMargin
     },

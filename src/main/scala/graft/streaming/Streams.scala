@@ -387,6 +387,30 @@ object Streams {
           .otherwise("changed"))
       .drop("__d1", "__d2")
 
+  /** Streaming distribution-drift monitor — the stream twin of
+    * [[graft.ops.Profiler.chiSquareDrift]] (q171). The reference
+    * reduces OFFLINE to its bounded histogram artifact
+    * ([[graft.ops.Profiler.referenceHistogram]], ≤B rows — the same
+    * bounded-offline-artifact pattern as the compact NB model and
+    * the benchmark digest set), and each micro-batch scores against
+    * it at per-batch cost via `foreachBatch`: the reference is never
+    * re-scanned. The handler receives (drift table, batchId) — route
+    * it to an alert sink or a metrics table; twin equality with the
+    * batch operator is spec-pinned (StreamsSpec).
+    */
+  def driftMonitorStream(events: DataFrame, valCol: String,
+      refHist: DataFrame, buckets: Int, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(
+          graft.ops.Profiler.driftAgainst(refHist, batch, valCol, buckets),
+          id)
+      }
+      .start()
+
   /** Streaming n-gram-overlap decontamination — the stream twin of
     * [[graft.dedup.Dedup.ngramOverlapAcross]] (q150; the GPT-3
     * method). The benchmark reduces OFFLINE to its distinct window

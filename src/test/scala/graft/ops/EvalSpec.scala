@@ -35,6 +35,26 @@ class EvalSpec extends SparkSpec {
     assert(a == auc(rows))
   }
 
+  test("ndcgAtK: position-discounted hits, perfect ranking scores 1e6") {
+    val d = Eval.ndcgDiscountsE6(3)
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("q", "n")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // perfect order
+      (2L, 99L, 1), (2L, 20L, 2), (2L, 98L, 3)  // one hit at pos 2
+      // query 3 starved
+    ).toDF("q", "n", "rank")
+    val out = Eval.ndcgAtK(approx, exact, "q", "n", "rank", 3)
+      .as[(Long, Long, Long)].collect().toList
+    val idcg = d.sum
+    assert(out == List(
+      (1L, idcg, 1000000L),
+      (2L, d(1), d(1) * 1000000L / idcg),
+      (3L, 0L, 0L)))
+  }
+
   test("recallAtK: hits counted, extras ignored, starved queries score 0") {
     val exact = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),

@@ -89,6 +89,20 @@ class ProfilerSpec extends SparkSpec {
       math.floor((pc - pr) * (pc - pr) / pr * 1000000.0).toLong)
   }
 
+  test("driftAgainst(referenceHistogram) equals the one-shot batch drift") {
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    // current includes out-of-range mass (cur-only edge bucket) and
+    // misses most reference buckets — both twin paths must agree
+    val cur = ((0 until 200).map(_ => 12.5) ++
+      (0 until 100).map(_ => 500.0)).toDF("v")
+    val batch = Profiler.chiSquareDrift(ref, cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val twin = Profiler.driftAgainst(
+      Profiler.referenceHistogram(ref, "v", 16), cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(twin == batch)
+  }
+
   test("profile is one scan: a single aggregate, no join in the plan") {
     val df = (1L to 100L).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")
     val plan = Profiler.profile(df, Seq("a", "b"))

@@ -532,6 +532,40 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSet.size == 150) // exactly-once: no replays
   }
 
+  test("driftMonitorStream scores each micro-batch like the batch operator") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    val refHist = graft.ops.Profiler.referenceHistogram(ref, "v", 16)
+      .persist()
+    refHist.count()
+    val input = MemoryStream[Double]
+    val results =
+      scala.collection.mutable.Map.empty[Long, List[(Long, Long, Long, Long)]]
+    val chk = Files.createTempDirectory("graft-drift-chk").toString
+    val q = Streams.driftMonitorStream(
+      input.toDF().withColumnRenamed("value", "v"), "v",
+      refHist, 16, chk) { (drift, id) =>
+      results.synchronized {
+        results(id) = drift.as[(Long, Long, Long, Long)].collect().toList
+      }
+    }
+    try {
+      val batch1 = (0 until 200).map(_ => 12.5)
+      val batch2 = (0 until 100).map(_ => 500.0) // all above ref max
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val expected1 = graft.ops.Profiler
+        .chiSquareDrift(ref, batch1.toDF("v"), "v", 16)
+        .as[(Long, Long, Long, Long)].collect().toList
+      val expected2 = graft.ops.Profiler
+        .chiSquareDrift(ref, batch2.toDF("v"), "v", 16)
+        .as[(Long, Long, Long, Long)].collect().toList
+      assert(results(0L) == expected1)
+      assert(results(1L) == expected2)
+    } finally { q.stop(); refHist.unpersist() }
+  }
+
   test("stripBoilerplateStream scrubs arriving docs against a batch hot set") {
     implicit val sqlCtx = spark.sqlContext
     // offline pass: banner appears in 3 historical docs → hot
