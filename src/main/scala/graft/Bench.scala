@@ -80,7 +80,11 @@ object Bench {
         "\"" + (if (dropQ) sk.stripPrefix("q") else sk) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // basename only: "/root/testdata/sf0.1" → "sf0.1" — those 15
+      // chars are what keep the q-prefixed keys inside the window
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+        .getOrElse(sfDir)
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt

@@ -27,11 +27,46 @@ import org.apache.spark.sql.functions._
   */
 object Hilbert {
 
-  /** Append the 32-bit Hilbert index of the pre-scaled 16-bit pair
-    * `(xCol, yCol)` as column `out`. Adds (and drops) per-round
-    * working columns; input columns are preserved.
+  /** The xy→d walk as a plain JVM loop — the HOT-PATH form. The
+    * column-expression chain below is the declarative reference
+    * (and what the oracle replays), but profiled 10× slower at
+    * sf0.1 (6.0 s vs 0.56 s warm): 48 chained Projects fall out of
+    * whole-stage codegen and re-materialize the row per round. The
+    * kernel is one call per row; HilbertSpec pins bit-equality
+    * between the two forms (the `distinctNgramCountFast` pattern).
     */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  private def hilbertUdf(bits: Int) =
+    udf { (x: Long, y: Long) => xy2d(bits, x, y) }
+
+  /** Append the Hilbert index via the compiled kernel. */
   def withHilbertIndex(df: DataFrame, xCol: String, yCol: String,
+      out: String, bits: Int = 16): DataFrame =
+    df.withColumn(out,
+      hilbertUdf(bits)(col(xCol).cast("long"), col(yCol).cast("long")))
+
+  /** Append the 32-bit Hilbert index of the pre-scaled 16-bit pair
+    * `(xCol, yCol)` as column `out` — the declarative per-round
+    * column-chain form (what [[ctesSql]] replays; kept as the
+    * spec-pinned reference for the kernel). Adds (and drops)
+    * per-round working columns; input columns are preserved.
+    */
+  def withHilbertIndexExpr(df: DataFrame, xCol: String, yCol: String,
       out: String, bits: Int = 16): DataFrame = {
     val seeded = df
       .withColumn("__hx0", col(xCol).cast("long"))

@@ -23,15 +23,27 @@ class HilbertSpec extends SparkSpec {
     d
   }
 
-  test("withHilbertIndex matches the reference walk at bits=16") {
+  test("expression chain matches the reference walk at bits=16") {
     val pts = (for (a <- 0L to 63L; b <- 0L to 63L) yield (a, b)) ++
       Seq((65535L, 65535L), (0L, 65535L), (65535L, 0L), (12345L, 54321L))
     val got = pts.toDF("x", "y")
-      .transform(Hilbert.withHilbertIndex(_, "x", "y", "h"))
+      .transform(Hilbert.withHilbertIndexExpr(_, "x", "y", "h"))
       .select($"x", $"y", $"h").as[(Long, Long, Long)].collect()
     got.foreach { case (x, y, h) =>
       assert(h == refD(16, x, y), s"($x, $y)")
     }
+  }
+
+  test("kernel form is bit-equal to the expression chain") {
+    val pts = (for (a <- 0L to 63L; b <- 0L to 63L)
+      yield (a * 997 % 65536, b * 1013 % 65536)) ++
+      Seq((65535L, 65535L), (0L, 0L))
+    val df = pts.toDF("x", "y")
+    val kernel = Hilbert.withHilbertIndex(df, "x", "y", "h")
+      .select($"x", $"y", $"h").as[(Long, Long, Long)].collect().toSet
+    val chain = Hilbert.withHilbertIndexExpr(df, "x", "y", "h")
+      .select($"x", $"y", $"h").as[(Long, Long, Long)].collect().toSet
+    assert(kernel == chain)
   }
 
   test("bits=5 grid: bijection onto 0..1023 and one grid step per index step") {
