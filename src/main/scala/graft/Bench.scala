@@ -67,9 +67,12 @@ object Bench {
       else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     }
     // 1-decimal fallback: at ~148 queries the 2-decimal line nears
-    // the 1800 guard; losing the second decimal (~centisecond noise
-    // anyway) beats losing the whole per-query map.
+    // the guard; losing the second decimal (~centisecond noise
+    // anyway) beats losing the whole per-query map. Values ≥ 10 s
+    // render as whole seconds — the decimal is noise at that
+    // magnitude and the saved chars matter at 176 keys.
     def f1(v: Double): String = {
+      if (v >= 9.95) return math.round(v).toString
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
@@ -88,11 +91,13 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt
-    // appends a ~75-char "[success]" trailer and prefixes us with
-    // "[info] " — ≈1916 usable. 1900 leaves a small safety margin
+    // appends a ~75-78-char "[success]" trailer and prefixes us with
+    // "[info] " — ≈1914 usable. 1908 leaves a small safety margin
     // (the old 1800 guard silently dropped the whole per-query map
-    // at 170 queries, which is the worse failure).
-    val cap = 1900
+    // at 170 queries, which is the worse failure); at 176 keys the
+    // q-prefixed 1-decimal line is ~1905, so every char of margin
+    // here is deliberate.
+    val cap = 1908
     val line2 = mkLine(fq)
     lazy val line1 = mkLine(f1)
     // last-resort per-query form: strip the 'q' key prefix (~1 char
