@@ -199,6 +199,19 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("file_id"))
     }),
 
+    // Declarative data-quality contract (ops.Checks): every rule's
+    // measurement is one aggregate expression in a SINGLE agg over a
+    // SINGLE scan (never a job per rule), unpivoted to a verdict
+    // table. The uniqueness rule FAILS by design — the synthetic
+    // lineitem has duplicate (orderkey, linenumber) pairs, and a
+    // checker that can't surface a violation verifies nothing.
+    "q177_data_checks" -> ((s, dir) => {
+      graft.ops.Checks.evaluate(table(s, dir, "lineitem"),
+        dqRules.map { case (n, c, _, lo, hi) =>
+          graft.ops.Checks.Rule(n, c, lo, hi)
+        })
+    }),
+
     // Union + distinct (U1) across two inputs.
     "q10_union_distinct" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -293,7 +306,51 @@ object RelationalQueries extends QueryPack {
       (ot, lt)
     })
 
+  /** The q177 rule table, stated ONCE: (name, Column metric, SQL
+    * metric, lo, hi). The Spark side and the oracle derive from the
+    * same rows so the contract cannot drift between them.
+    */
+  private def dqRules: Seq[(String, Column, String, Long, Long)] = {
+    val ck = graft.ops.Checks
+    Seq(
+      ("complete_orderkey", ck.nullCount("l_orderkey"),
+        "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)", 0L, 0L),
+      ("complete_partkey", ck.nullCount("l_partkey"),
+        "sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)", 0L, 0L),
+      ("domain_returnflag",
+        ck.outOfDomain("l_returnflag", Seq("A", "N", "R")),
+        "sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)",
+        0L, 0L),
+      ("qty_min_fx", ck.minFx("l_quantity"),
+        "min(floor(l_quantity * 100))", 100L, 5000L),
+      ("qty_max_fx", ck.maxFx("l_quantity"),
+        "max(floor(l_quantity * 100))", 100L, 5000L),
+      ("discount_max_fx", ck.maxFx("l_discount"),
+        "max(floor(l_discount * 100))", 0L, 10L),
+      ("tax_max_fx", ck.maxFx("l_tax"),
+        "max(floor(l_tax * 100))", 0L, 8L),
+      ("unique_order_line",
+        ck.duplicateCount(Seq("l_orderkey", "l_linenumber")),
+        "count(*) - count(DISTINCT (l_orderkey, l_linenumber))",
+        0L, 0L))
+  }
+
+  private def dqOracle: String = {
+    val metrics = dqRules.zipWithIndex
+      .map { case ((_, _, sql, _, _), i) =>
+        s"CAST($sql AS BIGINT) AS m$i" }
+      .mkString(",\n  ")
+    val rows = dqRules.zipWithIndex.map { case ((n, _, _, lo, hi), i) =>
+      s"""SELECT '$n' AS rule, m$i AS measured,
+         |  $lo::BIGINT AS lo, $hi::BIGINT AS hi,
+         |  m$i >= $lo AND m$i <= $hi AS pass FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH m AS (SELECT\n  $metrics\n FROM lineitem)\n" +
+      rows + "\nORDER BY rule"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q177_data_checks" -> dqOracle,
     "q167_zorder_layout" -> {
       val z = graft.io.Zorder.zvalueSql("sa", "sb")
       s"""WITH st AS (

@@ -411,6 +411,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming rollup maintenance — [[graft.ops.Incremental]] driven
+    * by a stream: each micro-batch aggregates ONLY its own rows into
+    * a mergeable state and merges with the previous state version;
+    * the base corpus is never rescanned, so per-batch cost is
+    * O(batch) + O(groups). State versions are batchId-keyed dirs —
+    * re-processing a batch after a restart overwrites the same
+    * version, so the maintenance is idempotent under the
+    * checkpoint's replay contract (at production scale the version
+    * pointer lives in a catalog/transaction log; the directory
+    * convention is this sandbox's stand-in). StreamsSpec pins the
+    * maintained state against the from-scratch aggregate.
+    */
+  def rollupMaintStream(events: DataFrame, groupCol: String,
+      valCol: String, stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val inc = graft.ops.Incremental
+        val newState = inc.aggState(batch, groupCol, valCol)
+        val prior = Option(new java.io.File(stateDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .map(_.getName.drop(1).toLong).filter(_ < id)
+        val merged =
+          if (prior.isEmpty) newState
+          else inc.merge(
+            spark.read.parquet(s"$stateDir/v${prior.max}"), newState)
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/v$id")
+      }
+      .start()
+
   /** Streaming n-gram-overlap decontamination — the stream twin of
     * [[graft.dedup.Dedup.ngramOverlapAcross]] (q150; the GPT-3
     * method). The benchmark reduces OFFLINE to its distinct window

@@ -566,6 +566,33 @@ class StreamsSpec extends SparkSpec {
     } finally { q.stop(); refHist.unpersist() }
   }
 
+  test("rollupMaintStream: maintained state equals the from-scratch rollup") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val base = Files.createTempDirectory("graft-rollup").toString
+    val stateDir = s"$base/state"
+    val q = Streams.rollupMaintStream(
+      input.toDF().toDF("g", "v"), "g", "v", stateDir, s"$base/chk")
+    try {
+      val batch1 = (0 until 300).map(i => (s"g${i % 3}", i * 0.37))
+      val batch2 = (300 until 500).map(i => (s"g${i % 4}", i * 0.37))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val finalState = spark.read.parquet(s"$stateDir/v1")
+      val maintained = graft.ops.Incremental.finish(finalState)
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toList
+      val scratch = graft.ops.Incremental.finish(
+        graft.ops.Incremental.aggState(
+          (batch1 ++ batch2).toDF("g", "v"), "g", "v"))
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toList
+      assert(maintained == scratch)
+      assert(maintained.map(_._1).contains("g3")) // batch2-only group
+    } finally q.stop()
+  }
+
   test("stripBoilerplateStream scrubs arriving docs against a batch hot set") {
     implicit val sqlCtx = spark.sqlContext
     // offline pass: banner appears in 3 historical docs → hot
