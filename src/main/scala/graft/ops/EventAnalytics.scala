@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over (user, type, timestamp) streams —
+  * the two classics every behavioral warehouse query surface needs:
+  * ordered funnels and cohort retention. Both are exact-integer
+  * results (user counts, week indices), fully SQL-replayable.
+  *
+  * Scale shape: everything is keyed on the user. The funnel's step
+  * chain is k aggregates + k−1 joins ALL clustered on the user key,
+  * so after the first `groupBy(user)` exchange the later steps
+  * reuse the partitioning (ClusteredDistribution already satisfied
+  * — no second shuffle of the same rows); retention is two
+  * user-keyed aggregates and one bounded (cohort, offset) rollup.
+  * Neither ever sorts or windows the event stream globally.
+  */
+object EventAnalytics {
+
+  /** Ordered-sequence funnel: for steps (s1, …, sk), a user counts
+    * at step i iff they performed s1 < s2 < … < si at STRICTLY
+    * increasing timestamps (the standard "did the click come after
+    * the view" semantics, not mere set membership). Output: one row
+    * per step — (step, step_name, n_users).
+    */
+  def orderedFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    val base = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"), col(tsCol).as("__ts"))
+    val firstStep = base.filter(col("__ty") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    val chain = steps.tail.scanLeft(firstStep) { (prev, st) =>
+      base.filter(col("__ty") === st)
+        .join(prev, "__u")
+        .filter(col("__ts") > col("__t"))
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    }
+    chain.zip(steps).zipWithIndex
+      .map { case ((tbl, name), i) =>
+        tbl.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: cohort = the absolute epoch-week of a
+    * user's FIRST event; a user is retained at offset k if they were
+    * active in cohort_week + k. Output: (cohort_wk, wk_offset,
+    * n_users), the classic retention triangle. Week indexing is
+    * exact integer epoch arithmetic (`unix_millis div 86400000 div
+    * 7`) so any engine reproduces the buckets. (`wk_offset`, not
+    * `offset` — OFFSET is a reserved word in other engines and the
+    * oracle must spell the same name.)
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val w = events.select(col(userCol).as("__u"),
+      expr(s"(unix_millis($tsCol) div 86400000) div 7").as("__wk"))
+    val first = w.groupBy(col("__u")).agg(min(col("__wk")).as("cohort_wk"))
+    w.distinct()
+      .join(first, "__u")
+      .withColumn("wk_offset", col("__wk") - col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("wk_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+}

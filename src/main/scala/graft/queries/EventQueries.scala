@@ -44,6 +44,22 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Ordered-sequence funnel (ops.EventAnalytics): view → click →
+    // purchase at strictly increasing timestamps — k user-keyed
+    // aggregates reusing one partitioning, never a global sort.
+    "q178_event_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.orderedFunnel(table(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Weekly cohort retention triangle (ops.EventAnalytics): exact
+    // integer epoch-week buckets, two user-keyed aggregates.
+    "q179_cohort_retention" -> ((s, dir) => {
+      graft.ops.EventAnalytics.cohortRetention(table(s, dir, "events"),
+        "user_id", "ts")
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q68_tumbling_window" -> ((s, dir) => {
       table(s, dir, "events")
@@ -132,6 +148,34 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q178_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
+    "q179_cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    (epoch_ms(ts) // 86400000) // 7 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk
+        |      FROM w GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort_wk, wk_offset
+        |ORDER BY f.cohort_wk, wk_offset""".stripMargin,
     "q175_incremental_agg" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("orderedFunnel: strictly-increasing order required, not set membership") {
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)),
+      // u3 clicked BEFORE viewing — click must not count
+      (3L, "click", ts(1)), (3L, "view", ts(2)), (3L, "purchase", ts(3)),
+      // u4 never viewed
+      (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.orderedFunnel(ev,
+      "user_id", "event_type", "t", Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toList
+    assert(out == List(
+      (1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("orderedFunnel: equal timestamps do not satisfy the strict order") {
+    val ev = Seq((1L, "view", ts(5)), (1L, "click", ts(5)))
+      .toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.orderedFunnel(ev,
+      "user_id", "event_type", "t", Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toList
+    assert(out == List((1, "view", 1L), (2, "click", 0L)))
+  }
+
+  test("cohortRetention: the retention triangle off first-activity weeks") {
+    val wk = 7L * 86400L
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(wk + 5)), (1L, ts(3 * wk + 5)),
+      (2L, ts(10)),
+      (3L, ts(wk + 1)), (3L, ts(2 * wk + 1))
+    ).toDF("user_id", "t")
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "t")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+}
