@@ -47,6 +47,29 @@ object EventAnalytics {
       .orderBy(col("step"))
   }
 
+  /** Per-user event-transition counts — the Markov/path-analysis
+    * view of a behavior stream: for each user's events in (ts, id)
+    * order, count the (from_type → to_type) adjacent transitions
+    * corpus-wide. One `lag` window PARTITIONED BY USER (state is a
+    * user's own events, never a global sort) and one bounded
+    * aggregate (≤ |types|² rows out). The id tiebreaker makes the
+    * per-user order total, so the transition counts are
+    * deterministic under any partitioning.
+    */
+  def transitionCounts(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Weekly cohort retention: cohort = the absolute epoch-week of a
     * user's FIRST event; a user is retained at offset k if they were
     * active in cohort_week + k. Output: (cohort_wk, wk_offset,

@@ -60,6 +60,13 @@ object EventQueries extends QueryPack {
         "user_id", "ts")
     }),
 
+    // Per-user event-transition matrix (Markov/path analysis): one
+    // user-partitioned lag window + a ≤|types|²-row aggregate.
+    "q180_event_transitions" -> ((s, dir) => {
+      graft.ops.EventAnalytics.transitionCounts(table(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q68_tumbling_window" -> ((s, dir) => {
       table(s, dir, "events")
@@ -148,6 +155,17 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q180_event_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "q178_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t FROM e

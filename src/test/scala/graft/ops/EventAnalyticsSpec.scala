@@ -34,6 +34,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == List((1, "view", 1L), (2, "click", 0L)))
   }
 
+  test("transitionCounts: per-user adjacency only, deterministic tie order") {
+    val ev = Seq(
+      (1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
+      (1L, 12L, "view", ts(3)),
+      (2L, 20L, "view", ts(1)), (2L, 21L, "click", ts(2)),
+      // u3's two same-ts events order by id: 31 then 32
+      (3L, 31L, "click", ts(5)), (3L, 32L, "purchase", ts(5)),
+      (4L, 40L, "view", ts(9)) // single event: no transition
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val out = EventAnalytics.transitionCounts(ev,
+      "user_id", "event_type", "t", "event_id")
+      .as[(String, String, Long)].collect().toList
+    assert(out == List(
+      ("click", "purchase", 1L),
+      ("click", "view", 1L),
+      ("view", "click", 2L)))
+  }
+
   test("cohortRetention: the retention triangle off first-activity weeks") {
     val wk = 7L * 86400L
     val ev = Seq(
