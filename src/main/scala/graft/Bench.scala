@@ -87,7 +87,9 @@ object Bench {
       // chars are what keep the q-prefixed keys inside the window
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
         .getOrElse(sfDir)
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+      // self-describing marker for the stripped form: "29" means q29
+      val keyNote = if (dropQ) ""","keys":"qNN sans q"""" else ""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$keyNote,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt
