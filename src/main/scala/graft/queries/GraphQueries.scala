@@ -37,6 +37,29 @@ object GraphQueries extends QueryPack {
       corpusScores(s, dir).orderBy(col("word"))
     }),
 
+    // Exact triangle count + global clustering coefficient over the
+    // co-purchase graph (graph.Triangles): parts are nodes, an edge
+    // is a pair co-ordered with SUPPORT >= 2 — the market-basket
+    // support threshold that separates signal from one-off random
+    // co-occurrence (and, measured, takes the synthetic graph from
+    // 1.2M edges / avg-degree 120 to ~4k meaningful edges at
+    // sf0.1). The degree-oriented join then bounds the wedge
+    // fan-out by arboricity — the trick that keeps exact counting
+    // feasible where the naive 3-way edge join explodes on hub
+    // parts. One exact-integer row out.
+    "q181_triangle_count" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.join(li.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("pa"), col("p2").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(col("pa"), col("pb"))
+      graft.graph.Triangles.stats(edges, "pa", "pb")
+    }),
+
     // Top-3 phrases per doc by summed node scores.
     "q67_textrank_phrases" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -79,6 +102,33 @@ object GraphQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q181_triangle_count" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY x, y HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.x < e.y)
+        |      THEN e.x ELSE e.y END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.x < e.y)
+        |      THEN e.y ELSE e.x END AS v
+        |  FROM e JOIN deg da ON e.x = da.n JOIN deg db ON e.y = db.n),
+        |w AS (SELECT o1.v AS v1, o2.v AS v2
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        |c AS (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN c ON w.v1 = c.x AND w.v2 = c.y),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d) AS BIGINT) AS deg_sum,
+        |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, deg_sum // 2 AS n_edges, n_wedges,
+        |  n_triangles, n_triangles * 3 * 1000000 // n_wedges AS gcc_e6
+        |FROM s, t""".stripMargin,
     "q66_textrank_scores" ->
       s"""WITH $pagerankCtes
          |SELECT word, round(score, 4) AS score
