@@ -32,6 +32,15 @@ object AnalyticQueries extends QueryPack {
         "l_extendedprice", buckets = 20)
     }),
 
+    // Pairwise association rules over order baskets
+    // (ops.Associations): support/confidence/lift in exact e6
+    // integers, support floor before the ordered top-20.
+    "q182_assoc_rules" -> ((s, dir) => {
+      graft.ops.Associations.pairRules(
+        table(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2, k = 20)
+    }),
+
     // Offset windows: previous/next order price per customer, delta
     // to previous. Ordered by the unique order key so offsets are
     // deterministic.
@@ -162,6 +171,32 @@ object AnalyticQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q182_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS supp
+        |  FROM bi GROUP BY it),
+        |p AS (SELECT a.it AS a, b.it AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY a.it, b.it HAVING count(*) >= 2),
+        |d AS (SELECT a AS ante, b AS cons, n_ab FROM p
+        |  UNION ALL SELECT b AS ante, a AS cons, n_ab FROM p),
+        |r AS (SELECT d.ante, d.cons, d.n_ab,
+        |    ia.supp AS n_a, ib.supp AS n_b,
+        |    d.n_ab * 1000000 // ia.supp AS conf_e6,
+        |    d.n_ab * nb * 1000000 // (ia.supp * ib.supp) AS lift_e6
+        |  FROM d JOIN ic ia ON d.ante = ia.it
+        |         JOIN ic ib ON d.cons = ib.it
+        |         CROSS JOIN n)
+        |SELECT ante, cons, n_ab, n_a, n_b,
+        |  CAST(conf_e6 AS BIGINT) AS conf_e6,
+        |  CAST(lift_e6 AS BIGINT) AS lift_e6
+        |FROM r
+        |ORDER BY lift_e6 DESC, conf_e6 DESC, ante, cons
+        |LIMIT 20""".stripMargin,
     "q169_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name,
