@@ -53,7 +53,14 @@ object Associations {
         col("__supp").as("n_b")), "cons")
       .crossJoin(broadcast(n))
       .withColumn("conf_e6", expr("n_ab * 1000000 div n_a"))
-      .withColumn("lift_e6", expr("n_ab * __n * 1000000 div (n_a * n_b)"))
+      // the lift numerator n_ab·N·1e6 overflows a long once basket
+      // and pair counts reach real-corpus scale (n_ab=2M, N=5M →
+      // 1e19 > Long.MaxValue: Spark wraps silently, the oracle
+      // engine errors) — widen to decimal for the product, `div`
+      // still returns an exact long
+      .withColumn("lift_e6", expr(
+        "cast(n_ab as decimal(38,0)) * __n * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b)"))
       .select(col("ante"), col("cons"), col("n_ab"), col("n_a"),
         col("n_b"), col("conf_e6"), col("lift_e6"))
       .orderBy(col("lift_e6").desc, col("conf_e6").desc,

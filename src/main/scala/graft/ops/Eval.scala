@@ -38,21 +38,15 @@ object Eval {
         sum(col("pcnt")).as("p"),
         sum(col("cnt")).as("t"))
       .select(col("p").as("n_pos"), (col("t") - col("p")).as("n_neg"),
-        expr("(r2 - p * (p + 1)) * 1000000 div (2 * p * (t - p))")
+        // a single-class batch (all-positive or all-negative — a
+        // drifted feed, a filtered slice) has no defined AUC: emit
+        // NULL deliberately on BOTH engines rather than nulling
+        // silently here and erroring in the SQL replay
+        expr("CASE WHEN p = 0 OR t = p THEN NULL ELSE " +
+          "(r2 - p * (p + 1)) * 1000000 div (2 * p * (t - p)) END")
           .as("auc_e6"))
   }
 
-  /** Per-query recall@k of an APPROXIMATE neighbor list against the
-    * exact one — the quality meter every recall-trading operator
-    * (LSH/IVF/PQ ANN) must ship with, as an operator rather than a
-    * spec-time assertion, so production can monitor recall on live
-    * data. Exact rational arithmetic: hits are an equi-join on
-    * (query, neighbor), recall is `hits * 1e6 div k`. Queries the
-    * approximate pass starved entirely (no shared bucket) surface as
-    * recall 0 via the left join from the exact side's query set —
-    * silently dropping them would overstate recall, the one mistake
-    * a recall meter cannot make.
-    */
   /** The NDCG@k position discounts as e6-floored integer constants:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Computed ONCE here in
     * Scala and injected as literals into both the Column expression
@@ -62,9 +56,19 @@ object Eval {
   def ndcgDiscountsE6(k: Int): Seq[Long] =
     (1 to k).map(i => (1e6 * math.log(2) / math.log(i + 1)).toLong)
 
+  /** Prefix sums of [[ndcgDiscountsE6]]: `idealE6(n)` = the IDCG of
+    * an exact list of length n ≤ k. Shared with oracle builders.
+    */
+  def ndcgIdealPrefixE6(k: Int): Seq[Long] =
+    ndcgDiscountsE6(k).scanLeft(0L)(_ + _).tail
+
   /** Per-query NDCG@k of an approximate ranking against the exact
     * top-k set (binary relevance): position-discounted credit for
-    * each hit, normalized by the ideal prefix. Complements
+    * each hit, normalized by the ideal prefix OF THE QUERY'S OWN
+    * EXACT-LIST LENGTH — normalizing by the full-k ideal would
+    * report degradation that does not exist whenever a query has
+    * fewer than k true neighbors (small candidate pool), the
+    * inverse failure of dropping starved queries. Complements
     * [[recallAtK]] — recall says HOW MANY of the true neighbors
     * survived, NDCG says WHERE the ranking put them. Exact integer
     * arithmetic end to end (see [[ndcgDiscountsE6]]); starved
@@ -73,22 +77,42 @@ object Eval {
   def ndcgAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       neighborCol: String, rankCol: String, k: Int): DataFrame = {
     val disc = ndcgDiscountsE6(k)
+    val prefix = ndcgIdealPrefixE6(k)
     val credit = disc.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, (d, i)) => when(col(rankCol) === (i + 1), d).otherwise(acc)
     }
-    val idcg = disc.sum
+    val idcg = (1 until k).foldLeft(lit(prefix.last)) {
+      case (acc, n) => when(col("n_exact") === n, prefix(n - 1)).otherwise(acc)
+    }
     val dcg = approx.select(col(queryCol), col(neighborCol), col(rankCol))
       .join(exact.select(col(queryCol), col(neighborCol)),
         Seq(queryCol, neighborCol))
       .groupBy(col(queryCol))
       .agg(sum(credit).as("dcg_e6"))
-    exact.select(col(queryCol)).distinct()
+    exact.select(col(queryCol), col(neighborCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"))
       .join(dcg, Seq(queryCol), "left_outer")
       .na.fill(0L, Seq("dcg_e6"))
-      .withColumn("ndcg_e6", expr(s"dcg_e6 * 1000000 div $idcg"))
+      .withColumn("__idcg", idcg)
+      .withColumn("ndcg_e6", expr("dcg_e6 * 1000000 div __idcg"))
+      .select(col(queryCol), col("dcg_e6"), col("ndcg_e6"))
       .orderBy(col(queryCol))
   }
 
+  /** Per-query recall@k of an APPROXIMATE neighbor list against the
+    * exact one — the quality meter every recall-trading operator
+    * (LSH/IVF/PQ ANN) must ship with, as an operator rather than a
+    * spec-time assertion, so production can monitor recall on live
+    * data. Exact rational arithmetic: hits are an equi-join on
+    * (query, neighbor), recall is `hits * 1e6 div |exact list|` —
+    * the query's OWN exact-list size, so a perfect match scores 1
+    * even when fewer than k true neighbors exist. Queries the
+    * approximate pass starved entirely (no shared bucket) surface as
+    * recall 0 via the left join from the exact side's query set —
+    * silently dropping them would overstate recall, the one mistake
+    * a recall meter cannot make.
+    */
   def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       neighborCol: String, k: Int): DataFrame = {
     val hits = approx.select(col(queryCol), col(neighborCol))
@@ -96,10 +120,13 @@ object Eval {
         Seq(queryCol, neighborCol))
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_hits"))
-    exact.select(col(queryCol)).distinct()
+    exact.select(col(queryCol), col(neighborCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq(queryCol), "left_outer")
       .na.fill(0L, Seq("n_hits"))
-      .withColumn("recall_e6", expr(s"n_hits * 1000000 div $k"))
+      .withColumn("recall_e6", expr("n_hits * 1000000 div n_exact"))
+      .select(col(queryCol), col("n_hits"), col("recall_e6"))
       .orderBy(col(queryCol))
   }
 }

@@ -64,6 +64,25 @@ object Profiler {
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
+  /** The shared pieces of the batch/stream drift TWINS — one source
+    * of truth because their contract is BIT-equality of a floored
+    * IEEE expression: a re-derived copy that reorders one multiply
+    * would break twin parity in a way only the spec would catch.
+    */
+  private def clampedBucket(buckets: Int) =
+    least(lit(buckets - 1L), greatest(lit(0L),
+      expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)")))
+
+  private def driftTermE6(buckets: Int) = {
+    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
+    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long")
+  }
+
+  private def allRowsWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy() // bounded: callers only window over ≤B bucket rows
+    .rowsBetween(Long.MinValue, Long.MaxValue)
+
   /** Chi-square distribution drift between a REFERENCE slice and a
     * CURRENT slice of the same numeric column — the monitoring gate
     * that catches a feed silently changing distribution between
@@ -96,23 +115,16 @@ object Profiler {
       .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
     val binned = tagged
       .crossJoin(broadcast(stats))
-      .withColumn("bucket",
-        least(lit(buckets - 1L), greatest(lit(0L),
-          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .withColumn("bucket", clampedBucket(buckets))
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy() // ≤ buckets rows by construction
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
-    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    val w = allRowsWindow
     binned
       .withColumn("__tr", sum(col("n_ref")).over(w))
       .withColumn("__tc", sum(col("n_cur")).over(w))
-      .withColumn("term_e6",
-        floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long"))
+      .withColumn("term_e6", driftTermE6(buckets))
       .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
       .orderBy(col("bucket"))
   }
@@ -126,16 +138,12 @@ object Profiler {
   def referenceHistogram(ref: DataFrame, c: String,
       buckets: Int): DataFrame = {
     val stats = ref.agg(min(fx(col(c))).as("__mn"), max(fx(col(c))).as("__mx"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     ref.select(fx(col(c)).as("__fx"))
       .crossJoin(broadcast(stats))
-      .withColumn("bucket",
-        least(lit(buckets - 1L), greatest(lit(0L),
-          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .withColumn("bucket", clampedBucket(buckets))
       .groupBy(col("bucket"), col("__mn"), col("__mx"))
       .agg(count(lit(1)).as("n_ref"))
-      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tr", sum(col("n_ref")).over(allRowsWindow))
   }
 
   /** Chi-square drift of ONE batch (or micro-batch) against a
@@ -151,15 +159,10 @@ object Profiler {
       max(col("__mx")).as("__mx")) // constant across the ≤B rows
     val curHist = cur.select(fx(col(c)).as("__fx"))
       .crossJoin(broadcast(stats))
-      .withColumn("bucket",
-        least(lit(buckets - 1L), greatest(lit(0L),
-          expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))))
+      .withColumn("bucket", clampedBucket(buckets))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_cur"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
-    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    val w = allRowsWindow
     refHist.select(col("bucket"), col("n_ref"), col("__tr"))
       .join(curHist, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
@@ -168,8 +171,7 @@ object Profiler {
       // restores it without touching the reference data again
       .withColumn("__tr", max(col("__tr")).over(w))
       .withColumn("__tc", sum(col("n_cur")).over(w))
-      .withColumn("term_e6",
-        floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long"))
+      .withColumn("term_e6", driftTermE6(buckets))
       .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
       .orderBy(col("bucket"))
   }

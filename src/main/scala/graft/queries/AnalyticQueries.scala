@@ -187,7 +187,8 @@ object AnalyticQueries extends QueryPack {
         |r AS (SELECT d.ante, d.cons, d.n_ab,
         |    ia.supp AS n_a, ib.supp AS n_b,
         |    d.n_ab * 1000000 // ia.supp AS conf_e6,
-        |    d.n_ab * nb * 1000000 // (ia.supp * ib.supp) AS lift_e6
+        |    (d.n_ab::HUGEINT * nb * 1000000)
+        |      // (ia.supp::HUGEINT * ib.supp) AS lift_e6
         |  FROM d JOIN ic ia ON d.ante = ia.it
         |         JOIN ic ib ON d.cons = ib.it
         |         CROSS JOIN n)

@@ -825,8 +825,9 @@ object CurationQueries extends QueryPack {
          |        CAST(sum(cnt) AS BIGINT) AS t
          |      FROM r)
          |SELECT p AS n_pos, t - p AS n_neg,
-         |  CAST((r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
-         |    AS BIGINT) AS auc_e6
+         |  CAST(CASE WHEN p = 0 OR t = p THEN NULL
+         |    ELSE (r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
+         |    END AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
     "q108_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),

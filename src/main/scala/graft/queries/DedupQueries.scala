@@ -80,6 +80,29 @@ object DedupQueries extends QueryPack {
         .withColumn("doc_id", col("doc_id") + 200000L))
   }
 
+  /** q174/q176 share one (exact, approx) ANN ranking pair —
+    * memoized per sfDir like the LSH candidates so the cosine
+    * baseline and the LSH pass each run once per session, and both
+    * meters provably measure the same ranking.
+    */
+  private val annMeterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def annMeterLists(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    annMeterCache.computeIfAbsent(Memo.key(s, dir), _ => {
+      val emb = table(s, dir, "embeddings")
+      val exact = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = Ann.lshTopK(emb, "vec_id", "embedding",
+        planes = 8, k = 5)
+        .filter(col("query_id") < 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count(); approx.count()
+      (exact, approx)
+    })
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Blocked edit-distance fuzzy dedup: prefix-digest blocking
     // turns all-pairs Levenshtein into an equi-join; the THRESHOLDED
@@ -233,14 +256,12 @@ object DedupQueries extends QueryPack {
     // (ops.Eval.recallAtK) — the quality meter a recall-trading
     // operator ships with AS an operator, so live recall is
     // monitorable. Exact rational arithmetic; starved queries
-    // surface as recall 0, never silently drop.
+    // surface as recall 0, never silently drop. Both meters (q174,
+    // q176) read ONE memoized (exact, approx) pair, so the ANN
+    // passes run once per session and the two meters are guaranteed
+    // to measure the same ranking.
     "q174_ann_recall" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val exact = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", 5)
-      val approx = Ann.lshTopK(emb, "vec_id", "embedding",
-        planes = 8, k = 5)
-        .filter(col("query_id") < 20)
+      val (exact, approx) = annMeterLists(s, dir)
       graft.ops.Eval.recallAtK(approx, exact,
         "query_id", "neighbor_id", 5)
     }),
@@ -251,12 +272,7 @@ object DedupQueries extends QueryPack {
     // once in Scala and shared with the oracle — no float log runs
     // in either engine.
     "q176_ann_ndcg" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      val exact = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", 5)
-      val approx = Ann.lshTopK(emb, "vec_id", "embedding",
-        planes = 8, k = 5)
-        .filter(col("query_id") < 20)
+      val (exact, approx) = annMeterLists(s, dir)
       graft.ops.Eval.ndcgAtK(approx, exact,
         "query_id", "neighbor_id", "rank", 5)
     }),
@@ -356,6 +372,36 @@ object DedupQueries extends QueryPack {
   private val cosineCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings)""".stripMargin
+
+  /** Shared CTE chain for the q174/q176 ANN meters: the exact top-5
+    * (`ex`) and the LSH top-5 (`ap`, with rank) for queries < 20 —
+    * ONE replay of the ranking construction, exactly as the Spark
+    * side shares one memoized pair.
+    */
+  private def annMeterCtes: String = {
+    val sigExpr = Fragments.rhpSigSql(8, "v")
+    s"""$cosineCte,
+       |q AS (SELECT * FROM e WHERE vec_id < 20),
+       |s1 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |  round(list_dot_product(q.v, e.v) /
+       |    (sqrt(list_dot_product(q.v, q.v))
+       |     * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank FROM s1)
+       |  WHERE rank <= 5),
+       |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  round(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v))
+       |     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
+       |ap AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank FROM s2)
+       |  WHERE rank <= 5 AND query_id < 20)""".stripMargin
+  }
 
   /** Winnowing fingerprint CTE chain (k=8, w=4) over a (doc_id,
     * text) relation `src`: replays graft.text.Winnow.fingerprints —
@@ -540,76 +586,39 @@ object DedupQueries extends QueryPack {
          |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q174_ann_recall" -> {
-      val sigExpr = Fragments.rhpSigSql(8, "v")
-      s"""WITH $cosineCte,
-         |q AS (SELECT * FROM e WHERE vec_id < 20),
-         |s1 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |  round(list_dot_product(q.v, e.v) /
-         |    (sqrt(list_dot_product(q.v, q.v))
-         |     * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
-         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
-         |ex AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s1)
-         |  WHERE rank <= 5),
-         |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
-         |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  round(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v))
-         |     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
-         |ap AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s2)
-         |  WHERE rank <= 5 AND query_id < 20),
+    "q174_ann_recall" ->
+      s"""WITH $annMeterCtes,
          |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM ap JOIN ex ON ap.query_id = ex.query_id
          |    AND ap.neighbor_id = ex.neighbor_id
          |  GROUP BY ex.query_id),
-         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY query_id)
          |SELECT qs.query_id,
          |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-         |  CAST(COALESCE(n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
+         |  CAST(COALESCE(n_hits, 0) * 1000000 // qs.n_exact AS BIGINT)
+         |    AS recall_e6
          |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
-         |ORDER BY qs.query_id""".stripMargin
-    },
+         |ORDER BY qs.query_id""".stripMargin,
     "q176_ann_ndcg" -> {
-      val sigExpr = Fragments.rhpSigSql(8, "v")
       val disc = graft.ops.Eval.ndcgDiscountsE6(5)
       val whens = disc.zipWithIndex
         .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
-      val idcg = disc.sum
-      s"""WITH $cosineCte,
-         |q AS (SELECT * FROM e WHERE vec_id < 20),
-         |s1 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |  round(list_dot_product(q.v, e.v) /
-         |    (sqrt(list_dot_product(q.v, q.v))
-         |     * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
-         |  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
-         |ex AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s1)
-         |  WHERE rank <= 5),
-         |sig AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
-         |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  round(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v))
-         |     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id != b.vec_id),
-         |ap AS (SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rank FROM s2)
-         |  WHERE rank <= 5 AND query_id < 20),
+      val prefix = graft.ops.Eval.ndcgIdealPrefixE6(5)
+      val idcgCase = "CASE qs.n_exact " + (1 until 5)
+        .map(n => s"WHEN $n THEN ${prefix(n - 1)}").mkString(" ") +
+        s" ELSE ${prefix.last} END"
+      s"""WITH $annMeterCtes,
          |h AS (SELECT ex.query_id,
          |  CAST(sum(CASE ap.rank $whens ELSE 0 END) AS BIGINT) AS dcg_e6
          |  FROM ap JOIN ex ON ap.query_id = ex.query_id
          |    AND ap.neighbor_id = ex.neighbor_id
          |  GROUP BY ex.query_id),
-         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY query_id)
          |SELECT qs.query_id,
          |  CAST(COALESCE(dcg_e6, 0) AS BIGINT) AS dcg_e6,
-         |  CAST(COALESCE(dcg_e6, 0) * 1000000 // $idcg AS BIGINT)
+         |  CAST(COALESCE(dcg_e6, 0) * 1000000 // ($idcgCase) AS BIGINT)
          |    AS ndcg_e6
          |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
          |ORDER BY qs.query_id""".stripMargin

@@ -48,8 +48,13 @@ object GraphQueries extends QueryPack {
     // feasible where the naive 3-way edge join explodes on hub
     // parts. One exact-integer row out.
     "q181_triangle_count" -> ((s, dir) => {
+      // DISTINCT (order, part) first: a part listed twice in one
+      // order is multiplicity, not co-occurrence — support must
+      // count CO-ORDERS (the q182 discipline; this corpus carries
+      // duplicate lines by design, see q177's uniqueness rule)
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
       val edges = li.join(li.select(col("o"), col("p").as("p2")), "o")
         .filter(col("p") < col("p2"))
         .select(col("p").as("pa"), col("p2").as("pb"))
@@ -103,10 +108,12 @@ object GraphQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q181_triangle_count" ->
-      """WITH e AS (
-        |  SELECT a.l_partkey AS x, b.l_partkey AS y
-        |  FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
         |  GROUP BY x, y HAVING count(*) >= 2),
         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
         |  SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)

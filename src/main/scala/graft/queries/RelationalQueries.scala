@@ -331,7 +331,12 @@ object RelationalQueries extends QueryPack {
         "max(floor(l_tax * 100))", 0L, 8L),
       ("unique_order_line",
         ck.duplicateCount(Seq("l_orderkey", "l_linenumber")),
-        "count(*) - count(DISTINCT (l_orderkey, l_linenumber))",
+        // mirror duplicateCount's null semantics (non-null-keyed rows
+        // minus distinct) — count(*) would diverge the moment a null
+        // key appears, exactly the drift the shared table prevents
+        "sum(CASE WHEN l_orderkey IS NOT NULL" +
+          " AND l_linenumber IS NOT NULL THEN 1 ELSE 0 END)" +
+          " - count(DISTINCT (l_orderkey, l_linenumber))",
         0L, 0L))
   }
 

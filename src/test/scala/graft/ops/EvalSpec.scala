@@ -35,6 +35,27 @@ class EvalSpec extends SparkSpec {
     assert(a == auc(rows))
   }
 
+  test("aucE6: a single-class batch reads NULL, not an error or silent null") {
+    val allPos = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("s", "pos")
+    val a = Eval.aucE6(allPos, "s", "pos")
+      .select($"n_pos", $"n_neg", $"auc_e6".isNull).as[(Long, Long, Boolean)]
+      .head()
+    assert(a == ((3L, 0L, true)))
+  }
+
+  test("meters divide by the query's own exact-list size, not nominal k") {
+    // query 1 has only TWO true neighbors; a perfect approximate
+    // list must score full recall and full NDCG
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("q", "n")
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "n", "rank")
+    val r = Eval.recallAtK(approx, exact, "q", "n", 5)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((1L, 2L, 1000000L)))
+    val nd = Eval.ndcgAtK(approx, exact, "q", "n", "rank", 5)
+      .as[(Long, Long, Long)].head()
+    assert(nd._3 == 1000000L)
+  }
+
   test("ndcgAtK: position-discounted hits, perfect ranking scores 1e6") {
     val d = Eval.ndcgDiscountsE6(3)
     val exact = Seq(
