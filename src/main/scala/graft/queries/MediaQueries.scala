@@ -29,6 +29,37 @@ object MediaQueries extends QueryPack {
       .otherwise(payload)
   }
 
+  /** Shared waveform round-trip report for the audio-codec family
+    * (q155/q157/q160): one deterministic generator (quadratic chirp
+    * parameterized by the codec's sample width) and one
+    * error-fold/digest presentation, so a generator tweak can never
+    * desynchronize one codec query from its oracle twin while the
+    * others move. `decodeEncoded` is the codec round trip.
+    */
+  private def codecRoundTrip(s: SparkSession, dir: String,
+      i2Mul: Int, docMul: Int, iMul: Int, mod: Int,
+      decodeEncoded: Column => Column): DataFrame = {
+    val n = col("doc_id") % 200 + 50
+    val samples = transform(sequence(lit(0), n - 1), i =>
+      (((i * i * i2Mul + col("doc_id") * docMul + i * iMul) % mod)
+        - mod / 2).cast("int"))
+    table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), samples.as("x"))
+      .select(col("doc_id"), col("x"), decodeEncoded(col("x")).as("y"))
+      // build the abs-diff array ONCE (HOFs are not CSE'd) and run
+      // both error folds over the column
+      .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
+      .select(col("doc_id"),
+        size(col("y")).cast("long").as("n_samples"),
+        aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
+          .cast("long").as("max_abs_err"),
+        aggregate(col("d"), lit(0L), (acc, e) => acc + e)
+          .as("sum_abs_err"),
+        md5(array_join(transform(col("y"), v => v.cast("string")), ","))
+          .as("dec_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata pass: size + container sniff over the binary, digest
     // over the payload.
@@ -196,26 +227,8 @@ object MediaQueries extends QueryPack {
     // sums must all match. Shrinks the audio stub to perceptual
     // (MP3-class) codecs, which no JDK decoder exists for.
     "q155_g711_roundtrip" -> ((s, dir) => {
-      val n = col("doc_id") % 200 + 50
-      val samples = transform(sequence(lit(0), n - 1), i =>
-        (((i * i + col("doc_id") * 31 + i * 7) % 4096) - 2048)
-          .cast("int"))
-      table(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), samples.as("x"))
-        .select(col("doc_id"), col("x"),
-          G711.ulawDecodeUdf(G711.ulawEncodeUdf(col("x"))).as("y"))
-        // build the abs-diff array ONCE (HOFs are not CSE'd) and run
-        // both error folds over the column
-        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
-        .select(col("doc_id"),
-          size(col("y")).cast("long").as("n_samples"),
-          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
-            .cast("long").as("max_abs_err"),
-          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
-            .as("sum_abs_err"),
-          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
-            .as("dec_md5"))
-        .orderBy(col("doc_id"))
+      codecRoundTrip(s, dir, 1, 31, 7, 4096,
+        x => G711.ulawDecodeUdf(G711.ulawEncodeUdf(x)))
     }),
 
     // q155's telephony companion: ITU-T G.711 A-law (E1 regions) —
@@ -225,24 +238,8 @@ object MediaQueries extends QueryPack {
     // untouched); G711Spec sweeps all 65536 inputs against the SQL
     // threshold-chain form and pins the ≤512 error bound.
     "q157_alaw_roundtrip" -> ((s, dir) => {
-      val n = col("doc_id") % 200 + 50
-      val samples = transform(sequence(lit(0), n - 1), i =>
-        (((i * i * 37 + col("doc_id") * 131 + i * 11) % 65536) - 32768)
-          .cast("int"))
-      table(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), samples.as("x"))
-        .select(col("doc_id"), col("x"),
-          G711.alawDecodeUdf(G711.alawEncodeUdf(col("x"))).as("y"))
-        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
-        .select(col("doc_id"),
-          size(col("y")).cast("long").as("n_samples"),
-          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
-            .cast("long").as("max_abs_err"),
-          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
-            .as("sum_abs_err"),
-          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
-            .as("dec_md5"))
-        .orderBy(col("doc_id"))
+      codecRoundTrip(s, dir, 37, 131, 11, 65536,
+        x => G711.alawDecodeUdf(G711.alawEncodeUdf(x)))
     }),
 
     // The STATEFUL member of the telephony family: IMA/DVI4 ADPCM
@@ -252,24 +249,8 @@ object MediaQueries extends QueryPack {
     // recursive CTE and every decoded sample + error sums + stream
     // digest hash-match. Same generator/corpus slice as q157.
     "q160_adpcm_roundtrip" -> ((s, dir) => {
-      val n = col("doc_id") % 200 + 50
-      val samples = transform(sequence(lit(0), n - 1), i =>
-        (((i * i * 37 + col("doc_id") * 131 + i * 11) % 65536) - 32768)
-          .cast("int"))
-      table(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), samples.as("x"))
-        .select(col("doc_id"), col("x"),
-          ImaAdpcm.decodeUdf(ImaAdpcm.encodeUdf(col("x"))).as("y"))
-        .withColumn("d", zip_with(col("x"), col("y"), (a, b) => abs(a - b)))
-        .select(col("doc_id"),
-          size(col("y")).cast("long").as("n_samples"),
-          aggregate(col("d"), lit(0), (acc, e) => greatest(acc, e))
-            .cast("long").as("max_abs_err"),
-          aggregate(col("d"), lit(0L), (acc, e) => acc + e)
-            .as("sum_abs_err"),
-          md5(array_join(transform(col("y"), v => v.cast("string")), ","))
-            .as("dec_md5"))
-        .orderBy(col("doc_id"))
+      codecRoundTrip(s, dir, 37, 131, 11, 65536,
+        x => ImaAdpcm.decodeUdf(ImaAdpcm.encodeUdf(x)))
     }),
 
     // REAL lossy codec round-trip: the q144 images encode as genuine
