@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join by prefix filtering (the PPJoin/AllPairs
+  * family) — the complement to MinHash-LSH: LSH trades recall for
+  * bounded work, prefix filtering keeps EXACT results (every pair
+  * with Jaccard ≥ t, no false negatives) while still never forming
+  * the cross product. The guarantee: order every token set by one
+  * GLOBAL rare-first order (ascending document frequency, token
+  * tiebreak); two sets with Jaccard ≥ t MUST share a token inside
+  * their first `|s| − ⌈t·|s|⌉ + 1` tokens, so candidates are an
+  * equi-join on prefix tokens only — and rare-first ordering makes
+  * those prefixes the least-shared tokens in the corpus, keeping
+  * candidate lists short.
+  *
+  * The threshold is a RATIONAL tNum/tDen and every test is integer
+  * (`⌈t·l⌉ = (tNum·l + tDen − 1) div tDen`; verification is
+  * `tDen·inter ≥ tNum·(|a|+|b|−inter)`), so the join replays
+  * bit-for-bit in SQL. Shuffles: the df count, the sort-attach
+  * aggregate, the prefix equi-join, and two array attachments —
+  * all token- or id-keyed; skewed common tokens stay OUT of
+  * prefixes by construction (they sort last).
+  */
+object SetJoin {
+
+  /** `setCol` must be a DISTINCT-element array expression — the set
+    * representation of each record (whole-doc token sets for short
+    * records; w-SHINGLE sets for documents, where whole-doc sets
+    * saturate a small vocabulary and stop discriminating — measured:
+    * token-set Jaccard over this corpus's 40-word salads marks 75%
+    * of ALL pairs as ≥ 0.6 near-dups, shingle sets mark the planted
+    * variants only).
+    */
+  def jaccardJoin(docs: DataFrame, idCol: String,
+      setCol: org.apache.spark.sql.Column,
+      tNum: Int, tDen: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), setCol.as("__ts"))
+    val dfq = toks.select(explode(col("__ts")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // one global order: (df asc, token asc) — struct array_sort is
+    // field-lexicographic, exactly that order
+    val sorted = toks.select(col("__id"), explode(col("__ts")).as("__t"))
+      .join(dfq, "__t")
+      .groupBy(col("__id"))
+      .agg(expr("transform(array_sort(collect_list(struct(__df, __t)))," +
+        " x -> x.__t)").as("__sts"))
+      .withColumn("__l", size(col("__sts")))
+    val pre = sorted.select(col("__id"), col("__l"),
+      explode(expr(
+        s"slice(__sts, 1, __l - ((__l * $tNum + $tDen - 1) div $tDen) + 1)"))
+        .as("__pt"))
+    val cand = pre.select(col("__pt"), col("__id").as("id_a"))
+      .join(pre.select(col("__pt"), col("__id").as("id_b")), "__pt")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("__id").as("id_a"), col("__sts").as("__sa"),
+        col("__l").as("__la")), "id_a")
+      .join(sorted.select(col("__id").as("id_b"), col("__sts").as("__sb"),
+        col("__l").as("__lb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("uni", (col("__la") + col("__lb")).cast("long") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 1000000 div uni").as("jacc_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

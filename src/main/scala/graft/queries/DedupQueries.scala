@@ -104,6 +104,19 @@ object DedupQueries extends QueryPack {
     })
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT set-similarity join by prefix filtering (dedup.SetJoin)
+    // — the no-false-negatives complement to the MinHash-LSH pairs
+    // (q44): every shingle-Jaccard >= 3/5 pair over the near-variant
+    // corpus, from an equi-join on rare-first prefix shingles only.
+    // Shingle sets, not whole-doc token sets: the salad vocabulary
+    // is ~40 words, so token sets saturate and mark 75% of ALL
+    // pairs similar; shingles keep only the planted variants.
+    // SetJoinSpec proves exactness against brute force.
+    "q183_set_join" -> ((s, dir) => {
+      graft.dedup.SetJoin.jaccardJoin(withNearVariants(s, dir),
+        "doc_id", Dedup.shingles(col("text"), 3), tNum = 3, tDen = 5)
+    }),
+
     // Blocked edit-distance fuzzy dedup: prefix-digest blocking
     // turns all-pairs Levenshtein into an equi-join; the THRESHOLDED
     // banded DP (3-arg levenshtein) bounds per-pair cost. Catches
@@ -431,6 +444,40 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q183_set_join" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    text || ' nd' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |toks AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    AS ts FROM c),
+        |tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM tk GROUP BY t),
+        |srt AS (SELECT doc_id, list(tk.t ORDER BY df, tk.t) AS sts,
+        |    CAST(count(*) AS BIGINT) AS l
+        |  FROM tk JOIN dfq ON tk.t = dfq.t GROUP BY doc_id),
+        |pre AS (SELECT doc_id, unnest(list_slice(sts, 1,
+        |    CAST(l - ((l * 3 + 4) // 5) + 1 AS BIGINT))) AS pt
+        |  FROM srt),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b
+        |  ON a.pt = b.pt AND a.doc_id < b.doc_id),
+        |v AS (SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sts, sb.sts)) AS BIGINT) AS inter,
+        |    sa.l + sb.l
+        |      - CAST(len(list_intersect(sa.sts, sb.sts)) AS BIGINT) AS uni
+        |  FROM cand JOIN srt sa ON cand.id_a = sa.doc_id
+        |            JOIN srt sb ON cand.id_b = sb.doc_id)
+        |SELECT id_a, id_b, inter, CAST(uni AS BIGINT) AS uni,
+        |  CAST(inter * 1000000 // uni AS BIGINT) AS jacc_e6
+        |FROM v WHERE inter * 5 >= uni * 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q168_edit_dedup" ->
       """WITH c AS (
         |  SELECT doc_id, text FROM documents
