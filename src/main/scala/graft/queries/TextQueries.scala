@@ -16,6 +16,16 @@ import graft.text.{Rake, TextFunctions => T, Tfidf}
 object TextQueries extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Collocation extraction (text.Collocations): bigram pairs
+    // scored by exact-integer Pearson χ² against the corpus bigram
+    // stream — the log-free collocation statistic, so the ranking
+    // replays bit-for-bit in SQL. Vocabulary-sized marginals, one
+    // Generate, ordered top-20.
+    "q184_collocations" -> ((s, dir) => {
+      graft.text.Collocations.topByChi2(
+        table(s, dir, "documents"), "text", minCount = 5, k = 20)
+    }),
+
     // Corpus token histogram (A3's word-count, NewsLDA.scala:77-81 —
     // reduceByKey → groupBy.count with map-side partial agg).
     "q32_top_tokens" -> ((s, dir) => {
@@ -302,6 +312,28 @@ object TextQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q184_collocations" ->
+      s"""WITH t AS (SELECT $splitToks AS l FROM documents),
+         |bg AS (SELECT l[i] AS w1, l[i + 1] AS w2
+         |  FROM t, range(1, 200) r(i) WHERE i < len(l)),
+         |ab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS a
+         |  FROM bg GROUP BY w1, w2 HAVING count(*) >= 5),
+         |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1
+         |  FROM bg GROUP BY w1),
+         |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2
+         |  FROM bg GROUP BY w2),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+         |x AS (SELECT ab.w1, ab.w2, a, n1 - a AS b, n2 - a AS c,
+         |    n - n1 - n2 + a AS d, n
+         |  FROM ab JOIN m1 ON ab.w1 = m1.w1
+         |          JOIN m2 ON ab.w2 = m2.w2 CROSS JOIN nt)
+         |SELECT w1, w2, a AS n_ab,
+         |  CAST(CASE WHEN (a+b) = 0 OR (c+d) = 0
+         |      OR (a+c) = 0 OR (b+d) = 0 THEN NULL
+         |    ELSE (n::HUGEINT * (a*d - b*c)::HUGEINT * (a*d - b*c))
+         |      // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)) END
+         |    AS BIGINT) AS chi2
+         |FROM x ORDER BY chi2 DESC, w1, w2 LIMIT 20""".stripMargin,
     "q39_rake" -> rakeOracle,
     "q104_source_stats" ->
       """SELECT source, lang, cast(count(*) as bigint) AS n_docs,
