@@ -70,6 +70,35 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-user ordered path mining: count every length-`len` window
+    * of consecutive event types in each user's (ts, id)-ordered
+    * stream — the generalization of [[transitionCounts]] from
+    * bigrams to arbitrary n-gram paths ("view>click>purchase").
+    * One lag-window pass PARTITIONED BY USER produces all `len-1`
+    * offsets in a single WindowExec (shared frame, no extra
+    * shuffle), then a bounded aggregate: ≤ |types|^len rows out,
+    * so the shuffle after the window carries path strings, not
+    * events. The id tiebreaker totalizes per-user order, making
+    * counts deterministic under any partitioning.
+    */
+  def pathCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, len: Int): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = (len - 1 to 0 by -1).map { off =>
+      if (off == 0) col(typeCol) else lag(col(typeCol), off).over(w)
+    }
+    events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.head.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
   /** Weekly cohort retention: cohort = the absolute epoch-week of a
     * user's FIRST event; a user is retained at offset k if they were
     * active in cohort_week + k. Output: (cohort_wk, wk_offset,

@@ -67,6 +67,16 @@ object EventQueries extends QueryPack {
         "user_id", "event_type", "ts", "event_id")
     }),
 
+    // Length-3 ordered path mining (ops.EventAnalytics.pathCounts):
+    // the trigram generalization of q180 — one user-partitioned
+    // window emits both lags in a single WindowExec, then a
+    // ≤|types|³-row aggregate; the post-window shuffle carries path
+    // strings, never events.
+    "q185_event_paths" -> ((s, dir) => {
+      graft.ops.EventAnalytics.pathCounts(table(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", len = 3)
+    }),
+
     // Tumbling 1-hour windows per event type.
     "q68_tumbling_window" -> ((s, dir) => {
       table(s, dir, "events")
@@ -166,6 +176,20 @@ object EventQueries extends QueryPack {
         |FROM t WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
+    "q185_event_paths" ->
+      """WITH t AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS a,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    event_type AS c
+        |  FROM events)
+        |SELECT a || '>' || b || '>' || c AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE a IS NOT NULL
+        |GROUP BY path
+        |ORDER BY n DESC, path""".stripMargin,
     "q178_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t FROM e

@@ -52,6 +52,40 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "click", 2L)))
   }
 
+  test("pathCounts: per-user trigram paths, short streams drop out") {
+    val ev = Seq(
+      (1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
+      (1L, 12L, "purchase", ts(3)), (1L, 13L, "view", ts(4)),
+      // u2 has only 2 events: no length-3 path
+      (2L, 20L, "view", ts(1)), (2L, 21L, "click", ts(2)),
+      // u3's same-ts events order by id: view>click>purchase
+      (3L, 30L, "view", ts(5)), (3L, 31L, "click", ts(5)),
+      (3L, 32L, "purchase", ts(5))
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val out = EventAnalytics.pathCounts(ev,
+      "user_id", "event_type", "t", "event_id", len = 3)
+      .as[(String, Long)].collect().toList
+    assert(out == List(
+      ("view>click>purchase", 2L),
+      ("click>purchase>view", 1L)))
+  }
+
+  test("pathCounts: len=2 equals the transition matrix") {
+    val ev = Seq(
+      (1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
+      (1L, 12L, "view", ts(3)),
+      (2L, 20L, "view", ts(1)), (2L, 21L, "click", ts(2))
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val paths = EventAnalytics.pathCounts(ev,
+      "user_id", "event_type", "t", "event_id", len = 2)
+      .as[(String, Long)].collect().toMap
+    val trans = EventAnalytics.transitionCounts(ev,
+      "user_id", "event_type", "t", "event_id")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (s"$a>$b", n) }.toMap
+    assert(paths == trans)
+  }
+
   test("cohortRetention: the retention triangle off first-activity weeks") {
     val wk = 7L * 86400L
     val ev = Seq(
