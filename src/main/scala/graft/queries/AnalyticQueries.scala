@@ -120,6 +120,21 @@ object AnalyticQueries extends QueryPack {
           col("yr").asc_nulls_first)
     }),
 
+    // Exact-integer OLS trend per event type (ops.Trend.olsByGroup):
+    // value (fx e2) regressed on epoch seconds, x centered on the
+    // per-group minimum so the decimal-widened moment sums never
+    // overflow; slope/intercept land as truncated fixed-point longs
+    // and replay bit-for-bit (abs/sign-guarded div — see the op's
+    // scaladoc on truncate-vs-floor divergence).
+    "q186_trend_ols" -> ((s, dir) => {
+      graft.ops.Trend.olsByGroup(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 1000").as("x"),
+            floor(col("value") * 100).cast("long").as("y")),
+        "event_type", "x", "y")
+    }),
+
     // Higher-moment grouped statistics: corr/covar/stddev built-ins
     // (rounded past both engines' accumulation-order jitter) plus
     // skewness/kurtosis derived from EXACT decimal power sums — the
@@ -259,6 +274,31 @@ object AnalyticQueries extends QueryPack {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, yr)
         |ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q186_trend_ols" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 1000 AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, min(x) AS x0 FROM d GROUP BY event_type),
+        |c AS (SELECT d.event_type, (d.x - m.x0)::HUGEINT AS x, y::HUGEINT AS y
+        |      FROM d JOIN m ON d.event_type = m.event_type),
+        |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM c GROUP BY event_type),
+        |t AS (SELECT event_type, n,
+        |        n * sxy - sx * sy AS num,
+        |        n * sxx - sx * sx AS denx,
+        |        sy * sxx - sx * sxy AS inum
+        |      FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN denx = 0 THEN NULL ELSE
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * (abs(num) * 1000000000 // denx) END AS BIGINT) AS slope_e9,
+        |  CAST(CASE WHEN denx = 0 THEN NULL ELSE
+        |    (CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+        |    * (abs(inum) * 100 // denx) END AS BIGINT) AS intercept_fx_e2
+        |FROM t ORDER BY event_type""".stripMargin,
     "q99_grouped_stats" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,
