@@ -129,6 +129,53 @@ object Profiler {
       .orderBy(col("bucket"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between a REFERENCE slice
+    * and a CURRENT slice — the bucket-free companion to
+    * [[chiSquareDrift]]: no edges to choose, sensitive to location
+    * shifts a coarse histogram can smear away. The statistic
+    *
+    *   D = max over v of |F_ref(v) − F_cur(v)|
+    *
+    * is computed entirely in integers: with prefix counts c_r, c_c
+    * and totals N_r, N_c, the max of |c_r·N_c − c_c·N_r| over the
+    * distinct fx values IS D·N_r·N_c exactly, emitted as
+    * `d_e6 = D_num·10⁶ div (N_r·N_c)` (decimal-widened products —
+    * the cross terms pass a long well before the corpus does).
+    *
+    * Scale shape: one tagged-union binning aggregate bounded by the
+    * value DOMAIN (distinct fx values, not corpus rows), then the
+    * prefix/total windows run over those domain-bounded rows —
+    * corpus rows never move. NULL when either side is empty (D is
+    * undefined, and both engines must say so).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
+      .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
+    val binned = tagged.groupBy(col("__fx"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__r"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__c"))
+    val ord = Window.partitionBy().orderBy(col("__fx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("__cr", sum(col("__r")).over(ord))
+      .withColumn("__cc", sum(col("__c")).over(ord))
+      .withColumn("__nr", sum(col("__r")).over(allRowsWindow))
+      .withColumn("__nc", sum(col("__c")).over(allRowsWindow))
+      .agg(
+        max(col("__nr")).as("n_ref"),
+        max(col("__nc")).as("n_cur"),
+        max(abs(col("__cr").cast("decimal(38,0)") * col("__nc")
+          - col("__cc").cast("decimal(38,0)") * col("__nr"))).as("__dnum"))
+      .select(
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        expr("CASE WHEN coalesce(n_ref, 0) = 0 OR coalesce(n_cur, 0) = 0" +
+          " THEN NULL ELSE __dnum * 1000000" +
+          " div (cast(n_ref as decimal(38,0)) * n_cur) END").as("d_e6"))
+  }
+
   /** The offline half of STREAMING drift monitoring: the reference
     * histogram as a bounded artifact (≤B rows), each row carrying
     * the binning stats and the reference total — everything

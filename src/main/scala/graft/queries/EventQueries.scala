@@ -28,6 +28,18 @@ object EventQueries extends QueryPack {
         "value", buckets = 16)
     }),
 
+    // Bucket-free KS drift (ops.Profiler.ksDrift): the same
+    // view-vs-purchase slices as q171, tested without histogram
+    // edges — D·Nr·Nc is an exact integer max over the
+    // domain-bounded distinct-value prefix sums.
+    "q187_ks_drift" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Profiler.ksDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value")
+    }),
+
     // Incremental aggregate maintenance (ops.Incremental): the
     // rollup is maintained as mergeable per-group state — aggregate
     // only the delta batch, merge states, never rescan the base.
@@ -255,6 +267,28 @@ object EventQueries extends QueryPack {
         |    / ((n_ref + 1.0) / (tr + 16)) * 1000000.0) AS BIGINT)
         |    AS term_e6
         |FROM j, t ORDER BY bucket""".stripMargin,
+    "q187_ks_drift" ->
+      """WITH r AS (SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT fx, 0 AS side FROM r
+        |  UNION ALL SELECT fx, 1 FROM c),
+        |b AS (SELECT fx,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM u GROUP BY fx),
+        |w AS (SELECT
+        |    sum(nr) OVER (ORDER BY fx ROWS UNBOUNDED PRECEDING) AS cr,
+        |    sum(nc) OVER (ORDER BY fx ROWS UNBOUNDED PRECEDING) AS cc,
+        |    sum(nr) OVER () AS tnr, sum(nc) OVER () AS tnc
+        |  FROM b)
+        |SELECT CAST(max(tnr) AS BIGINT) AS n_ref,
+        |  CAST(max(tnc) AS BIGINT) AS n_cur,
+        |  CAST(CASE WHEN max(tnr) = 0 OR max(tnc) = 0 THEN NULL ELSE
+        |    max(abs(cr::HUGEINT * tnc - cc::HUGEINT * tnr)) * 1000000
+        |    // (max(tnr)::HUGEINT * max(tnc)) END AS BIGINT) AS d_e6
+        |FROM w""".stripMargin,
     "q164_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(CAST('0x'

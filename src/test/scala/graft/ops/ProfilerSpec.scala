@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ProfilerSpec extends SparkSpec {
@@ -87,6 +89,26 @@ class ProfilerSpec extends SparkSpec {
     val pc = (top._3 + 1.0) / (tc + 16)
     assert(top._4 ==
       math.floor((pc - pr) * (pc - pr) / pr * 1000000.0).toLong)
+  }
+
+  test("ksDrift: hand-computed D on a small fixture, exact integer scaling") {
+    // ref fx {100, 200, 300}, cur fx {300, 400}: the ECDF gap peaks
+    // at v=200 with |2/3 − 0| = 2/3 → d_e6 = 4·10⁶ div 6 = 666666
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(3.0, 4.0).toDF("v")
+    val out = Profiler.ksDrift(ref, cur, "v")
+      .as[(Long, Long, Option[Long])].collect().toList
+    assert(out == List((3L, 2L, Some(666666L))))
+  }
+
+  test("ksDrift: identical samples score zero; an empty side is NULL") {
+    val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
+    val same = Profiler.ksDrift(a, a, "v")
+      .as[(Long, Long, Option[Long])].collect().toList
+    assert(same == List((4L, 4L, Some(0L))))
+    val empty = Profiler.ksDrift(a, a.filter(col("v") < 0), "v")
+      .as[(Long, Long, Option[Long])].collect().toList
+    assert(empty == List((4L, 0L, None)))
   }
 
   test("driftAgainst(referenceHistogram) equals the one-shot batch drift") {
