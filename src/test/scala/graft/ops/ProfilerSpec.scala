@@ -101,6 +101,13 @@ class ProfilerSpec extends SparkSpec {
     assert(out == List((3L, 2L, Some(666666L))))
   }
 
+  test("ksDrift plan: no join anywhere — one value histogram feeds the windows") {
+    val a = (1L to 500L).map(_ * 0.01).toDF("v")
+    val plan = Profiler.ksDrift(a, a, "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("ksDrift: identical samples score zero; an empty side is NULL") {
     val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("v")
     val same = Profiler.ksDrift(a, a, "v")

@@ -26,6 +26,15 @@ class TrendSpec extends SparkSpec {
       ("d", 1L, None, None)))
   }
 
+  test("olsByGroup plan: broadcast min-attach, no sort-merge join, no window") {
+    val df = (1L to 1000L).map(i => (s"g${i % 4}", i, i * 3)).toDF("g", "x", "y")
+    val plan = Trend.olsByGroup(df, "g", "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("olsByGroup: constant x with n>1 is NULL, x-shift only moves the intercept") {
     val df = Seq(
       ("e", 7L, 1L), ("e", 7L, 99L),
