@@ -91,8 +91,13 @@ object EventAnalytics {
       if (off == 0) col(typeCol) else lag(col(typeCol), off).over(w)
     }
     events
+      // ALL steps must be non-null, not just the oldest lag: a NULL
+      // event type mid-window would otherwise be silently skipped by
+      // concat_ws while a SQL engine's `||` propagates the NULL —
+      // requiring every step drops the window in both engines
+      // identically
       .select(concat_ws(">", steps: _*).as("path"),
-        steps.head.isNotNull.as("__full"))
+        steps.map(_.isNotNull).reduce(_ && _).as("__full"))
       .filter(col("__full"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n"))

@@ -152,6 +152,11 @@ object Profiler {
     import org.apache.spark.sql.expressions.Window
     val tagged = ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
       .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
+      // the ECDF is undefined over NULLs, and the engines disagree on
+      // where a NULL group sorts (Spark NULLS FIRST asc, most SQL
+      // engines last) — dropping them keeps the prefix sums and the
+      // totals identical everywhere
+      .filter(col("__fx").isNotNull)
     val binned = tagged.groupBy(col("__fx"))
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__r"),

@@ -199,7 +199,7 @@ object EventQueries extends QueryPack {
         |  FROM events)
         |SELECT a || '>' || b || '>' || c AS path,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM t WHERE a IS NOT NULL
+        |FROM t WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
         |GROUP BY path
         |ORDER BY n DESC, path""".stripMargin,
     "q178_event_funnel" ->
@@ -277,14 +277,14 @@ object EventQueries extends QueryPack {
         |b AS (SELECT fx,
         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
-        |  FROM u GROUP BY fx),
+        |  FROM u WHERE fx IS NOT NULL GROUP BY fx),
         |w AS (SELECT
         |    sum(nr) OVER (ORDER BY fx ROWS UNBOUNDED PRECEDING) AS cr,
         |    sum(nc) OVER (ORDER BY fx ROWS UNBOUNDED PRECEDING) AS cc,
         |    sum(nr) OVER () AS tnr, sum(nc) OVER () AS tnc
         |  FROM b)
-        |SELECT CAST(max(tnr) AS BIGINT) AS n_ref,
-        |  CAST(max(tnc) AS BIGINT) AS n_cur,
+        |SELECT CAST(coalesce(max(tnr), 0) AS BIGINT) AS n_ref,
+        |  CAST(coalesce(max(tnc), 0) AS BIGINT) AS n_cur,
         |  CAST(CASE WHEN max(tnr) = 0 OR max(tnc) = 0 THEN NULL ELSE
         |    max(abs(cr::HUGEINT * tnc - cc::HUGEINT * tnr)) * 1000000
         |    // (max(tnr)::HUGEINT * max(tnc)) END AS BIGINT) AS d_e6
