@@ -41,11 +41,34 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Host-contention sentinel: the official series has twice (r5,
+    // r10) read 1.5-2x inflated because the HOST was in a contended
+    // phase, and the single-pass bench has no way to show that. This
+    // fixed aggregate — no memoized state, no parquet, one tiny
+    // shuffle — is timed before the loop, after every 30th query,
+    // and after the loop; a flat ~0.1 s series means the timings are
+    // trustworthy, a 3-10x spike brackets exactly which queries ran
+    // during a bad phase. Emitted as "sent_cs" (centiseconds, see
+    // PERF.md); sentinel time is NOT added to any query or total.
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinel(record: Boolean): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try spark.range(2000000L).selectExpr("id % 97 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      catch { case _: Throwable => () }
+      if (record) sentinels += (System.nanoTime() - t0) / 1e9
     }
+    sentinel(record = false) // its own codegen, untimed
+    sentinel(record = true)
+    val results = SparkEntry.queries.zipWithIndex.map {
+      case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if ((i + 1) % 30 == 0) sentinel(record = true)
+        name -> dt
+    }.toMap
+    sentinel(record = true)
     spark.stop()
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // appends an ~80-char "[success] Total time" trailer after us. The
@@ -77,19 +100,27 @@ object Bench {
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     def shortKey(k: String): String = { val i = k.indexOf('_'); if (i > 0) k.substring(0, i) else k }
-    def mkLine(fmt: Double => String, dropQ: Boolean = false): String = {
-      val qs = results.map { case (k, v) =>
-        val sk = shortKey(k)
-        "\"" + (if (dropQ) sk.stripPrefix("q") else sk) + "\":" + fmt(v)
-      }.mkString("{", ",", "}")
+    // the sentinel series, centisecond integers ("12" = 0.12 s) —
+    // the cheapest honest encoding at this char budget
+    val sentCs = sentinels.map(v => math.round(v * 100).toString)
+      .mkString(""","sent_cs":[""", ",", "]")
+    def mkLine(fmt: Double => String, dropQ: Boolean = false,
+        minQ: Double = 0.0): String = {
+      val qs = results.filter { case (_, v) => v >= minQ || v < 0 }
+        .map { case (k, v) =>
+          val sk = shortKey(k)
+          "\"" + (if (dropQ) sk.stripPrefix("q") else sk) + "\":" + fmt(v)
+        }.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       // basename only: "/root/testdata/sf0.1" → "sf0.1" — those 15
       // chars are what keep the q-prefixed keys inside the window
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
         .getOrElse(sfDir)
-      // self-describing marker for the stripped form: "29" means q29
-      val keyNote = if (dropQ) ""","keys":"qNN sans q"""" else ""
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$keyNote,"sf":"$sfShort"}"""
+      // self-describing markers: "29" means q29; "minq" = entries
+      // under that many seconds omitted (still inside "value")
+      val keyNote = (if (dropQ) ""","keys":"qNN sans q"""" else "") +
+        (if (minQ > 0) s""","minq":$minQ""" else "")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt
@@ -102,12 +133,24 @@ object Bench {
     val cap = 1908
     val line2 = mkLine(fq)
     lazy val line1 = mkLine(f1)
-    // last-resort per-query form: strip the 'q' key prefix (~1 char
-    // × queries) — still valid JSON, keys remain the query numbers
+    // per-query fallback: strip the 'q' key prefix (~1 char ×
+    // queries) — still valid JSON, keys remain the query numbers
     lazy val line0 = mkLine(f1, dropQ = true)
+    // last-resort ladder: omit entries under minQ seconds (their sum
+    // still lands in "value"; "minq" records the cut) at the
+    // smallest threshold that fits — a partial per-query map beats
+    // none. ~190 queries is where the stripped form outgrows the
+    // window.
+    lazy val lineMin = Seq(0.05, 0.1, 0.2, 0.5, 1.0).iterator
+      .map(m => mkLine(f1, dropQ = true, minQ = m))
+      .find(_.length <= cap)
     if (line2.length <= cap) println(line2)
     else if (line1.length <= cap) println(line1)
     else if (line0.length <= cap) println(line0)
-    else println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir"}""")
+    else lineMin match {
+      case Some(l) => println(l)
+      case None => println(
+        s"""{"metric":"total","value":${f2(total)},"unit":"sec"$sentCs,"sf":"$sfDir"}""")
+    }
   }
 }

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * those prefixes the least-shared tokens in the corpus, keeping
   * candidate lists short.
   *
+  * Candidates are pruned three ways before verification — prefix
+  * share, the length-ratio test, and the positional overlap bound
+  * (the full PPJoin filter set; each is a necessary condition for
+  * Jaccard ≥ t, so the result stays EXACT) — and only survivors pay
+  * the array-intersect verification, the dominant cost.
+  *
   * The threshold is a RATIONAL tNum/tDen and every test is integer
   * (`⌈t·l⌉ = (tNum·l + tDen − 1) div tDen`; verification is
   * `tDen·inter ≥ tNum·(|a|+|b|−inter)`), so the join replays
@@ -48,14 +54,35 @@ object SetJoin {
         " x -> x.__t)").as("__sts"))
       .withColumn("__l", size(col("__sts")))
     val pre = sorted.select(col("__id"), col("__l"),
-      explode(expr(
+      posexplode(expr(
         s"slice(__sts, 1, __l - ((__l * $tNum + $tDen - 1) div $tDen) + 1)"))
-        .as("__pt"))
-    val cand = pre.select(col("__pt"), col("__id").as("id_a"))
-      .join(pre.select(col("__pt"), col("__id").as("id_b")), "__pt")
+        .as(Seq("__p", "__pt")))
+    // PPJoin's two candidate prunes, both exact (no false negatives):
+    //  - LENGTH filter: J ≥ t and inter ≤ min(|a|,|b|), uni ≥
+    //    max(|a|,|b|) force t·max ≤ min — applied inside the prefix
+    //    join, before the pair ever reaches the aggregate;
+    //  - POSITIONAL filter: at the FIRST shared prefix token (global
+    //    rare-first order, so it has the minimal position in BOTH
+    //    arrays simultaneously — min(__pa), min(__pb) is that one
+    //    token), every shared token lies at-or-after it in both
+    //    arrays, so inter ≤ min(|a|−pa, |b|−pb) with 0-based p; the
+    //    pair survives only if that bound reaches the overlap
+    //    threshold α = ⌈t·(|a|+|b|)/(1+t)⌉, integer-compared as
+    //    bound·(tNum+tDen) ≥ tNum·(|a|+|b|).
+    // Both tests are integer, so the SQL replay stays bit-exact.
+    val cand = pre.select(col("__pt"), col("__id").as("id_a"),
+        col("__l").as("__la"), col("__p").as("__pa"))
+      .join(pre.select(col("__pt"), col("__id").as("id_b"),
+        col("__l").as("__lb"), col("__p").as("__pb")), "__pt")
       .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("__la"), col("__lb")) * tNum <=
+        least(col("__la"), col("__lb")) * tDen)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"),
+        first(col("__la")).as("__fla"), first(col("__lb")).as("__flb"))
+      .filter(least(col("__fla") - col("__pa"), col("__flb") - col("__pb"))
+        * (tNum + tDen) >= (col("__fla") + col("__flb")) * tNum)
       .select(col("id_a"), col("id_b"))
-      .distinct()
     cand
       .join(sorted.select(col("__id").as("id_a"), col("__sts").as("__sa"),
         col("__l").as("__la")), "id_a")

@@ -147,21 +147,69 @@ object Profiler {
     * prefix/total windows run over those domain-bounded rows —
     * corpus rows never move. NULL when either side is empty (D is
     * undefined, and both engines must say so).
+    *
+    * The "domain-bounded" contract is GUARDED, not honor-system: the
+    * prefix windows are a single-partition sort over the distinct fx
+    * values, which on a near-unique column (epoch millis, raw
+    * doubles) silently becomes a corpus-sized sort. An eager
+    * HLL estimate (map-side partials, one cheap pre-pass) refuses
+    * loudly past `domainCap` and points at [[ksDriftBinned]], the
+    * valid-gate fallback for such columns.
     */
-  def ksDrift(ref: DataFrame, cur: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
+  def ksDrift(ref: DataFrame, cur: DataFrame, c: String,
+      domainCap: Long = 1L << 16): DataFrame = {
+    val tagged = taggedFx(ref, cur, c)
+    val est = tagged.agg(approx_count_distinct(col("__fx"), 0.02))
+      .head().getLong(0)
+    require(est <= domainCap,
+      s"ksDrift: ~$est distinct fx values in '$c' exceed " +
+        s"domainCap=$domainCap; the exact KS prefix sums would sort " +
+        "that many rows in one partition — use ksDriftBinned (KS on " +
+        "quantized values is still a valid drift gate) or raise the " +
+        "cap deliberately")
+    ksCore(sideCounts(tagged, col("__fx")))
+  }
+
+  /** The high-cardinality fallback: quantize fx into `buckets`
+    * equi-width bins (edges from the tagged union's min/max — a
+    * 1-row broadcast, the stats-then-sweep shape every binning
+    * operator here shares) and run the identical KS machinery over
+    * the bin index. Binning only COARSENS the ECDF comparison
+    * (D_binned ≤ D exactly; with buckets ≥ the fx range it
+    * degenerates to [[ksDrift]] bit-for-bit — spec-pinned), so a
+    * drift alarm from the binned gate is always real. The windows
+    * are now bounded by `buckets` regardless of column cardinality.
+    */
+  def ksDriftBinned(ref: DataFrame, cur: DataFrame, c: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val tagged = taggedFx(ref, cur, c)
+    val stats = tagged.agg(min(col("__fx")).as("__mn"),
+      max(col("__fx")).as("__mx"))
+    val quantized = tagged.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        expr(s"((__fx - __mn) * $buckets) div (__mx - __mn + 1)"))
+    ksCore(sideCounts(quantized, col("__b")))
+  }
+
+  private def taggedFx(ref: DataFrame, cur: DataFrame,
+      c: String): DataFrame =
+    ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
       .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
       // the ECDF is undefined over NULLs, and the engines disagree on
       // where a NULL group sorts (Spark NULLS FIRST asc, most SQL
       // engines last) — dropping them keeps the prefix sums and the
       // totals identical everywhere
       .filter(col("__fx").isNotNull)
-    val binned = tagged.groupBy(col("__fx"))
+
+  private def sideCounts(tagged: DataFrame, key: Column): DataFrame =
+    tagged.groupBy(key.as("__k"))
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__r"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__c"))
-    val ord = Window.partitionBy().orderBy(col("__fx"))
+
+  private def ksCore(binned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy().orderBy(col("__k"))
       .rowsBetween(Window.unboundedPreceding, 0)
     binned
       .withColumn("__cr", sum(col("__r")).over(ord))

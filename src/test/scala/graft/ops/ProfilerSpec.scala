@@ -118,6 +118,37 @@ class ProfilerSpec extends SparkSpec {
     assert(empty == List((4L, 0L, None)))
   }
 
+  test("ksDrift: loud guard on a near-unique column; binned fallback still gates") {
+    // 5000 distinct fx values against a cap of 1000: the exact form
+    // must refuse (its prefix windows would sort the whole domain in
+    // one partition) and point at the fallback
+    val ref = (1L to 5000L).map(_ * 1.0).toDF("v")
+    val cur = (1L to 5000L).map(_ + 2000.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Profiler.ksDrift(ref, cur, "v", domainCap = 1000)
+    }
+    assert(e.getMessage.contains("ksDriftBinned"))
+    // the binned gate over 64 buckets still flags the location shift
+    // (true D = 0.4; quantization can only lower it, and only a
+    // little at this bin width)
+    val binned = Profiler.ksDriftBinned(ref, cur, "v", buckets = 64)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(binned._1 == 5000L && binned._2 == 5000L)
+    assert(binned._3.get > 300000L && binned._3.get <= 400000L)
+  }
+
+  test("ksDriftBinned degenerates to exact ksDrift when buckets cover the fx range") {
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(3.0, 4.0).toDF("v")
+    val exact = Profiler.ksDrift(ref, cur, "v")
+      .as[(Long, Long, Option[Long])].collect().toList
+    // fx range 100..400 (301 values) < 512 buckets → the binning is
+    // injective and monotone, so the KS statistic is identical
+    val binned = Profiler.ksDriftBinned(ref, cur, "v", buckets = 512)
+      .as[(Long, Long, Option[Long])].collect().toList
+    assert(binned == exact)
+  }
+
   test("driftAgainst(referenceHistogram) equals the one-shot batch drift") {
     val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
     // current includes out-of-range mass (cur-only edge bucket) and
