@@ -47,6 +47,46 @@ object EventAnalytics {
       .orderBy(col("step"))
   }
 
+  /** Conversion-window funnel — [[orderedFunnel]] with the product
+    * question real funnels ask: step i must occur STRICTLY AFTER
+    * step i−1 and within `maxGapMs` of it (gap == maxGapMs still
+    * converts — the boundary is inclusive, spec-pinned).
+    *
+    * Greedy earliest-chaining — correct for the unwindowed funnel —
+    * is WRONG under a gap bound: a user with s1 at t=0 and t=50 and
+    * s2 at t=100 converts via the t=50 start at gap 60, but the
+    * greedy chain anchored at t=0 finds nothing. So each step keeps
+    * the full SET of viable timestamps per user: t is viable at step
+    * i iff some viable t' at step i−1 has t' < t ≤ t' + maxGapMs.
+    * Each step is one user-keyed join + distinct, clustered on the
+    * user key like the unwindowed chain; per-user work is bounded by
+    * that user's own event counts, and nothing ever sorts globally.
+    */
+  def windowedFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxGapMs: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    require(maxGapMs > 0, "maxGapMs must be positive")
+    val base = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"), expr(s"unix_millis($tsCol)").as("__tm"))
+    val first = base.filter(col("__ty") === steps.head)
+      .select(col("__u"), col("__tm")).distinct()
+    val chain = steps.tail.scanLeft(first) { (prev, st) =>
+      base.filter(col("__ty") === st)
+        .join(prev.select(col("__u"), col("__tm").as("__pt")), "__u")
+        .filter(col("__tm") > col("__pt") &&
+          col("__tm") <= col("__pt") + lit(maxGapMs))
+        .select(col("__u"), col("__tm")).distinct()
+    }
+    chain.zip(steps).zipWithIndex
+      .map { case ((tbl, name), i) =>
+        tbl.agg(countDistinct(col("__u")).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("step"))
+  }
+
   /** Per-user event-transition counts — the Markov/path-analysis
     * view of a behavior stream: for each user's events in (ts, id)
     * order, count the (from_type → to_type) adjacent transitions

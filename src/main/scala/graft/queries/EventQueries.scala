@@ -65,6 +65,17 @@ object EventQueries extends QueryPack {
         Seq("view", "click", "purchase"))
     }),
 
+    // Conversion-window funnel (ops.EventAnalytics.windowedFunnel):
+    // q178's steps with a 6-hour per-step gap bound — viable-set
+    // semantics (greedy earliest-chaining is wrong under a window),
+    // one user-keyed join + distinct per step. At sf0.01 the window
+    // genuinely bites: 150/118/18 users vs q178's 150/150/150.
+    "q188_windowed_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.windowedFunnel(table(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapMs = 6L * 3600 * 1000)
+    }),
+
     // Weekly cohort retention triangle (ops.EventAnalytics): exact
     // integer epoch-week buckets, two user-keyed aggregates.
     "q179_cohort_retention" -> ((s, dir) => {
@@ -218,6 +229,26 @@ object EventQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_users FROM s1
         |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
         |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
+    "q188_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tm
+        |           FROM events),
+        |v1 AS (SELECT DISTINCT user_id, tm FROM e
+        |       WHERE event_type = 'view'),
+        |v2 AS (SELECT DISTINCT e.user_id, e.tm
+        |       FROM e JOIN v1 ON e.user_id = v1.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.tm > v1.tm AND e.tm <= v1.tm + 21600000),
+        |v3 AS (SELECT DISTINCT e.user_id, e.tm
+        |       FROM e JOIN v2 ON e.user_id = v2.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.tm > v2.tm AND e.tm <= v2.tm + 21600000)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM v1
+        |UNION ALL SELECT 2, 'click',
+        |  CAST(count(DISTINCT user_id) AS BIGINT) FROM v2
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST(count(DISTINCT user_id) AS BIGINT) FROM v3
         |ORDER BY step""".stripMargin,
     "q179_cohort_retention" ->
       """WITH w AS (SELECT user_id,

@@ -34,6 +34,57 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == List((1, "view", 1L), (2, "click", 0L)))
   }
 
+  test("windowedFunnel: gap boundary is inclusive, gap+1 is out") {
+    val ev = Seq(
+      // u1: click exactly maxGap after view — converts
+      (1L, "view", ts(100)), (1L, "click", ts(160)),
+      // u2: one second past the gap — does not convert
+      (2L, "view", ts(100)), (2L, "click", ts(161)),
+      // u3: equal timestamps — strict order still required
+      (3L, "view", ts(100)), (3L, "click", ts(100))
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.windowedFunnel(ev,
+      "user_id", "event_type", "t", Seq("view", "click"),
+      maxGapMs = 60000L)
+      .as[(Int, String, Long)].collect().toList
+    assert(out == List((1, "view", 3L), (2, "click", 1L)))
+  }
+
+  test("windowedFunnel: viable-set semantics convert where greedy chaining fails") {
+    // u1's earliest view (t=0) reaches no click within the 60 s gap,
+    // but the later view at t=50 does — the viable-set chain converts;
+    // a greedy min-anchored chain would not. u2 proves the purchase
+    // step re-anchors off the click that actually converted.
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "view", ts(50)), (1L, "click", ts(100)),
+      (2L, "view", ts(0)), (2L, "click", ts(30)), (2L, "click", ts(55)),
+      (2L, "purchase", ts(110))
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.windowedFunnel(ev,
+      "user_id", "event_type", "t", Seq("view", "click", "purchase"),
+      maxGapMs = 60000L)
+      .as[(Int, String, Long)].collect().toList
+    assert(out == List(
+      (1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("windowedFunnel with a huge gap equals the unwindowed funnel") {
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)),
+      (3L, "click", ts(1)), (3L, "view", ts(2)), (3L, "purchase", ts(3)),
+      (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "t")
+    val steps = Seq("view", "click", "purchase")
+    val windowed = EventAnalytics.windowedFunnel(ev,
+      "user_id", "event_type", "t", steps, maxGapMs = Long.MaxValue / 4)
+      .as[(Int, String, Long)].collect().toList
+    val plain = EventAnalytics.orderedFunnel(ev,
+      "user_id", "event_type", "t", steps)
+      .as[(Int, String, Long)].collect().toList
+    assert(windowed == plain)
+  }
+
   test("transitionCounts: per-user adjacency only, deterministic tie order") {
     val ev = Seq(
       (1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
