@@ -154,15 +154,52 @@ object EventAnalytics {
     * oracle must spell the same name.)
     */
   def cohortRetention(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val w = events.select(col(userCol).as("__u"),
+      tsCol: String): DataFrame =
+    retentionTriangle(userWeeks(events, userCol, tsCol))
+
+  /** Distinct (user, epoch-week) pairs — the MERGEABLE STATE behind
+    * streaming retention maintenance, and the first half of
+    * [[cohortRetention]] (one definition, so the batch form and the
+    * maintained form can never drift). The pair set is the
+    * sufficient statistic for the whole triangle: cohorts are
+    * per-user minima over it, offsets differences within it. Merge =
+    * union + distinct — idempotent, associative, commutative, so
+    * micro-batches may land in any order or grouping; state is
+    * bounded by users × active weeks, never by stream length.
+    */
+  def userWeeks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events.select(col(userCol).as("__u"),
       expr(s"(unix_millis($tsCol) div 86400000) div 7").as("__wk"))
-    val first = w.groupBy(col("__u")).agg(min(col("__wk")).as("cohort_wk"))
-    w.distinct()
-      .join(first, "__u")
+      .distinct()
+
+  /** The retention triangle off a (user, week) pair set — the finish
+    * step shared by [[cohortRetention]] and the streaming
+    * maintenance twin. Two user-keyed aggregates and one bounded
+    * (cohort, offset) rollup, as before.
+    */
+  def retentionTriangle(uw: DataFrame): DataFrame = {
+    val first = uw.groupBy(col("__u")).agg(min(col("__wk")).as("cohort_wk"))
+    uw.join(first, "__u")
       .withColumn("wk_offset", col("__wk") - col("cohort_wk"))
       .groupBy(col("cohort_wk"), col("wk_offset"))
       .agg(countDistinct(col("__u")).as("n_users"))
       .orderBy(col("cohort_wk"), col("wk_offset"))
   }
+
+  /** The MERGEABLE STATE behind streaming funnel maintenance: the
+    * stream compacted to the funnel's step types, distinct
+    * (user, type, ts) rows. Sufficient for every funnel form here —
+    * [[orderedFunnel]] and [[windowedFunnel]] both depend only on
+    * the SET of step-typed event times per user, so duplicate
+    * arrivals can never change an exists-chain answer and merge is
+    * plain union + distinct (idempotent, associative, commutative).
+    * Finish = run either funnel over the state as the event table;
+    * state is bounded by step-typed user activity, not stream
+    * length.
+    */
+  def funnelState(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame =
+    events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol), col(tsCol)).distinct()
 }

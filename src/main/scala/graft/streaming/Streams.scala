@@ -429,19 +429,77 @@ object Streams {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val inc = graft.ops.Incremental
-        val newState = inc.aggState(batch, groupCol, valCol)
-        val prior = Option(new java.io.File(stateDir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .map(_.getName.drop(1).toLong).filter(_ < id)
-        val merged =
-          if (prior.isEmpty) newState
-          else inc.merge(
-            spark.read.parquet(s"$stateDir/v${prior.max}"), newState)
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/v$id")
+        maintainVersioned(stateDir, id,
+          graft.ops.Incremental.aggState(batch, groupCol, valCol))(
+          (prior, fresh) => graft.ops.Incremental.merge(prior, fresh))
+      }
+      .start()
+
+  /** The shared versioned-state-dir mechanics of every foreachBatch
+    * maintenance stream (rollup, funnel, retention): merge the
+    * batch's state with the latest prior version and write
+    * batchId-keyed — re-processing a batch after a restart
+    * overwrites the same version, so maintenance stays idempotent
+    * under the checkpoint's replay contract.
+    */
+  private def maintainVersioned(stateDir: String, id: Long,
+      newState: DataFrame)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val spark = newState.sparkSession
+    val prior = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).filter(_ < id)
+    val merged =
+      if (prior.isEmpty) newState
+      else mergeFn(spark.read.parquet(s"$stateDir/v${prior.max}"), newState)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/v$id")
+  }
+
+  /** Streaming funnel maintenance — the event-analytics twin of
+    * [[rollupMaintStream]]: each micro-batch compacts to the
+    * funnel-relevant state ([[graft.ops.EventAnalytics.funnelState]]
+    * — distinct step-typed (user, type, ts) rows) and merges by
+    * union + distinct with the prior version; the event stream is
+    * never rescanned, and state is bounded by step-typed user
+    * activity, not stream length. Any funnel form — ordered or
+    * windowed — runs over the maintained state at read time;
+    * StreamsSpec pins maintained == from-scratch for both.
+    */
+  def funnelMaintStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          graft.ops.EventAnalytics.funnelState(
+            batch, userCol, typeCol, tsCol, steps))(
+          (prior, fresh) => prior.unionByName(fresh).distinct())
+      }
+      .start()
+
+  /** Streaming retention maintenance: the (user, week) pair state
+    * ([[graft.ops.EventAnalytics.userWeeks]]) maintained per
+    * micro-batch; the triangle
+    * ([[graft.ops.EventAnalytics.retentionTriangle]]) reads off the
+    * maintained state — users × active weeks rows, never events.
+    * A user's cohort can legitimately move when an EARLIER event
+    * arrives late; the min inside the finish step handles that
+    * without any special casing, which is exactly why the state is
+    * the pair set and not precomputed cohorts.
+    */
+  def retentionMaintStream(events: DataFrame, userCol: String,
+      tsCol: String, stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          graft.ops.EventAnalytics.userWeeks(batch, userCol, tsCol))(
+          (prior, fresh) => prior.unionByName(fresh).distinct())
       }
       .start()
 

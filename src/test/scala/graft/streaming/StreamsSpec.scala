@@ -593,6 +593,83 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def orderedList(ev: org.apache.spark.sql.DataFrame,
+      steps: Seq[String]): List[(Int, String, Long)] =
+    graft.ops.EventAnalytics.orderedFunnel(
+      ev, "user_id", "event_type", "ts", steps)
+      .as[(Int, String, Long)].collect().toList
+
+  private def windowedList(ev: org.apache.spark.sql.DataFrame,
+      steps: Seq[String], gapMs: Long): List[(Int, String, Long)] =
+    graft.ops.EventAnalytics.windowedFunnel(
+      ev, "user_id", "event_type", "ts", steps, gapMs)
+      .as[(Int, String, Long)].collect().toList
+
+  test("funnelMaintStream: maintained state answers both funnels like from-scratch") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val base = Files.createTempDirectory("graft-funnel").toString
+    val steps = Seq("view", "click", "purchase")
+    val q = Streams.funnelMaintStream(
+      input.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps,
+      s"$base/state", s"$base/chk")
+    try {
+      // u1's chain is SPLIT ACROSS BATCHES (view in batch 0, the
+      // rest in batch 1) — only real cross-batch maintenance can
+      // convert it; "noise" types must be compacted away
+      val batch1 = Seq((1L, "view", ts(10)), (2L, "view", ts(10)),
+        (2L, "click", ts(20)), (3L, "noise", ts(5)))
+      val batch2 = Seq((1L, "click", ts(3000)), (1L, "purchase", ts(3100)),
+        (2L, "view", ts(10))) // duplicate arrival — distinct absorbs it
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val state = spark.read.parquet(s"$base/state/v1")
+      val all = (batch1 ++ batch2).toDF("user_id", "event_type", "ts")
+      val mOrdered = orderedList(state, steps)
+      assert(mOrdered == orderedList(all, steps))
+      assert(mOrdered.map(_._3) == List(2L, 2L, 1L)) // u1 converted
+      // the windowed form over the same maintained state: u1's 50-min
+      // view→click gap exceeds a 10-minute window, u2 still converts
+      val mWin = windowedList(state, steps, 600000L)
+      assert(mWin == windowedList(all, steps, 600000L))
+      assert(mWin.map(_._3) == List(2L, 1L, 0L))
+      // state carries only step-typed rows
+      assert(state.filter(col("event_type") === "noise").count() == 0L)
+    } finally q.stop()
+  }
+
+  test("retentionMaintStream: late earlier event moves the cohort, like from-scratch") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val base = Files.createTempDirectory("graft-retention").toString
+    val q = Streams.retentionMaintStream(
+      input.toDF().toDF("user_id", "ts"),
+      "user_id", "ts", s"$base/state", s"$base/chk")
+    try {
+      val wk = 7 * 86400
+      // batch 0: u1 active weeks 1 and 2; u2 week 1
+      val batch1 = Seq((1L, ts(wk + 5)), (1L, ts(2 * wk + 5)),
+        (2L, ts(wk + 9)))
+      // batch 1: u1's week-0 event arrives LATE — cohort must move
+      val batch2 = Seq((1L, ts(10)), (2L, ts(wk + 9)))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val maintained = graft.ops.EventAnalytics.retentionTriangle(
+        spark.read.parquet(s"$base/state/v1"))
+        .as[(Long, Long, Long)].collect().toList
+      val scratch = graft.ops.EventAnalytics.cohortRetention(
+        (batch1 ++ batch2).toDF("user_id", "ts"), "user_id", "ts")
+        .as[(Long, Long, Long)].collect().toList
+      assert(maintained == scratch)
+      // u1 cohort week 0 (the late arrival), offsets 0/1/2; u2 week 1
+      assert(maintained == List(
+        (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("stripBoilerplateStream scrubs arriving docs against a batch hot set") {
     implicit val sqlCtx = spark.sqlContext
     // offline pass: banner appears in 3 historical docs → hot
