@@ -50,6 +50,69 @@ object MlQueries extends QueryPack {
       FittedLda(cvModel.vocabulary, model, vec)
     })
 
+  /** q189/q190 share one exact-integer EM fit (topic.LdaEm) —
+    * memoized per sfDir like the mllib fit above; the two persisted
+    * tables are vocabulary- and nnz-bounded.
+    */
+  private case class EmFit(vocab: DataFrame, assign: DataFrame)
+
+  private val emCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EmFit]()
+
+  private def emFit(s: SparkSession, dir: String): EmFit =
+    emCache.computeIfAbsent(Memo.key(s, dir), _ => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+      val (v, a) = graft.topic.LdaEm.fit(docs, "doc_id", "toks",
+        k = 4, vocabSize = 100, iters = 3)
+      EmFit(v, a)
+    })
+
+  /** The unrolled SQL replay of [[graft.topic.LdaEm.fit]] — one CTE
+    * block per EM iteration, ending with relation `aN` (the final
+    * assignments) and `voc`. Generated so the iteration count stays
+    * a parameter (the q120 unrolled-Lloyd pattern).
+    */
+  private def ldaEmCtes(iters: Int, k: Int, vocabSize: Int): String = {
+    val denomAdd = vocabSize * 10 // V·β in S-units; β=0.1 → 10
+    val head =
+      s"""WITH dw AS (
+         |  SELECT d, t, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  WHERE len(t) > 0 GROUP BY d, t),
+         |voc AS (SELECT t, w FROM (
+         |  SELECT t, CAST(row_number() OVER (ORDER BY n DESC, t)
+         |    AS BIGINT) - 1 AS w
+         |  FROM (SELECT t, sum(cnt) AS n FROM dw GROUP BY t))
+         |  WHERE w < $vocabSize),
+         |a0 AS (SELECT d, w, cnt, w % $k AS z
+         |       FROM dw JOIN voc USING (t))""".stripMargin
+    val its = (1 to iters).map { i =>
+      val p = i - 1
+      s""",
+         |ndk$i AS (SELECT d, z, sum(cnt) AS c FROM a$p GROUP BY d, z),
+         |nwk$i AS (SELECT w, z, sum(cnt) AS c FROM a$p GROUP BY w, z),
+         |nk$i AS (SELECT z, sum(cnt) AS c FROM a$p GROUP BY z),
+         |sc$i AS (
+         |  SELECT t.d, t.w, t.cnt, zs.z2,
+         |    CAST(100 * coalesce(ndk.c, 0) + 50 AS HUGEINT)
+         |      * CAST(100 * coalesce(nwk.c, 0) + 10 AS HUGEINT)
+         |      * 1000000 // (100 * coalesce(nk.c, 0) + $denomAdd) AS s
+         |  FROM (SELECT d, w, cnt FROM a$p) t
+         |  CROSS JOIN (SELECT unnest(range(0, $k)) AS z2) zs
+         |  LEFT JOIN ndk$i ndk ON ndk.d = t.d AND ndk.z = zs.z2
+         |  LEFT JOIN nwk$i nwk ON nwk.w = t.w AND nwk.z = zs.z2
+         |  LEFT JOIN nk$i nk ON nk.z = zs.z2),
+         |mx$i AS (SELECT d, w, max(s) AS ms FROM sc$i GROUP BY d, w),
+         |a$i AS (SELECT sc.d, sc.w, sc.cnt, CAST(min(sc.z2) AS BIGINT) AS z
+         |  FROM sc$i sc JOIN mx$i m
+         |    ON m.d = sc.d AND m.w = sc.w AND sc.s = m.ms
+         |  GROUP BY sc.d, sc.w, sc.cnt)""".stripMargin
+    }.mkString
+    head + its
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M4: per-source label tags, min-max normalized tf × idf, top-10.
     "q60_user_tfidf" -> ((s, dir) => {
@@ -130,6 +193,26 @@ object MlQueries extends QueryPack {
         .select(col("doc_id"), dominant(col("topicDistribution")).as("topic"))
         .groupBy(col("topic")).agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))
+    }),
+
+    // The ORACLE-COMPLETE twin of q63 (topic.LdaEm): exact-integer
+    // hard-EM topic fit — deterministic init (vocab index mod k),
+    // fixed 3 iterations, fixed-point scores, max-join-min-z argmax
+    // — so unlike the seeded mllib fit the ENTIRE training chain
+    // hash-verifies against an unrolled SQL replay (the q120
+    // exact-Lloyd precedent applied to topic models). Fit memoized,
+    // shared with q190.
+    "q189_lda_em_topics" -> ((s, dir) => {
+      val f = emFit(s, dir)
+      graft.topic.LdaEm.topicTerms(f.vocab, f.assign, termsPerTopic = 8)
+    }),
+
+    // q64's oracle-complete twin: per-document dominant topic off
+    // the same exact-integer EM fit (ties → smallest topic, the same
+    // rule the E-step uses).
+    "q190_lda_em_doc_topics" -> ((s, dir) => {
+      val f = emFit(s, dir)
+      graft.topic.LdaEm.docTopics(f.assign, "doc_id")
     }),
 
     // M13 full surface: the reference's online-optimizer fit with
@@ -216,6 +299,26 @@ object MlQueries extends QueryPack {
     })
 
   def oracles: Map[String, String] = Map(
+    "q189_lda_em_topics" ->
+      (ldaEmCtes(iters = 3, k = 4, vocabSize = 100) +
+        """,
+          |nwkf AS (SELECT w, z, CAST(sum(cnt) AS BIGINT) AS n
+          |         FROM a3 GROUP BY w, z),
+          |top AS (SELECT z AS topic, w, n,
+          |    CAST(row_number() OVER (PARTITION BY z
+          |      ORDER BY n DESC, w) AS BIGINT) AS rnk
+          |  FROM nwkf)
+          |SELECT topic, rnk, t AS term, n
+          |FROM top JOIN voc USING (w)
+          |WHERE rnk <= 8 ORDER BY topic, rnk""".stripMargin),
+    "q190_lda_em_doc_topics" ->
+      (ldaEmCtes(iters = 3, k = 4, vocabSize = 100) +
+        """,
+          |ndkf AS (SELECT d, z, sum(cnt) AS n FROM a3 GROUP BY d, z),
+          |mxf AS (SELECT d, max(n) AS mn FROM ndkf GROUP BY d)
+          |SELECT ndkf.d AS doc_id, CAST(min(z) AS BIGINT) AS topic
+          |FROM ndkf JOIN mxf ON mxf.d = ndkf.d AND ndkf.n = mxf.mn
+          |GROUP BY ndkf.d ORDER BY doc_id""".stripMargin),
     "q88_term_tf_gen" ->
       """SELECT doc_id, term, cast(count(*) as int) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1,0 +1,132 @@
+package graft.topic
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer hard-EM topic fitting — the ORACLE-COMPLETE twin of
+  * the seeded mllib LDA fits (q63/q64), on the q120 exact-Lloyd
+  * precedent: mllib's variational inference is seeded-deterministic
+  * but no SQL engine can replay it, so those queries carry rows-only
+  * checks; this fit replaces every float with fixed-point integers
+  * and every random choice with a deterministic rule, making the
+  * whole EM chain hash-verifiable in any engine.
+  *
+  * The model is classification EM (hard assignments) over the
+  * collapsed score every Gibbs/CVB LDA variant shares:
+  *
+  *   score(z | d, w) = (n_dk + α) · (n_wk + β) / (n_k + V·β)
+  *
+  * computed in count units scaled by S = 100 (α = 0.5 → 50,
+  * β = 0.1 → 10) and floored to integer millionths after one decimal
+  * widening — both engines compare IDENTICAL floored integers, so
+  * the argmax (ties → smallest topic, via the max-join-min-z rule,
+  * never an engine-private argmax) is deterministic everywhere.
+  * Init: topic = vocab index mod k, the standard deterministic
+  * seeding. A FIXED iteration count (no convergence test — a float
+  * tolerance would put a comparison on the replay boundary).
+  *
+  * Scale shape: everything is keyed aggregates and equi-joins — the
+  * (d,w) count table shuffles once per iteration into (d,z)/(w,z)/z
+  * count tables (the latter two vocabulary×k- and k-bounded; the
+  * k-row topic table cross-joins as a broadcast literal), and the
+  * argmax is a (d,w)-keyed max + equi-join + min, never a global
+  * sort. Per-iteration cost is O(nnz·k) rows through hash
+  * aggregates; the corpus text is read exactly once. Callers MUST
+  * persist each iteration's assignment table ([[fit]] does) — the
+  * unrolled lineage would otherwise recompute iteration i's chain
+  * 4^(T−i) times.
+  */
+object LdaEm {
+
+  private val S = 100L      // count-unit scale: α=0.5→50, β=0.1→10
+  private val ALPHA_S = 50L
+  private val BETA_S = 10L
+  private val PREC = 1000000L
+
+  /** (vocab, assignments): vocab = (__t, __w) top-`vocabSize` tokens
+    * by (count desc, token asc); assignments = (__d, __w, __cnt,
+    * __z) after `iters` hard-EM rounds. Both persisted; caller
+    * releases.
+    */
+  def fit(docs: DataFrame, idCol: String, tokensCol: String,
+      k: Int, vocabSize: Int, iters: Int): (DataFrame, DataFrame) = {
+    val dw0 = docs
+      .select(col(idCol).as("__d"), explode(col(tokensCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__cnt"))
+    // vocabulary-bounded single-partition window — the same
+    // documented trade as every vocab indexer here (W2 pattern)
+    val vw = Window.partitionBy().orderBy(col("__n").desc, col("__t"))
+    val vocab = dw0.groupBy(col("__t")).agg(sum(col("__cnt")).as("__n"))
+      .withColumn("__w", row_number().over(vw).cast("long") - 1)
+      .filter(col("__w") < vocabSize)
+      .select(col("__t"), col("__w"))
+      .persist()
+    val spark = docs.sparkSession
+    val topics = spark.range(k).select(col("id").as("__z2"))
+    var a = dw0.join(vocab, "__t")
+      .select(col("__d"), col("__w"), col("__cnt"),
+        (col("__w") % k).as("__z"))
+      .persist()
+    a.count()
+    for (_ <- 1 to iters) {
+      val ndk = a.groupBy(col("__d"), col("__z")).agg(sum(col("__cnt")).as("__cdz"))
+      val nwk = a.groupBy(col("__w"), col("__z")).agg(sum(col("__cnt")).as("__cwz"))
+      val nk = a.groupBy(col("__z")).agg(sum(col("__cnt")).as("__cz"))
+      val sc = a.select(col("__d"), col("__w"), col("__cnt"))
+        .crossJoin(broadcast(topics))
+        .join(ndk.withColumnRenamed("__z", "__z2"), Seq("__d", "__z2"), "left")
+        .join(nwk.withColumnRenamed("__z", "__z2"), Seq("__w", "__z2"), "left")
+        .join(broadcast(nk.withColumnRenamed("__z", "__z2")), Seq("__z2"), "left")
+        .withColumn("__s",
+          expr(s"cast(($S * coalesce(__cdz, 0) + $ALPHA_S) as decimal(38,0))" +
+            s" * cast(($S * coalesce(__cwz, 0) + $BETA_S) as decimal(38,0))" +
+            s" * $PREC div ($S * coalesce(__cz, 0) + $vocabSize * $BETA_S)"))
+      val mx = sc.groupBy(col("__d"), col("__w")).agg(max(col("__s")).as("__ms"))
+      val a2 = sc.join(mx, Seq("__d", "__w"))
+        .filter(col("__s") === col("__ms"))
+        .groupBy(col("__d"), col("__w"), col("__cnt"))
+        .agg(min(col("__z2")).as("__z"))
+        .persist()
+      a2.count()
+      a.unpersist(blocking = false)
+      a = a2
+    }
+    (vocab, a)
+  }
+
+  /** Per-topic top terms off the fitted assignments: (topic, rnk,
+    * term, n) — terms ranked by (assigned count desc, vocab index
+    * asc), a vocabulary×k-bounded window.
+    */
+  def topicTerms(vocab: DataFrame, assign: DataFrame,
+      termsPerTopic: Int): DataFrame = {
+    val nwk = assign.groupBy(col("__w"), col("__z"))
+      .agg(sum(col("__cnt")).as("__n"))
+    val w = Window.partitionBy(col("__z"))
+      .orderBy(col("__n").desc, col("__w"))
+    nwk.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= termsPerTopic)
+      .join(vocab, "__w")
+      .select(col("__z").as("topic"), col("rnk"), col("__t").as("term"),
+        col("__n").as("n"))
+      .orderBy(col("topic"), col("rnk"))
+  }
+
+  /** Per-document dominant topic: argmax over the doc's assigned
+    * counts, ties → smallest topic (max-join-min-z, the same rule
+    * the E-step uses). (doc_id named by the caller's idCol.)
+    */
+  def docTopics(assign: DataFrame, idName: String): DataFrame = {
+    val ndk = assign.groupBy(col("__d"), col("__z"))
+      .agg(sum(col("__cnt")).as("__n"))
+    val mx = ndk.groupBy(col("__d")).agg(max(col("__n")).as("__mn"))
+    ndk.join(mx, "__d")
+      .filter(col("__n") === col("__mn"))
+      .groupBy(col("__d")).agg(min(col("__z")).as("topic"))
+      .select(col("__d").as(idName), col("topic"))
+      .orderBy(col(idName))
+  }
+}
