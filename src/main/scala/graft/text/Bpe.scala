@@ -82,7 +82,8 @@ object Bpe {
     var seg = words.withColumn("s",
       concat(lit(" "), array_join(split(col("w"), ""), " ")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    for (r <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
       val syms = split(trim(col("s")), " ")
       val best = seg
         // a word can collapse to ONE symbol once merges stack up
@@ -106,6 +107,14 @@ object Bpe {
             lit(" " + pair.replace(" ", ""))))
         if (r % checkpointEvery == 0 && r < k)
           seg = seg.localCheckpoint(true)
+      } else {
+        // the merge space is EXHAUSTED — every word has collapsed to
+        // a single symbol (possible on a small vocabulary: at most
+        // Σ(len(w)−1) merges exist over distinct words). Stop rather
+        // than spin k − r empty pair-count rounds: the merge table
+        // is identical either way (each further round would find
+        // nothing), so a k ≫ saturation request costs nothing extra.
+        exhausted = true
       }
     }
     val out = merges.toSeq.toDF("rank", "pair")

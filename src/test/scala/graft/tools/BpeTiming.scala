@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * PERF.md claim that per-round cost stays flat once the lineage
   * checkpoint (Bpe.learnMerges checkpointEvery) truncates the
   * re-segmentation fold, and A/Bs against the un-checkpointed run.
+  *
+  * The documents corpus has only 30 distinct words, so its merge
+  * space saturates at 88 (= Σ len(w)−1) — useless for proving real
+  * k. `rich:<sfDir>` derives a large-merge-space corpus from the
+  * same testdata instead: 4k distinct md5(orderkey|linenumber) hex
+  * strings as words (16-symbol alphabet, 32 chars each → ~124k merge
+  * candidates), which sustains thousands of GENUINE merge rounds.
   */
 object BpeTiming {
   def main(args: Array[String]): Unit = {
@@ -16,7 +23,15 @@ object BpeTiming {
       SparkSession.builder().master("local[8]"), 8, "bpe-timing")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.io.Tables.table(spark, sfDir, "documents")
+    val docs =
+      if (sfDir.startsWith("rich:")) {
+        import org.apache.spark.sql.functions.{md5, concat_ws, col}
+        graft.io.Tables.table(spark, sfDir.stripPrefix("rich:"), "lineitem")
+          .select(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"))).as("text"))
+          .distinct().limit(4000)
+      }
+      else graft.io.Tables.table(spark, sfDir, "documents")
     def run(label: String, k: Int, every: Int): Unit = {
       val t0 = System.nanoTime()
       val n = graft.text.Bpe.learnMerges(docs, "text", k, every).count()
@@ -25,7 +40,9 @@ object BpeTiming {
     }
     run("warm", 4, 64)
     ks.foreach(k => run("cp16", k, 16))
-    run("nocp", ks.max, Int.MaxValue)
+    // the un-checkpointed A/B is the quadratic-plan baseline — only
+    // meaningful (and only survivable) at small k
+    if (ks.max <= 128) run("nocp", ks.max, Int.MaxValue)
     spark.stop()
   }
 }
