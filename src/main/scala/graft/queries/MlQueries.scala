@@ -215,6 +215,23 @@ object MlQueries extends QueryPack {
       graft.topic.LdaEm.docTopics(f.assign, "doc_id")
     }),
 
+    // q65's oracle-complete twin (topic.Ppmi): word embeddings as
+    // exact shifted-PPMI context rows — the closed-form matrix SGNS
+    // implicitly factorizes (Levy & Goldberg 2014) — with top-20
+    // cosine-similar word pairs as the output. Every count is
+    // integer; the two float boundaries (ln, sqrt) are identical
+    // IEEE expressions floored to millionths on both engines.
+    // shift=1 (plain PPMI): the uniform salad corpus has PMI ratios
+    // near 1, so the SGNS-flavored s=5 clamps EVERY entry to zero
+    // (measured) — the spec exercises the shift, the query needs
+    // nonzero vectors to have teeth (471 entries at sf0.01).
+    "q191_sppmi_similar" -> ((s, dir) => {
+      val emb = graft.topic.Ppmi.embed(
+        table(s, dir, "documents").select(toks.as("toks")),
+        "toks", window = 2, shift = 1)
+      graft.topic.Ppmi.similarPairs(emb, k = 20)
+    }),
+
     // M13 full surface: the reference's online-optimizer fit with
     // explicit Dirichlet concentrations (α=β=3) plus the model
     // metrics it reports — logLikelihood / logPerplexity
@@ -319,6 +336,44 @@ object MlQueries extends QueryPack {
           |SELECT ndkf.d AS doc_id, CAST(min(z) AS BIGINT) AS topic
           |FROM ndkf JOIN mxf ON mxf.d = ndkf.d AND ndkf.n = mxf.mn
           |GROUP BY ndkf.d ORDER BY doc_id""".stripMargin),
+    "q191_sppmi_similar" ->
+      """WITH dts AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0)
+        |    AS ts FROM documents),
+        |pr AS (
+        |  SELECT unnest(CASE WHEN len(ts) > off THEN
+        |      list_transform(range(1, len(ts) - off + 1),
+        |        i -> CASE WHEN dir = 0 THEN ts[i] || ' ' || ts[i + off]
+        |                  ELSE ts[i + off] || ' ' || ts[i] END)
+        |    ELSE [] END) AS pair
+        |  FROM dts,
+        |       (SELECT unnest([1, 2]) AS off) o,
+        |       (SELECT unnest([0, 1]) AS dir) dd),
+        |pc AS (SELECT string_split(pair, ' ')[1] AS w,
+        |    string_split(pair, ' ')[2] AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY w, c),
+        |mw AS (SELECT w, sum(n) AS nw FROM pc GROUP BY w),
+        |mc AS (SELECT c, sum(n) AS nc FROM pc GROUP BY c),
+        |tot AS (SELECT sum(n) AS nn FROM pc),
+        |se AS (SELECT w, c, v FROM (
+        |  SELECT w, c,
+        |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) * nn / nw / nc
+        |      / 1.0)) AS BIGINT) AS v
+        |  FROM pc JOIN mw USING (w) JOIN mc USING (c) CROSS JOIN tot)
+        |  WHERE v > 0),
+        |dotp AS (SELECT a.w AS w1, b.w AS w2, sum(a.v * b.v) AS dot
+        |  FROM se a JOIN se b ON a.c = b.c AND a.w < b.w
+        |  GROUP BY w1, w2),
+        |nrm AS (SELECT w, sum(v * v) AS ss FROM se GROUP BY w)
+        |SELECT w1, w2,
+        |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(n1.ss AS DOUBLE))
+        |    / sqrt(CAST(n2.ss AS DOUBLE))) AS BIGINT) AS cos_e6
+        |FROM dotp
+        |JOIN nrm n1 ON n1.w = dotp.w1
+        |JOIN nrm n2 ON n2.w = dotp.w2
+        |ORDER BY cos_e6 DESC, w1, w2 LIMIT 20""".stripMargin,
     "q88_term_tf_gen" ->
       """SELECT doc_id, term, cast(count(*) as int) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
