@@ -32,10 +32,20 @@ import org.apache.spark.sql.functions._
   * k-row topic table cross-joins as a broadcast literal), and the
   * argmax is a (d,w)-keyed max + equi-join + min, never a global
   * sort. Per-iteration cost is O(nnz·k) rows through hash
-  * aggregates; the corpus text is read exactly once. Callers MUST
-  * persist each iteration's assignment table ([[fit]] does) — the
-  * unrolled lineage would otherwise recompute iteration i's chain
-  * 4^(T−i) times.
+  * aggregates; the corpus text is read exactly once.
+  *
+  * Lineage control (the Bpe.learnMerges lesson, measured here the
+  * hard way): each iteration references the previous assignment ~6
+  * times (three count tables, the score base, the argmax join), so
+  * an un-truncated LOGICAL plan fans out 6^i subtree copies — with
+  * plain persist the execution reads cache but CATALYST still
+  * analyzes the whole tree, and the post-fit queries spent 16-38 s
+  * in pure planning at iters=3. [[fit]] therefore eagerly
+  * `localCheckpoint`s each iteration's assignments — the plan resets
+  * to a scan of cached blocks, O(1) analysis per round. The
+  * intermediate checkpoints (iters × nnz rows) stay cached for the
+  * session; on a real cluster at large nnz use a reliable
+  * checkpoint dir, same contract as the BPE trainer.
   */
 object LdaEm {
 
@@ -69,8 +79,7 @@ object LdaEm {
     var a = dw0.join(vocab, "__t")
       .select(col("__d"), col("__w"), col("__cnt"),
         (col("__w") % k).as("__z"))
-      .persist()
-    a.count()
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val ndk = a.groupBy(col("__d"), col("__z")).agg(sum(col("__cnt")).as("__cdz"))
       val nwk = a.groupBy(col("__w"), col("__z")).agg(sum(col("__cnt")).as("__cwz"))
@@ -85,14 +94,11 @@ object LdaEm {
             s" * cast(($S * coalesce(__cwz, 0) + $BETA_S) as decimal(38,0))" +
             s" * $PREC div ($S * coalesce(__cz, 0) + $vocabSize * $BETA_S)"))
       val mx = sc.groupBy(col("__d"), col("__w")).agg(max(col("__s")).as("__ms"))
-      val a2 = sc.join(mx, Seq("__d", "__w"))
+      a = sc.join(mx, Seq("__d", "__w"))
         .filter(col("__s") === col("__ms"))
         .groupBy(col("__d"), col("__w"), col("__cnt"))
         .agg(min(col("__z2")).as("__z"))
-        .persist()
-      a2.count()
-      a.unpersist(blocking = false)
-      a = a2
+        .localCheckpoint(true)
     }
     (vocab, a)
   }

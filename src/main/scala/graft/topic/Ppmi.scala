@@ -75,6 +75,10 @@ object Ppmi {
   /** Top-`k` most-similar word pairs by cosine over the sparse
     * embedding rows: exact-integer dot and norms, one floored IEEE
     * sqrt expression at the end. (w1 < w2 — each pair once.)
+    * PERSIST `emb` first: it is referenced four times below (two dot
+    * sides, two norm attaches) and an unmaterialized plan would
+    * re-run the corpus scan for each — the artifact is
+    * vocab²-bounded, the corpus is not.
     */
   def similarPairs(emb: DataFrame, k: Int): DataFrame = {
     val dot = emb.select(col("c"), col("w").as("w1"), col("v").as("v1"))
