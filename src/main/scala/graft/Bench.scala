@@ -105,7 +105,7 @@ object Bench {
     val sentCs = sentinels.map(v => math.round(v * 100).toString)
       .mkString(""","sent_cs":[""", ",", "]")
     def mkLine(fmt: Double => String, dropQ: Boolean = false,
-        minQ: Double = 0.0): String = {
+        minQ: Double = 0.0, qUnit: String = ""): String = {
       val qs = results.filter { case (_, v) => v >= minQ || v < 0 }
         .map { case (k, v) =>
           val sk = shortKey(k)
@@ -117,9 +117,11 @@ object Bench {
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
         .getOrElse(sfDir)
       // self-describing markers: "29" means q29; "minq" = entries
-      // under that many seconds omitted (still inside "value")
+      // under that many seconds omitted (still inside "value");
+      // "q_unit":"cs" = per-query values are centisecond integers
       val keyNote = (if (dropQ) ""","keys":"qNN sans q"""" else "") +
-        (if (minQ > 0) s""","minq":$minQ""" else "")
+        (if (minQ > 0) s""","minq":$minQ""" else "") +
+        (if (qUnit.nonEmpty) s""","q_unit":"$qUnit"""" else "")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -136,17 +138,24 @@ object Bench {
     // per-query fallback: strip the 'q' key prefix (~1 char ×
     // queries) — still valid JSON, keys remain the query numbers
     lazy val line0 = mkLine(f1, dropQ = true)
+    // centisecond-integer fallback ("30" = 0.30 s, marked
+    // "q_unit":"cs"): 1 char cheaper than "0.3" on the sub-second
+    // entries that dominate, which keeps the FULL map inside the
+    // window to ~230 queries — a complete map in coarser units beats
+    // dropping entries
+    def fcs(v: Double): String = math.round(v * 100).toString
+    lazy val lineCs = mkLine(fcs, dropQ = true, qUnit = "cs")
     // last-resort ladder: omit entries under minQ seconds (their sum
     // still lands in "value"; "minq" records the cut) at the
     // smallest threshold that fits — a partial per-query map beats
-    // none. ~190 queries is where the stripped form outgrows the
-    // window.
+    // none.
     lazy val lineMin = Seq(0.05, 0.1, 0.2, 0.5, 1.0).iterator
-      .map(m => mkLine(f1, dropQ = true, minQ = m))
+      .map(m => mkLine(fcs, dropQ = true, minQ = m, qUnit = "cs"))
       .find(_.length <= cap)
     if (line2.length <= cap) println(line2)
     else if (line1.length <= cap) println(line1)
     else if (line0.length <= cap) println(line0)
+    else if (lineCs.length <= cap) println(lineCs)
     else lineMin match {
       case Some(l) => println(l)
       case None => println(
