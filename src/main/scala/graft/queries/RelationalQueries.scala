@@ -23,6 +23,34 @@ object RelationalQueries extends QueryPack {
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic Bloom seen-set screen (ops.Bloom): the probe key
+    // set tested map-side against the packed 2^16-bit / k=3 bloom of
+    // the build keys — every bit a pure md5 function of the data, so
+    // the oracle replays MEMBERSHIP AND THE FALSE-POSITIVE COUNT
+    // exactly (a hash-verified probabilistic structure). At sf0.1
+    // the bloom genuinely false-fires (~5% of unseen keys, fill
+    // 0.37); the exact-verify join is what the pruned semi-join runs
+    // on survivors only.
+    "q192_bloom_seen" -> ((s, dir) => {
+      val mBits = 1 << 16
+      val kH = 3
+      val bl = graft.ops.Bloom
+      val build = table(s, dir, "part").filter(col("p_size") <= 25)
+        .select(col("p_partkey").as("k")).distinct()
+      val probe = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("k")).distinct()
+      val words = bl.fitWords(bl.positions(build, "k", mBits, kH), mBits)
+      probe
+        .withColumn("__pass", bl.containsCol(words, mBits, kH, col("k")))
+        .join(build.withColumn("__seen", lit(1)), Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_probe"),
+          sum(when(col("__pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+          sum(when(col("__pass") && col("__seen").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+    }),
+
     // Q1-style pricing summary (SURVEY A1/F12; ref TFIDF.scala-era
     // groupBy aggregates). Filter is pushed to the parquet scan.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -355,6 +383,29 @@ object RelationalQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q192_bloom_seen" ->
+      """WITH b AS (SELECT DISTINCT p_partkey AS k FROM part
+        |           WHERE p_size <= 25),
+        |bp AS (SELECT DISTINCT
+        |    CAST(CAST('0x' || substr(md5(i || ':' || CAST(b.k AS VARCHAR)),
+        |      1, 12) AS UBIGINT) AS BIGINT) % 65536 AS p
+        |  FROM b, (SELECT unnest(range(0, 3)) AS i) ii),
+        |pk AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+        |pp AS (SELECT pk.k,
+        |    CAST(CAST('0x' || substr(md5(i || ':' || CAST(pk.k AS VARCHAR)),
+        |      1, 12) AS UBIGINT) AS BIGINT) % 65536 AS p
+        |  FROM pk, (SELECT unnest(range(0, 3)) AS i) ii),
+        |pass AS (SELECT pp.k FROM pp LEFT JOIN bp ON bp.p = pp.p
+        |  GROUP BY pp.k
+        |  HAVING count(*) FILTER (WHERE bp.p IS NULL) = 0)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pk) AS n_probe,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_pass,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pk JOIN b ON b.k = pk.k)
+        |    AS n_seen,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pass
+        |   LEFT JOIN b ON b.k = pass.k WHERE b.k IS NULL)
+        |    AS n_false_pos""".stripMargin,
     "q177_data_checks" -> dqOracle,
     "q167_zorder_layout" -> {
       val z = graft.io.Zorder.zvalueSql("sa", "sb")
