@@ -23,6 +23,21 @@ object RelationalQueries extends QueryPack {
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic weighted sampling WITHOUT replacement
+    // (ops.Sampling, Efraimidis-Spirakis): 100 documents drawn with
+    // probability following their token count — the per-item mixing
+    // primitive beside q126's class-level temperature mix. The
+    // "random" sample hash-verifies: u is the seeded md5-prefix
+    // hash, the rank key an identical floored IEEE ln on both
+    // engines, and the top-k cut is TakeOrderedAndProject.
+    "q193_weighted_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+      graft.ops.Sampling.weightedSample(d, "doc_id", col("w"),
+        k = 100, seed = 7)
+    }),
+
     // Deterministic Bloom seen-set screen (ops.Bloom): the probe key
     // set tested map-side against the packed 2^16-bit / k=3 bloom of
     // the build keys — every bit a pure md5 function of the data, so
@@ -383,6 +398,18 @@ object RelationalQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q193_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |ks AS (SELECT doc_id, w,
+        |    CAST(floor(1000000000.0 * ln(
+        |      (CAST(CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+        |        1, 12) AS UBIGINT) AS BIGINT) + 1.0) / 281474976710656.0)
+        |      / w) AS BIGINT) AS key_e9
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, w, key_e9 FROM ks
+        |ORDER BY key_e9 DESC, doc_id LIMIT 100""".stripMargin,
     "q192_bloom_seen" ->
       """WITH b AS (SELECT DISTINCT p_partkey AS k FROM part
         |           WHERE p_size <= 25),
