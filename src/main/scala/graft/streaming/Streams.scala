@@ -445,17 +445,60 @@ object Streams {
   private def maintainVersioned(stateDir: String, id: Long,
       newState: DataFrame)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val spark = newState.sparkSession
+    val merged = latestVersion(newState.sparkSession, stateDir, id) match {
+      case Some(prior) => mergeFn(prior, newState)
+      case None => newState
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/v$id")
+  }
+
+  /** The newest state version strictly before `id` (None on a fresh
+    * state dir) — shared by the maintainers and by gates that must
+    * screen a batch against PRIOR state before merging it in.
+    */
+  private def latestVersion(spark: SparkSession, stateDir: String,
+      id: Long): Option[DataFrame] = {
     val prior = Option(new java.io.File(stateDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(_.getName.drop(1).toLong).filter(_ < id)
-    val merged =
-      if (prior.isEmpty) newState
-      else mergeFn(spark.read.parquet(s"$stateDir/v${prior.max}"), newState)
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$stateDir/v$id")
+    if (prior.isEmpty) None
+    else Some(spark.read.parquet(s"$stateDir/v${prior.max}"))
   }
+
+  /** Streaming Bloom seen-set gate — [[graft.ops.Bloom]] at
+    * ingestion: every micro-batch is flagged against the bloom of
+    * ALL PRIOR batches' keys (packed from the maintained distinct
+    * position set — the canonical union-mergeable state, ≤ mBits
+    * rows), then its own positions merge into the state. The handler
+    * receives the batch with a `probably_seen` column: false is
+    * EXACT ("definitely new" — blooms have no false negatives), so
+    * an ingestion dedup passes new rows straight through and routes
+    * only the probably-seen minority to exact verification — the
+    * whole history is never joined per batch. StreamsSpec pins the
+    * no-false-negative guarantee and equality with the batch bloom
+    * over the union of prior batches.
+    */
+  def bloomSeenStream(docs: DataFrame, keyCol: String, mBits: Int,
+      kHash: Int, stateDir: String, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bl = graft.ops.Bloom
+        val words = latestVersion(batch.sparkSession, stateDir, id) match {
+          case Some(prior) => bl.fitWords(prior, mBits)
+          case None => new Array[Long]((mBits + 63) / 64)
+        }
+        handler(batch.withColumn("probably_seen",
+          bl.containsCol(words, mBits, kHash, col(keyCol))), id)
+        maintainVersioned(stateDir, id,
+          bl.positions(batch, keyCol, mBits, kHash))(
+          (prior, fresh) => prior.unionByName(fresh).distinct())
+      }
+      .start()
 
   /** Streaming funnel maintenance — the event-analytics twin of
     * [[rollupMaintStream]]: each micro-batch compacts to the

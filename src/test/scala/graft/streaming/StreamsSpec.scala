@@ -670,6 +670,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomSeenStream: prior-batch keys flag probably-seen, new keys exactly new") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val base = Files.createTempDirectory("graft-bloom").toString
+    val (mBits, kH) = (1 << 14, 3)
+    val out = scala.collection.mutable.Map.empty[Long, List[(Long, Boolean)]]
+    val q = Streams.bloomSeenStream(
+      input.toDF().toDF("k"), "k", mBits, kH,
+      s"$base/state", s"$base/chk") { (flagged, id) =>
+      out(id) = flagged.select(col("k"), col("probably_seen"))
+        .as[(Long, Boolean)].collect().toList
+    }
+    try {
+      input.addData(1L to 200L: _*); q.processAllAvailable()
+      // batch 0 sees an empty bloom: nothing can be flagged seen
+      assert(out(0L).forall(!_._2))
+      // batch 1: 50 repeats + 50 genuinely new keys
+      input.addData((151L to 250L): _*); q.processAllAvailable()
+      val b1 = out(1L).toMap
+      // NO FALSE NEGATIVES: every true repeat is flagged
+      assert((151L to 200L).forall(b1(_)))
+      // the flagging equals the batch bloom over the prior batch's keys
+      val words = graft.ops.Bloom.fitWords(
+        graft.ops.Bloom.positions((1L to 200L).toDF("k"), "k", mBits, kH),
+        mBits)
+      val expect = (151L to 250L).toDF("k")
+        .withColumn("p", graft.ops.Bloom.containsCol(words, mBits, kH, col("k")))
+        .as[(Long, Boolean)].collect().toMap
+      assert(b1 == expect)
+      // at this fill (600 bits of 16384) new keys are mostly new
+      assert((201L to 250L).count(b1(_)) < 5)
+    } finally q.stop()
+  }
+
   test("stripBoilerplateStream scrubs arriving docs against a batch hot set") {
     implicit val sqlCtx = spark.sqlContext
     // offline pass: banner appears in 3 historical docs → hot
