@@ -95,18 +95,25 @@ object MlQueries extends QueryPack {
     */
   private def ldaEmCtes(iters: Int, k: Int, vocabSize: Int): String = {
     val denomAdd = vocabSize * 10 // V·β in S-units; β=0.1 → 10
+    // Every assignment CTE is AS MATERIALIZED: DuckDB 1.0 INLINES a
+    // CTE at each reference, and a$p is referenced 4× per iteration
+    // (plus up to 4× by the query tail), so the plain form
+    // re-evaluates the whole EM chain ~4^depth times — the q194
+    // objective oracle measured ~12 CPU-minutes inlined vs seconds
+    // materialized. (The Spark side has the SAME lineage hazard,
+    // solved by the eager localCheckpoint in LdaEm.fit.)
     val head =
-      s"""WITH dw AS (
+      s"""WITH dw AS MATERIALIZED (
          |  SELECT d, t, CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS t
          |        FROM documents)
          |  WHERE len(t) > 0 GROUP BY d, t),
-         |voc AS (SELECT t, w FROM (
+         |voc AS MATERIALIZED (SELECT t, w FROM (
          |  SELECT t, CAST(row_number() OVER (ORDER BY n DESC, t)
          |    AS BIGINT) - 1 AS w
          |  FROM (SELECT t, sum(cnt) AS n FROM dw GROUP BY t))
          |  WHERE w < $vocabSize),
-         |a0 AS (SELECT d, w, cnt, w % $k AS z
+         |a0 AS MATERIALIZED (SELECT d, w, cnt, w % $k AS z
          |       FROM dw JOIN voc USING (t))""".stripMargin
     val its = (1 to iters).map { i =>
       val p = i - 1
@@ -114,7 +121,7 @@ object MlQueries extends QueryPack {
          |ndk$i AS (SELECT d, z, sum(cnt) AS c FROM a$p GROUP BY d, z),
          |nwk$i AS (SELECT w, z, sum(cnt) AS c FROM a$p GROUP BY w, z),
          |nk$i AS (SELECT z, sum(cnt) AS c FROM a$p GROUP BY z),
-         |sc$i AS (
+         |sc$i AS MATERIALIZED (
          |  SELECT t.d, t.w, t.cnt, zs.z2,
          |    CAST(100 * coalesce(ndk.c, 0) + 50 AS HUGEINT)
          |      * CAST(100 * coalesce(nwk.c, 0) + 10 AS HUGEINT)
@@ -125,7 +132,8 @@ object MlQueries extends QueryPack {
          |  LEFT JOIN nwk$i nwk ON nwk.w = t.w AND nwk.z = zs.z2
          |  LEFT JOIN nk$i nk ON nk.z = zs.z2),
          |mx$i AS (SELECT d, w, max(s) AS ms FROM sc$i GROUP BY d, w),
-         |a$i AS (SELECT sc.d, sc.w, sc.cnt, CAST(min(sc.z2) AS BIGINT) AS z
+         |a$i AS MATERIALIZED (
+         |  SELECT sc.d, sc.w, sc.cnt, CAST(min(sc.z2) AS BIGINT) AS z
          |  FROM sc$i sc JOIN mx$i m
          |    ON m.d = sc.d AND m.w = sc.w AND sc.s = m.ms
          |  GROUP BY sc.d, sc.w, sc.cnt)""".stripMargin
@@ -233,6 +241,16 @@ object MlQueries extends QueryPack {
     "q190_lda_em_doc_topics" -> ((s, dir) => {
       val f = emFit(s, dir)
       graft.topic.LdaEm.docTopics(f.assign, "doc_id")
+    }),
+
+    // The METRICS leg of the EM twin: the seeded mllib fit reports
+    // logLikelihood/logPerplexity (q115), which no engine can
+    // replay; this is the replayable counterpart — the collapsed
+    // E-step score at each ASSIGNED topic, evaluated at the final
+    // counts and summed per topic in fixed point. Same memoized fit.
+    "q194_lda_em_objective" -> ((s, dir) => {
+      val f = emFit(s, dir)
+      graft.topic.LdaEm.objective(f.assign, vocabSize = 100)
     }),
 
     // q65's oracle-complete twin (topic.Ppmi): word embeddings as
@@ -352,6 +370,25 @@ object MlQueries extends QueryPack {
           |SELECT ndkf.d AS doc_id, CAST(min(z) AS BIGINT) AS topic
           |FROM ndkf JOIN mxf ON mxf.d = ndkf.d AND ndkf.n = mxf.mn
           |GROUP BY ndkf.d ORDER BY doc_id""".stripMargin),
+    "q194_lda_em_objective" ->
+      (ldaEmCtes(iters = 3, k = 4, vocabSize = 100) +
+        """,
+          |ndf AS (SELECT d, z, sum(cnt) AS cdz FROM a3 GROUP BY d, z),
+          |nwf AS (SELECT w, z, sum(cnt) AS cwz FROM a3 GROUP BY w, z),
+          |nzf AS (SELECT z, sum(cnt) AS cz FROM a3 GROUP BY z),
+          |scf AS (SELECT a.z, a.w, a.cnt,
+          |    CAST(100 * nd.cdz + 50 AS HUGEINT)
+          |      * CAST(100 * nw.cwz + 10 AS HUGEINT)
+          |      * 1000000 // (100 * nz.cz + 1000) AS s
+          |  FROM a3 a
+          |  JOIN ndf nd ON nd.d = a.d AND nd.z = a.z
+          |  JOIN nwf nw ON nw.w = a.w AND nw.z = a.z
+          |  JOIN nzf nz ON nz.z = a.z)
+          |SELECT z AS topic,
+          |  CAST(count(DISTINCT w) AS BIGINT) AS n_terms,
+          |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CAST(cnt AS HUGEINT) * s) // 1000000 AS BIGINT) AS obj
+          |FROM scf GROUP BY z ORDER BY topic""".stripMargin),
     "q191_sppmi_similar" ->
       """WITH dts AS (
         |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0)

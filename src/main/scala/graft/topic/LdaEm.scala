@@ -121,6 +121,43 @@ object LdaEm {
       .orderBy(col("topic"), col("rnk"))
   }
 
+  /** Fixed-point model objective off the fitted assignments — the
+    * METRICS leg of the twin (the counterpart of the seeded fit's
+    * logLikelihood/logPerplexity report, which no engine can
+    * replay): for each (d,w) at its ASSIGNED topic, the same
+    * collapsed score the E-step maximized, evaluated at the final
+    * counts, summed per topic weighted by occurrence count. Exact
+    * integers end-to-end (the per-token sum divides the e6 score
+    * scale back out so the total stays in a long). Higher = the
+    * assignments better explain the corpus under the model — the
+    * same reading as a likelihood, on a replayable scale.
+    * Output: (topic, n_terms, n_tokens, obj) ordered by topic.
+    */
+  def objective(assign: DataFrame, vocabSize: Int): DataFrame = {
+    val ndk = assign.groupBy(col("__d"), col("__z"))
+      .agg(sum(col("__cnt")).as("__cdz"))
+    val nwk = assign.groupBy(col("__w"), col("__z"))
+      .agg(sum(col("__cnt")).as("__cwz"))
+    val nk = assign.groupBy(col("__z")).agg(sum(col("__cnt")).as("__cz"))
+    assign
+      .join(ndk, Seq("__d", "__z"))
+      .join(nwk, Seq("__w", "__z"))
+      .join(broadcast(nk), Seq("__z"))
+      .withColumn("__s",
+        expr(s"cast(($S * __cdz + $ALPHA_S) as decimal(38,0))" +
+          s" * cast(($S * __cwz + $BETA_S) as decimal(38,0))" +
+          s" * $PREC div ($S * __cz + $vocabSize * $BETA_S)"))
+      .groupBy(col("__z"))
+      .agg(
+        countDistinct(col("__w")).as("n_terms"),
+        sum(col("__cnt")).as("n_tokens"),
+        expr(s"sum(cast(__cnt as decimal(38,0)) * __s) div $PREC")
+          .as("obj"))
+      .select(col("__z").as("topic"), col("n_terms"), col("n_tokens"),
+        col("obj"))
+      .orderBy(col("topic"))
+  }
+
   /** Per-document dominant topic: argmax over the doc's assigned
     * counts, ties → smallest topic (max-join-min-z, the same rule
     * the E-step uses). (doc_id named by the caller's idCol.)

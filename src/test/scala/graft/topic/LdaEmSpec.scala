@@ -64,6 +64,33 @@ class LdaEmSpec extends SparkSpec {
     Seq(v, a).foreach(_.unpersist(blocking = false))
   }
 
+  test("objective replays exactly from the raw assignments") {
+    val (v, a) = LdaEm.fit(corpus, "doc_id", "toks", k = 2,
+      vocabSize = 10, iters = 2)
+    val rows = a.as[(Long, Long, Long, Long)].collect() // d, w, cnt, z
+    val ndk = rows.groupBy(r => (r._1, r._4)).map { case (g, rs) => g -> rs.map(_._3).sum }
+    val nwk = rows.groupBy(r => (r._2, r._4)).map { case (g, rs) => g -> rs.map(_._3).sum }
+    val nk = rows.groupBy(_._4).map { case (z, rs) => z -> rs.map(_._3).sum }
+    val vSize = 10
+    val expected = rows.groupBy(_._4).map { case (z, rs) =>
+      val tokSum = rs.map { r =>
+        val s = BigInt(100 * ndk((r._1, z)) + 50) *
+          BigInt(100 * nwk((r._2, z)) + 10) * BigInt(1000000) /
+          BigInt(100 * nk(z) + vSize * 10)
+        BigInt(r._3) * s
+      }.sum
+      (z, rs.map(_._2).distinct.length.toLong, rs.map(_._3).sum,
+        (tokSum / 1000000).toLong)
+    }.toSet
+    val got = LdaEm.objective(a, vocabSize = vSize)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // one row per topic actually assigned, positive objective
+    assert(got.map(_._1) == rows.map(_._4).toSet)
+    assert(got.forall(_._4 > 0))
+    Seq(v, a).foreach(_.unpersist(blocking = false))
+  }
+
   test("topicTerms ranks by assigned count desc, vocab index asc") {
     val (v, a) = LdaEm.fit(corpus, "doc_id", "toks", k = 2,
       vocabSize = 10, iters = 2)
