@@ -79,6 +79,12 @@ object Profiler {
     floor((pc - pr) * (pc - pr) / pr * lit(1000000.0)).cast("long")
   }
 
+  private def psiTermE6(buckets: Int) = {
+    val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
+    val pc = (col("n_cur") + lit(1.0)) / (col("__tc") + lit(buckets))
+    floor((pc - pr) * log(pc / pr) * lit(1000000.0)).cast("long")
+  }
+
   private def allRowsWindow = org.apache.spark.sql.expressions.Window
     .partitionBy() // bounded: callers only window over ≤B bucket rows
     .rowsBetween(Long.MinValue, Long.MaxValue)
@@ -102,31 +108,58 @@ object Profiler {
     * ≤B-row aggregates + one ≤B-row join; corpus rows never move.
     */
   def chiSquareDrift(ref: DataFrame, cur: DataFrame, c: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    refEdgedSideBins(ref, cur, c, buckets)
+      .withColumn("term_e6", driftTermE6(buckets))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+
+  /** Population Stability Index drift over the SAME reference-edged
+    * buckets as [[chiSquareDrift]] — the third leg of the drift
+    * triad (χ² weights squared gaps by 1/p_ref; PSI weights the raw
+    * gap by its log-ratio, the scale monitoring dashboards read as
+    * <0.1 stable / 0.1–0.25 shifting / >0.25 drifted):
+    *
+    *   term = (p_c − p_r) · ln(p_c / p_r), emitted floor(term · 1e6)
+    *
+    * Laplace smoothing keeps ln total on empty buckets, every term
+    * is ≥ 0 (both factors share a sign), and Σ term_e6 / 1e6 is the
+    * PSI reading. Same IEEE discipline as the χ² term: fixed
+    * left-to-right −,÷,ln,× shape floored per bucket, so any engine
+    * replays the integers. Same scale shape too: corpus rows never
+    * shuffle, only ≤B bucket rows do.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, c: String,
+      buckets: Int): DataFrame =
+    refEdgedSideBins(ref, cur, c, buckets)
+      .withColumn("term_e6", psiTermE6(buckets))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+
+  /** The shared ref-edged side-binning of the χ²/PSI drift pair:
+    * bucket edges from the reference only (1-row broadcast), then
+    * ONE binning pass over ref ∪ cur with a side tag — a per-side
+    * groupBy + full-outer join would re-inline the stats subtree
+    * under both sides and the totals aggregate would re-run the
+    * whole join pipeline (the q116 re-inlined-subtree trap,
+    * plan-audited); the tagged union bins both sides in one
+    * aggregate, and the N_r/N_c totals come from an unpartitioned
+    * Window over the ≤B bucket rows, never a re-scan.
+    */
+  private def refEdgedSideBins(ref: DataFrame, cur: DataFrame,
+      c: String, buckets: Int): DataFrame = {
     val stats = ref.agg(min(fx(col(c))).as("__mn"), max(fx(col(c))).as("__mx"))
-    // ONE binning pass over ref ∪ cur with a side tag — a per-side
-    // groupBy + full-outer join would re-inline the stats subtree
-    // under both sides and the totals aggregate would re-run the
-    // whole join pipeline (the q116 re-inlined-subtree trap,
-    // plan-audited); the tagged union bins both sides in one
-    // aggregate, and the N_r/N_c totals come from an unpartitioned
-    // Window over the ≤B bucket rows, never a re-scan.
     val tagged = ref.select(fx(col(c)).as("__fx"), lit(0).as("__side"))
       .unionByName(cur.select(fx(col(c)).as("__fx"), lit(1).as("__side")))
-    val binned = tagged
+    tagged
       .crossJoin(broadcast(stats))
       .withColumn("bucket", clampedBucket(buckets))
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val w = allRowsWindow
-    binned
-      .withColumn("__tr", sum(col("n_ref")).over(w))
-      .withColumn("__tc", sum(col("n_cur")).over(w))
-      .withColumn("term_e6", driftTermE6(buckets))
-      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
-      .orderBy(col("bucket"))
+      .withColumn("__tr", sum(col("n_ref")).over(allRowsWindow))
+      .withColumn("__tc", sum(col("n_cur")).over(allRowsWindow))
   }
 
   /** Two-sample Kolmogorov–Smirnov drift between a REFERENCE slice
@@ -254,7 +287,26 @@ object Profiler {
     * Result equality with the batch form is spec-pinned.
     */
   def driftAgainst(refHist: DataFrame, cur: DataFrame, c: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    againstBins(refHist, cur, c, buckets)
+      .withColumn("term_e6", driftTermE6(buckets))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+
+  /** [[psiDrift]]'s stream-friendly twin against a precomputed
+    * [[referenceHistogram]] — same contract as [[driftAgainst]]:
+    * only `cur` scans, result equality with the batch form is
+    * spec-pinned bit-for-bit (shared term expression).
+    */
+  def psiAgainst(refHist: DataFrame, cur: DataFrame, c: String,
+      buckets: Int): DataFrame =
+    againstBins(refHist, cur, c, buckets)
+      .withColumn("term_e6", psiTermE6(buckets))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
+      .orderBy(col("bucket"))
+
+  private def againstBins(refHist: DataFrame, cur: DataFrame,
+      c: String, buckets: Int): DataFrame = {
     val stats = refHist.agg(max(col("__mn")).as("__mn"),
       max(col("__mx")).as("__mx")) // constant across the ≤B rows
     val curHist = cur.select(fx(col(c)).as("__fx"))
@@ -271,9 +323,6 @@ object Profiler {
       // restores it without touching the reference data again
       .withColumn("__tr", max(col("__tr")).over(w))
       .withColumn("__tc", sum(col("n_cur")).over(w))
-      .withColumn("term_e6", driftTermE6(buckets))
-      .select(col("bucket"), col("n_ref"), col("n_cur"), col("term_e6"))
-      .orderBy(col("bucket"))
   }
 
   /** Equi-width histogram over `c` in fx space: min/max from a 1-row

@@ -28,6 +28,19 @@ object EventQueries extends QueryPack {
         "value", buckets = 16)
     }),
 
+    // PSI drift (ops.Profiler.psiDrift): the third leg of the drift
+    // triad over the same view-vs-purchase slices and the same
+    // 16 reference-edged buckets as q171 — the raw proportion gap
+    // weighted by its log-ratio, floor-e6 per bucket (Σ/1e6 is the
+    // dashboard PSI reading). Same ≤16-row shuffle shape.
+    "q195_psi_drift" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Profiler.psiDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", buckets = 16)
+    }),
+
     // Bucket-free KS drift (ops.Profiler.ksDrift): the same
     // view-vs-purchase slices as q171, tested without histogram
     // edges — D·Nr·Nc is an exact integer max over the
@@ -296,6 +309,33 @@ object EventQueries extends QueryPack {
         |    ((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
         |    * ((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
         |    / ((n_ref + 1.0) / (tr + 16)) * 1000000.0) AS BIGINT)
+        |    AS term_e6
+        |FROM j, t ORDER BY bucket""".stripMargin,
+    "q195_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'view'),
+        |cur AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events WHERE event_type = 'purchase'),
+        |st AS (SELECT min(fx) AS mn, max(fx) AS mx FROM ref),
+        |rb AS (SELECT least(15, greatest(0,
+        |    ((fx - mn) * 16) // (mx - mn + 1))) AS bucket,
+        |  count(*) AS n_ref FROM ref, st GROUP BY bucket),
+        |cb AS (SELECT least(15, greatest(0,
+        |    ((fx - mn) * 16) // (mx - mn + 1))) AS bucket,
+        |  count(*) AS n_cur FROM cur, st GROUP BY bucket),
+        |j AS (SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+        |    CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(floor(
+        |    ((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
+        |    * ln(((n_cur + 1.0) / (tc + 16)) / ((n_ref + 1.0) / (tr + 16)))
+        |    * 1000000.0) AS BIGINT)
         |    AS term_e6
         |FROM j, t ORDER BY bucket""".stripMargin,
     "q187_ks_drift" ->

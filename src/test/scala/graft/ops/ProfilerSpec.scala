@@ -91,6 +91,44 @@ class ProfilerSpec extends SparkSpec {
       math.floor((pc - pr) * (pc - pr) / pr * 1000000.0).toLong)
   }
 
+  test("psiDrift: identical distributions score zero; shifted mass replays the formula") {
+    val same = (0 until 1000).map(i => (i % 100) / 10.0).toDF("v")
+    Profiler.psiDrift(same, same, "v", 16)
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (b, r, c, t) =>
+        assert(r == c); assert(t == 0L, s"bucket $b term $t")
+      }
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    val cur = (0 until 500).map(_ => 500.0).toDF("v")
+    val out = Profiler.psiDrift(ref, cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // every PSI term is non-negative (both factors share a sign)
+    assert(out.forall(_._4 >= 0L))
+    val top = out.find(_._1 == 15L).get
+    assert(top._3 == 500L)
+    assert(out.filter(_._1 != 15L).forall(_._4 < top._4))
+    // and replays the documented smoothed formula exactly
+    val (tr, tc) = (out.map(_._2).sum, out.map(_._3).sum)
+    val pr = (top._2 + 1.0) / (tr + 16)
+    val pc = (top._3 + 1.0) / (tc + 16)
+    assert(top._4 ==
+      math.floor((pc - pr) * math.log(pc / pr) * 1000000.0).toLong)
+    // the summed reading crosses the standard >0.25 'drifted' bar
+    assert(out.map(_._4).sum > 250000L)
+  }
+
+  test("psiAgainst(referenceHistogram) equals the one-shot batch PSI") {
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    val cur = ((0 until 200).map(_ => 12.5) ++
+      (0 until 100).map(_ => 500.0)).toDF("v")
+    val batch = Profiler.psiDrift(ref, cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val twin = Profiler.psiAgainst(
+      Profiler.referenceHistogram(ref, "v", 16), cur, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(twin == batch)
+  }
+
   test("ksDrift: hand-computed D on a small fixture, exact integer scaling") {
     // ref fx {100, 200, 300}, cur fx {300, 400}: the ECDF gap peaks
     // at v=200 with |2/3 − 0| = 2/3 → d_e6 = 4·10⁶ div 6 = 666666
