@@ -188,6 +188,26 @@ object EventQueries extends QueryPack {
           col("n_exact"))
     }),
 
+    // Deterministic count-min sketch (ops.CountMin): per-user event
+    // frequencies from 4×256 md5-bucketed counters, probed for every
+    // user and laid beside the exact counts — est ≥ exact ALWAYS
+    // (one-sided error), and because every counter is a pure md5
+    // function of the data, the estimates AND the overshoot
+    // hash-replay in the oracle. Build shuffles ≤ d·w counter rows;
+    // the sketch broadcasts to the probe side.
+    "q196_cms_counts" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val cm = graft.ops.CountMin
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      cm.estimate(cm.sketch(ev, "user_id", d = 4, w = 256),
+          exact.select(col("user_id")), "user_id", d = 4, w = 256)
+        .join(exact, "user_id")
+        .select(col("user_id"), col("n_exact"), col("est_n"),
+          (col("est_n") - col("n_exact")).as("overshoot"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -360,6 +380,28 @@ object EventQueries extends QueryPack {
         |    max(abs(cr::HUGEINT * tnc - cc::HUGEINT * tnr)) * 1000000
         |    // (max(tnr)::HUGEINT * max(tnc)) END AS BIGINT) AS d_e6
         |FROM w""".stripMargin,
+    "q196_cms_counts" ->
+      """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
+        |rb AS (SELECT r,
+        |    CAST(CAST('0x' || substr(md5(r || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 12) AS UBIGINT)
+        |      % 256 AS BIGINT) AS b
+        |  FROM events, rr),
+        |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM rb GROUP BY r, b),
+        |k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY user_id),
+        |pe AS (SELECT k.user_id, k.n_exact, rr.r,
+        |    CAST(CAST('0x' || substr(md5(rr.r || ':'
+        |      || CAST(k.user_id AS VARCHAR)), 1, 12) AS UBIGINT)
+        |      % 256 AS BIGINT) AS b
+        |  FROM k, rr)
+        |SELECT pe.user_id, CAST(max(pe.n_exact) AS BIGINT) AS n_exact,
+        |  CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_n,
+        |  CAST(min(coalesce(sk.c, 0)) - max(pe.n_exact) AS BIGINT)
+        |    AS overshoot
+        |FROM pe LEFT JOIN sk ON sk.r = pe.r AND sk.b = pe.b
+        |GROUP BY pe.user_id ORDER BY pe.user_id""".stripMargin,
     "q164_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(CAST('0x'
