@@ -47,6 +47,39 @@ object Eval {
           .as("auc_e6"))
   }
 
+  /** Calibration (reliability-diagram) bins of an integer score
+    * against a {0,1} label — the companion readout to [[aucE6]]:
+    * AUC says the score RANKS well, calibration says whether its
+    * VALUE means what a threshold-picker assumes. Scores bin
+    * equal-width over their observed range (stats-then-sweep: 1-row
+    * broadcast min/max, exact integer binning — the histogramFx
+    * shape), and each bin reports size, positives, the mean score
+    * and the empirical positive rate, both as truncating integer
+    * divisions (decimal-widened sums, so the arithmetic never wraps
+    * at corpus scale). A calibrated score shows mean_s tracking
+    * pos_rate; a ranked-but-miscalibrated one shows monotone
+    * pos_rate with a detached mean_s. One corpus aggregate bounded
+    * by `bins` rows on the wire.
+    *
+    * Output: (bin, n, n_pos, mean_s, pos_rate_e6) ordered by bin.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    val s = df.select(col(scoreCol).cast("long").as("__s"),
+      col(labelCol).cast("long").as("__pos"))
+    val stats = s.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+    s.crossJoin(broadcast(stats))
+      .withColumn("bin", expr(s"((__s - __mn) * $bins) div (__mx - __mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        expr("sum(cast(__s as decimal(38,0))) div count(1)").as("mean_s"),
+        expr("cast(sum(__pos) as decimal(38,0)) * 1000000 div count(1)")
+          .as("pos_rate_e6"))
+      .orderBy(col("bin"))
+  }
+
   /** The NDCG@k position discounts as e6-floored integer constants:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Computed ONCE here in
     * Scala and injected as literals into both the Column expression

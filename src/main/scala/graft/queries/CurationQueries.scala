@@ -317,6 +317,22 @@ object CurationQueries extends QueryPack {
         "s", "pos")
     }),
 
+    // Calibration bins (ops.Eval.calibrationBins) of the same q166
+    // score/label pair: does the quality score's VALUE track the
+    // English rate, or does it merely rank (q166's question)? 10
+    // equal-width bins over the observed e4 score range, per-bin
+    // mean score and empirical rate as exact truncating divisions —
+    // one corpus aggregate, ≤10 rows on the wire.
+    "q197_calibration" -> ((s, dir) => {
+      graft.ops.Eval.calibrationBins(
+        table(s, dir, "documents")
+          .select(
+            floor(Features.linearQualityScore(col("text"),
+              T.tokens(col("text"))) * 10000.0).cast("long").as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+        "s", "pos", bins = 10)
+    }),
+
     // First BPE-training iteration (text.Bpe): adjacent symbol-pair
     // counts over the distinct word table weighted by frequency —
     // pair work scales with |vocab|, not corpus tokens.
@@ -829,6 +845,34 @@ object CurationQueries extends QueryPack {
          |    ELSE (r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
          |    END AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
+    // the q166 score chain, then exact-integer equal-width binning
+    // (the histogramFx idiom) with truncating per-bin divisions
+    "q197_calibration" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t),
+         |sc AS (SELECT
+         |  CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT) AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM f),
+         |st AS (SELECT min(s) AS mn, max(s) AS mx FROM sc)
+         |SELECT ((s - mn) * 10) // (mx - mn + 1) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(s::HUGEINT) // count(*) AS BIGINT) AS mean_s,
+         |  CAST(sum(pos)::HUGEINT * 1000000 // count(*) AS BIGINT)
+         |    AS pos_rate_e6
+         |FROM sc, st GROUP BY bin ORDER BY bin""".stripMargin,
     "q108_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS l FROM documents),
          |f AS (SELECT doc_id,

@@ -43,6 +43,30 @@ class EvalSpec extends SparkSpec {
     assert(a == ((3L, 0L, true)))
   }
 
+  test("calibrationBins: hand-computed bins, exact truncating divisions") {
+    // scores 0..99, positive iff score >= 60: with 10 bins over
+    // range 0..99 each bin holds exactly 10 rows; bins 0-5 have no
+    // positives, bins 6-9 are all-positive
+    val df = (0L until 100L).map(s => (s, if (s >= 60) 1L else 0L))
+      .toDF("s", "pos")
+    val out = Eval.calibrationBins(df, "s", "pos", bins = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._1) == (0L to 9L).toList)
+    assert(out.forall(_._2 == 10L))
+    out.foreach { case (b, _, np, ms, rate) =>
+      // mean of 10 consecutive ints 10b..10b+9 truncates to 10b + 4
+      assert(ms == 10 * b + 4, s"bin $b mean $ms")
+      if (b < 6) { assert(np == 0L); assert(rate == 0L) }
+      else { assert(np == 10L); assert(rate == 1000000L) }
+    }
+    // a half-positive bin divides exactly: 5 * 1e6 / 10
+    val mixed = ((0L until 10L).map(s => (s, s % 2)) :+ (99L, 1L))
+      .toDF("s", "pos")
+    val m0 = Eval.calibrationBins(mixed, "s", "pos", bins = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(m0 == ((0L, 10L, 5L, 4L, 500000L)))
+  }
+
   test("meters divide by the query's own exact-list size, not nominal k") {
     // query 1 has only TWO true neighbors; a perfect approximate
     // list must score full recall and full NDCG
