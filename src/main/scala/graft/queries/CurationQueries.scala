@@ -333,6 +333,22 @@ object CurationQueries extends QueryPack {
         "s", "pos", bins = 10)
     }),
 
+    // Jensen-Shannon divergence between the English slice and the
+    // rest (ops.Divergence): the mixture-design gate — which tokens
+    // carry the distributional difference between two corpus
+    // slices, per-token contributions floored e6 (Σ/1e6 = JSD,
+    // bounded by ln 2). One tagged-union token aggregate; top-30
+    // diverging terms.
+    "q198_js_divergence" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("lang"), T.tokens(col("text")).as("toks"))
+      graft.ops.Divergence.jsTerms(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "toks")
+        .orderBy(col("jsd_term_e6").desc, col("term"))
+        .limit(30)
+    }),
+
     // First BPE-training iteration (text.Bpe): adjacent symbol-pair
     // counts over the distinct word table weighted by frequency —
     // pair work scales with |vocab|, not corpus tokens.
@@ -845,6 +861,30 @@ object CurationQueries extends QueryPack {
          |    ELSE (r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
          |    END AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
+    "q198_js_divergence" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term,
+        |    CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side
+        |  FROM documents),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u WHERE len(term) > 0 GROUP BY term),
+        |w AS (SELECT term, n_a, n_b,
+        |    sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb FROM c)
+        |SELECT term, n_a, n_b,
+        |  CAST(floor((
+        |    CASE WHEN n_a > 0 THEN (CAST(n_a AS DOUBLE) / ta)
+        |      * ln((CAST(n_a AS DOUBLE) / ta)
+        |          / (((CAST(n_a AS DOUBLE) / ta)
+        |             + (CAST(n_b AS DOUBLE) / tb)) / 2.0))
+        |      ELSE 0.0 END
+        |    + CASE WHEN n_b > 0 THEN (CAST(n_b AS DOUBLE) / tb)
+        |      * ln((CAST(n_b AS DOUBLE) / tb)
+        |          / (((CAST(n_a AS DOUBLE) / ta)
+        |             + (CAST(n_b AS DOUBLE) / tb)) / 2.0))
+        |      ELSE 0.0 END) * 500000.0) AS BIGINT) AS jsd_term_e6
+        |FROM w ORDER BY jsd_term_e6 DESC, term LIMIT 30""".stripMargin,
     // the q166 score chain, then exact-integer equal-width binning
     // (the histogramFx idiom) with truncating per-bin divisions
     "q197_calibration" ->
