@@ -411,6 +411,47 @@ object Streams {
       }
       .start()
 
+  /** [[driftMonitorStream]]'s PSI sibling: the same per-batch
+    * contract (reference never rescans, only the micro-batch does)
+    * with [[graft.ops.Profiler.psiAgainst]]'s log-ratio term —
+    * batch/stream parity is already spec-pinned at the Profiler
+    * level (shared term expression).
+    */
+  def psiMonitorStream(events: DataFrame, valCol: String,
+      refHist: DataFrame, buckets: Int, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(
+          graft.ops.Profiler.psiAgainst(refHist, batch, valCol, buckets),
+          id)
+      }
+      .start()
+
+  /** Streaming count-min maintenance — [[graft.ops.CountMin]]'s
+    * ingestion twin: each micro-batch sketches ONLY its own rows and
+    * merges counter-wise with the prior version (the d·w-bounded
+    * mergeable monoid; merge == sketch-of-union is spec-pinned in
+    * CountMinSpec), so the stream is never rescanned and state stays
+    * d·w rows regardless of stream length. Frequency estimates read
+    * off the maintained sketch at any point via
+    * [[graft.ops.CountMin.estimate]]. StreamsSpec pins maintained ==
+    * from-scratch over the batches' union.
+    */
+  def cmsMaintStream(events: DataFrame, keyCol: String, d: Int,
+      w: Int, stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          graft.ops.CountMin.sketch(batch, keyCol, d, w))(
+          (prior, fresh) => graft.ops.CountMin.merge(prior, fresh))
+      }
+      .start()
+
   /** Streaming rollup maintenance — [[graft.ops.Incremental]] driven
     * by a stream: each micro-batch aggregates ONLY its own rows into
     * a mergeable state and merges with the previous state version;

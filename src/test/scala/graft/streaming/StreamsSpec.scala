@@ -566,6 +566,65 @@ class StreamsSpec extends SparkSpec {
     } finally { q.stop(); refHist.unpersist() }
   }
 
+  test("cmsMaintStream: maintained sketch equals the from-scratch sketch; estimates agree") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val base = Files.createTempDirectory("graft-cms").toString
+    val stateDir = s"$base/state"
+    val (d, w) = (3, 64)
+    val q = Streams.cmsMaintStream(
+      input.toDF().toDF("k"), "k", d, w, stateDir, s"$base/chk")
+    try {
+      val batch1 = (0 until 300).map(i => s"k${i % 40}")
+      val batch2 = (0 until 200).map(i => s"k${i % 55}")
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val maintained = spark.read.parquet(s"$stateDir/v1")
+      val scratch = graft.ops.CountMin.sketch(
+        (batch1 ++ batch2).toDF("k"), "k", d, w)
+      assert(maintained.as[(Int, Long, Long)].collect().toSet ==
+        scratch.as[(Int, Long, Long)].collect().toSet)
+      // point estimates off the maintained state match from-scratch
+      val probes = (0 until 55).map(i => s"k$i").toDF("k")
+      val estM = graft.ops.CountMin
+        .estimate(maintained, probes, "k", d, w)
+        .as[(String, Long)].collect().toSet
+      val estS = graft.ops.CountMin.estimate(scratch, probes, "k", d, w)
+        .as[(String, Long)].collect().toSet
+      assert(estM == estS)
+    } finally q.stop()
+  }
+
+  test("psiMonitorStream: per-batch PSI equals the batch psiDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val ref = (0 until 1000).map(i => (i % 100) / 1.0).toDF("v")
+    val refHist = graft.ops.Profiler.referenceHistogram(ref, "v", 16)
+      .persist()
+    refHist.count()
+    val results = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Long, Long, Long)]]
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft-psi-chk").toString
+    val q = Streams.psiMonitorStream(
+      input.toDF().toDF("v"), "v", refHist, 16, chk) { (out, id) =>
+      results(id) = out.as[(Long, Long, Long, Long)].collect().toList
+    }
+    try {
+      val batch1 = (0 until 400).map(i => (i % 100) / 1.0)
+      val batch2 = (0 until 100).map(_ => 500.0) // all above ref max
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      assert(results(0L) == graft.ops.Profiler
+        .psiDrift(ref, batch1.toDF("v"), "v", 16)
+        .as[(Long, Long, Long, Long)].collect().toList)
+      assert(results(1L) == graft.ops.Profiler
+        .psiDrift(ref, batch2.toDF("v"), "v", 16)
+        .as[(Long, Long, Long, Long)].collect().toList)
+    } finally { q.stop(); refHist.unpersist() }
+  }
+
   test("rollupMaintStream: maintained state equals the from-scratch rollup") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
