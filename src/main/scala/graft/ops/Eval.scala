@@ -80,6 +80,47 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Cohen's κ between two categorical columns — chance-corrected
+    * agreement, the multi-class companion to [[aucE6]]: raw accuracy
+    * flatters any pair whose marginals overlap (two classifiers that
+    * both say "en" 60% of the time agree 52% by luck alone); κ
+    * subtracts exactly that chance term. PURE integer:
+    *
+    *   κ = (n·agree − Σ_l na_l·nb_l) / (n² − Σ_l na_l·nb_l)
+    *
+    * emitted as a sign-guarded truncating e6 division (κ can be
+    * negative — worse than chance — and `div` truncates toward zero
+    * while SQL `//` floors, so abs/sign like the OLS op). NULL when
+    * the chance term equals n² (a constant label pair — κ
+    * undefined). Scale shape: one (n, agree) corpus aggregate and
+    * one tagged-union marginal aggregate bounded by the label
+    * domain; the ≤|labels| marginal rows reduce to a 1-row broadcast.
+    *
+    * Output: one row (n, n_agree, kappa_e6).
+    */
+  def cohenKappaE6(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("__a"),
+      col(bCol).cast("string").as("__b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val pe = base.select(col("__a").as("__l"), lit(0).as("__side"))
+      .unionByName(base.select(col("__b").as("__l"), lit(1).as("__side")))
+      .groupBy(col("__l"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nb"))
+      .agg(sum(col("__na").cast("decimal(38,0)") * col("__nb")).as("__pe"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("__num",
+        col("n").cast("decimal(38,0)") * col("n_agree") - col("__pe"))
+      .withColumn("__den",
+        col("n").cast("decimal(38,0)") * col("n") - col("__pe"))
+      .select(col("n"), col("n_agree"),
+        expr("CASE WHEN __den = 0 THEN NULL ELSE" +
+          " (CASE WHEN __num < 0 THEN -1L ELSE 1L END)" +
+          " * (abs(__num) * 1000000 div __den) END").as("kappa_e6"))
+  }
+
   /** The NDCG@k position discounts as e6-floored integer constants:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Computed ONCE here in
     * Scala and injected as literals into both the Column expression

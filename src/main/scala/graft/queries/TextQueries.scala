@@ -101,6 +101,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Cohen's κ of the q38 marker-word language ID against the true
+    // lang label (ops.Eval.cohenKappaE6) — chance-corrected
+    // multi-class agreement, pure integer with a sign-guarded e6
+    // division; the eval the langid gate needs because raw accuracy
+    // flatters overlapping marginals. One (n, agree) aggregate + one
+    // label-domain-bounded marginal aggregate.
+    "q199_langid_kappa" -> ((s, dir) => {
+      graft.ops.Eval.cohenKappaE6(
+        table(s, dir, "documents")
+          .select(
+            T.langId(T.tokens(col("text"))).as("lang_pred"),
+            col("lang")),
+        "lang_pred", "lang")
+    }),
+
     // RAKE keywords (M6): sentences split on punctuation, candidate
     // phrases are maximal stopword-free runs (length-3 windows for
     // longer runs), word score = (degree+freq)/freq, phrase score =
@@ -412,6 +427,37 @@ object TextQueries extends QueryPack {
          |      WHEN fr>=de THEN 'fr'
          |      ELSE 'de' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q199_langid_kappa" ->
+      s"""WITH t AS (SELECT lang, $splitToks AS toks FROM documents),
+         |s AS (SELECT lang,
+         | len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+         | len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS es,
+         | len(list_filter(toks, x -> list_contains(['le','les','de','et','une','est','dans'], x))) AS fr,
+         | len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de
+         |FROM t),
+         |p AS MATERIALIZED (SELECT lang AS b,
+         | CASE WHEN en=0 AND es=0 AND fr=0 AND de=0 THEN 'und'
+         |      WHEN en>=es AND en>=fr AND en>=de THEN 'en'
+         |      WHEN es>=fr AND es>=de THEN 'es'
+         |      WHEN fr>=de THEN 'fr'
+         |      ELSE 'de' END AS a
+         |FROM s),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree FROM p),
+         |u AS (SELECT a AS l, 0 AS side FROM p
+         |  UNION ALL SELECT b, 1 FROM p),
+         |m AS (SELECT l,
+         |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+         |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+         |  FROM u GROUP BY l),
+         |pe AS (SELECT sum(na::HUGEINT * nb) AS pe FROM m)
+         |SELECT n, n_agree,
+         |  CAST(CASE WHEN n::HUGEINT * n - pe = 0 THEN NULL ELSE
+         |    (CASE WHEN n::HUGEINT * n_agree - pe < 0 THEN -1 ELSE 1 END)
+         |    * (abs(n::HUGEINT * n_agree - pe) * 1000000
+         |       // (n::HUGEINT * n - pe)) END AS BIGINT) AS kappa_e6
+         |FROM tot, pe""".stripMargin,
     "q121_fold_accents" ->
       """SELECT doc_id,
         |  lower(strip_accents('Café NAÏVE Zürich señor Çedilla ÀÈÌÒÙ #'

@@ -43,6 +43,30 @@ class EvalSpec extends SparkSpec {
     assert(a == ((3L, 0L, true)))
   }
 
+  test("cohenKappaE6: hand-computed 2x2, perfect/chance/negative cases, sign-guarded") {
+    def kappa(rows: Seq[(String, String)]): (Long, Long, Option[Long]) =
+      Eval.cohenKappaE6(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Option[Long])].head()
+    // perfect agreement with mixed marginals = exactly 1
+    assert(kappa(Seq(("x", "x"), ("y", "y"), ("x", "x"))) ==
+      ((3L, 3L, Some(1000000L))))
+    // the textbook 2x2: n=100, agree=70, marginals a:(60,40) b:(50,50)
+    // → pe_num = 60*50+40*50 = 5000; κ = (7000-5000)/(10000-5000) = 0.4
+    val rows = Seq.fill(40)(("p", "p")) ++ Seq.fill(20)(("p", "n")) ++
+      Seq.fill(10)(("n", "p")) ++ Seq.fill(30)(("n", "n"))
+    assert(kappa(rows) == ((100L, 70L, Some(400000L))))
+    // systematic disagreement goes NEGATIVE, truncated toward zero
+    // (n=4, agree=0, pe_num=8: κ = -8/8 = -1)
+    assert(kappa(Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))) ==
+      ((4L, 0L, Some(-1000000L))))
+    // and a non-integer negative: n=3, agree=0, a:(2x,1y) b:(1x,2y)
+    // → pe=4, κ = -4/5 = -0.8
+    assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x"))) ==
+      ((3L, 0L, Some(-800000L))))
+    // constant identical labels: chance term = n² → NULL, not 1
+    assert(kappa(Seq(("x", "x"), ("x", "x"))) == ((2L, 2L, None)))
+  }
+
   test("calibrationBins: hand-computed bins, exact truncating divisions") {
     // scores 0..99, positive iff score >= 60: with 10 bins over
     // range 0..99 each bin holds exactly 10 rows; bins 0-5 have no
