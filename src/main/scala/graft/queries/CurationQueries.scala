@@ -349,6 +349,20 @@ object CurationQueries extends QueryPack {
         .limit(30)
     }),
 
+    // Token-label mutual information (ops.Divergence.tokenLabelMi):
+    // q198's supervised companion — which tokens IDENTIFY the
+    // English slice, presence-based so token-spam can't dominate;
+    // per-cell e6 floors over the per-term 2x2 table, top-30 by MI.
+    "q200_token_label_mi" -> ((s, dir) => {
+      graft.ops.Divergence.tokenLabelMi(
+          table(s, dir, "documents")
+            .select(T.tokens(col("text")).as("toks"),
+              when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+          "toks", "pos")
+        .orderBy(col("mi_e6").desc, col("term"))
+        .limit(30)
+    }),
+
     // First BPE-training iteration (text.Bpe): adjacent symbol-pair
     // counts over the distinct word table weighted by frequency —
     // pair work scales with |vocab|, not corpus tokens.
@@ -861,6 +875,38 @@ object CurationQueries extends QueryPack {
          |    ELSE (r2 - p * (p + 1)) * 1000000 // (2 * p * (t - p))
          |    END AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
+    "q200_token_label_mi" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |      t -> len(t) > 0)) AS ts
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |  CAST(sum(pos) AS BIGINT) AS n1t FROM d),
+        |g AS (SELECT term, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+        |  FROM (SELECT pos, unnest(ts) AS term FROM d) GROUP BY term)
+        |SELECT term, n_pos, n_neg,
+        |  CAST(floor(CASE WHEN n_pos > 0 THEN
+        |      (CAST(n_pos AS DOUBLE) / nn) * ln((CAST(n_pos AS DOUBLE) * nn)
+        |        / (CAST(n_pos + n_neg AS DOUBLE) * n1t)) ELSE 0.0 END
+        |    * 1000000.0) AS BIGINT)
+        |  + CAST(floor(CASE WHEN n_neg > 0 THEN
+        |      (CAST(n_neg AS DOUBLE) / nn) * ln((CAST(n_neg AS DOUBLE) * nn)
+        |        / (CAST(n_pos + n_neg AS DOUBLE) * (nn - n1t))) ELSE 0.0 END
+        |    * 1000000.0) AS BIGINT)
+        |  + CAST(floor(CASE WHEN n1t - n_pos > 0 THEN
+        |      (CAST(n1t - n_pos AS DOUBLE) / nn)
+        |        * ln((CAST(n1t - n_pos AS DOUBLE) * nn)
+        |        / (CAST(nn - n_pos - n_neg AS DOUBLE) * n1t)) ELSE 0.0 END
+        |    * 1000000.0) AS BIGINT)
+        |  + CAST(floor(CASE WHEN (nn - n1t) - n_neg > 0 THEN
+        |      (CAST((nn - n1t) - n_neg AS DOUBLE) / nn)
+        |        * ln((CAST((nn - n1t) - n_neg AS DOUBLE) * nn)
+        |        / (CAST(nn - n_pos - n_neg AS DOUBLE) * (nn - n1t)))
+        |      ELSE 0.0 END
+        |    * 1000000.0) AS BIGINT) AS mi_e6
+        |FROM g, tot ORDER BY mi_e6 DESC, term LIMIT 30""".stripMargin,
     "q198_js_divergence" ->
       """WITH u AS (
         |  SELECT unnest(string_split(text, ' ')) AS term,

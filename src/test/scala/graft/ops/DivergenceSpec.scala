@@ -42,6 +42,43 @@ class DivergenceSpec extends SparkSpec {
     assert(brute <= 693147L && brute > 693147L - out.length)
   }
 
+  test("tokenLabelMi: brute-force replay; discriminating beats independent; presence-based") {
+    // 4 pos docs, 4 neg docs: 'sig' only in pos (perfect signal),
+    // 'noise' in half of each (independent), 'all' everywhere
+    // (zero-information), 'spam' repeated 5x in ONE pos doc
+    // (presence-based: counts once)
+    val docs = Seq(
+      (1L, "sig noise all spam spam spam spam spam"),
+      (1L, "sig all"), (1L, "sig noise all"), (1L, "sig all"),
+      (0L, "noise all"), (0L, "all"), (0L, "noise all"), (0L, "all"))
+      .toDF("pos", "text")
+      .select(col("pos"), toks.as("toks"))
+    val out = Divergence.tokenLabelMi(docs, "toks", "pos")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // presence-based: spam appears once though repeated 5x
+    assert(out("spam")._2 == 1L && out("spam")._3 == 0L)
+    // perfect discriminator: MI(t) = ln 2 up to 4 cell floors
+    // (cells: (4/8)ln2 + 0 + 0 + (4/8)ln2)
+    assert(out("sig")._4 > 693147L - 4 && out("sig")._4 <= 693147L)
+    // independent token: every cell term is exactly 0 (ratio 1)
+    assert(out("noise")._4 == 0L)
+    // ubiquitous token: present row is the whole corpus → 0
+    assert(out("all")._4 == 0L)
+    // full brute-force replay of every term
+    val (nn, n1t) = (8L, 4L)
+    out.values.foreach { case (t, np, nq, mi) =>
+      def cell(c: Long, r: Long, q: Long): Long =
+        if (c <= 0) 0L
+        else math.floor((c.toDouble / nn) *
+          math.log((c.toDouble * nn) / (r.toDouble * q)) * 1e6).toLong
+      val rp = np + nq
+      val expect = cell(np, rp, n1t) + cell(nq, rp, nn - n1t) +
+        cell(n1t - np, nn - rp, n1t) + cell((nn - n1t) - nq, nn - rp, nn - n1t)
+      assert(mi == expect, t)
+    }
+  }
+
   test("zero counts contribute zero to their own side, not NaN") {
     // 'y' appears only in b: its a-side term must be exactly 0, the
     // b-side term positive; nothing NaN/null anywhere
