@@ -61,21 +61,29 @@ object CountMin {
       .agg(sum(col("__n")).as("__n"))
 
   /** Point estimates for the `keyCol` keys of `probes`: min over the
-    * key's d counters (0 when a bucket was never touched). The
-    * sketch side is d·w-bounded and broadcast — probe rows never
-    * shuffle for the lookup; the only exchange is the per-key min
-    * aggregate, bounded by the probe key set.
+    * key's d counters (0 when a bucket was never touched), appended
+    * as `est_n` with every probe column CARRIED THROUGH (grouped on
+    * the full probe row) — so a probe table that already carries
+    * exact counts or payloads is referenced ONCE, never re-joined
+    * afterwards (a post-hoc join would re-inline the probe subtree —
+    * the q116 trap, bitten by q196's first formulation). The sketch
+    * side is d·w-bounded and broadcast — probe rows never shuffle
+    * for the lookup; the only exchange is the per-probe-row min
+    * aggregate, bounded by the probe set.
     */
   def estimate(sk: DataFrame, probes: DataFrame, keyCol: String,
-      d: Int, w: Int): DataFrame =
+      d: Int, w: Int): DataFrame = {
+    val carry = probes.columns.toSeq.map(col)
     probes
-      .select(col(keyCol),
+      .select(carry :+
         explode(array((0 until d).map(r =>
           struct(lit(r).as("__r"), bucket(col(keyCol), r, w).as("__b"))): _*))
-          .as("__rb"))
-      .select(col(keyCol), col("__rb.__r").as("__r"), col("__rb.__b").as("__b"))
+          .as("__rb"): _*)
+      .select(carry :+ col("__rb.__r").as("__r") :+
+        col("__rb.__b").as("__b"): _*)
       .join(broadcast(sk), Seq("__r", "__b"), "left")
       .na.fill(0L, Seq("__n"))
-      .groupBy(col(keyCol))
+      .groupBy(carry: _*)
       .agg(min(col("__n")).as("est_n"))
+  }
 }

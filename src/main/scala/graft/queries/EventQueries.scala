@@ -198,11 +198,13 @@ object EventQueries extends QueryPack {
     "q196_cms_counts" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val cm = graft.ops.CountMin
+      // the exact table IS the probe set: estimate carries its
+      // columns through, so it is referenced once (no re-join that
+      // would re-inline its aggregate — plan-audited)
       val exact = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_exact"))
       cm.estimate(cm.sketch(ev, "user_id", d = 4, w = 256),
-          exact.select(col("user_id")), "user_id", d = 4, w = 256)
-        .join(exact, "user_id")
+          exact, "user_id", d = 4, w = 256)
         .select(col("user_id"), col("n_exact"), col("est_n"),
           (col("est_n") - col("n_exact")).as("overshoot"))
         .orderBy(col("user_id"))

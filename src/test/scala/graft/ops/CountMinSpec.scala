@@ -21,15 +21,16 @@ class CountMinSpec extends SparkSpec {
 
   test("estimates never undercount, and the tiny sketch genuinely collides") {
     val (d, w) = (2, 32)
+    // the exact table is the probe set: estimate carries its columns
+    // through (one reference, no re-join)
     val exact = corpus.groupBy(col("k")).agg(count(lit(1)).as("n"))
     val est = CountMin.estimate(
-      CountMin.sketch(corpus, "k", d, w), exact.select("k"), "k", d, w)
-      .join(exact, "k")
-      .as[(String, Long, Long)].collect()
+      CountMin.sketch(corpus, "k", d, w), exact, "k", d, w)
+      .as[(String, Long, Long)].collect() // (k, n, est_n)
     assert(est.length == 400)
-    est.foreach { case (k, e, n) => assert(e >= n, s"$k: est $e < true $n") }
+    est.foreach { case (k, n, e) => assert(e >= n, s"$k: est $e < true $n") }
     // 400 keys in 32 buckets: overshoot must actually occur
-    assert(est.count { case (_, e, n) => e > n } > 300)
+    assert(est.count { case (_, n, e) => e > n } > 300)
   }
 
   test("sketch is d×w bounded and replays the documented md5 bucketing") {
