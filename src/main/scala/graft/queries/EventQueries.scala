@@ -210,6 +210,16 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Group-wise Tukey-fence outlier gate (ops.Outliers): per
+    // event-type fences from that type's own discrete quartiles —
+    // exact integers throughout (type-1 quantiles, doubled-unit
+    // 1.5·IQR comparison), so the flag counts hash-replay. One
+    // group-partitioned window sort + one broadcast-fence sweep.
+    "q201_outlier_fences" -> ((s, dir) => {
+      graft.ops.Outliers.robustOutliers(
+        table(s, dir, "events"), "event_type", "value")
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -382,6 +392,27 @@ object EventQueries extends QueryPack {
         |    max(abs(cr::HUGEINT * tnc - cc::HUGEINT * tnr)) * 1000000
         |    // (max(tnr)::HUGEINT * max(tnc)) END AS BIGINT) AS d_e6
         |FROM w""".stripMargin,
+    "q201_outlier_fences" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS fx FROM events),
+        |r AS (SELECT g, fx,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY fx)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b),
+        |q AS (SELECT g,
+        |    min(CASE WHEN rn = (n + 3) // 4 THEN fx END) AS q25,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN fx END) AS q75
+        |  FROM r WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        |  GROUP BY g)
+        |SELECT b.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(q25) AS BIGINT) AS q25_fx,
+        |  CAST(max(q75) AS BIGINT) AS q75_fx,
+        |  CAST(sum(CASE WHEN 2 * fx < 2 * q25 - 3 * (q75 - q25)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * fx > 2 * q75 + 3 * (q75 - q25)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM b JOIN q USING (g) GROUP BY b.g ORDER BY event_type""".stripMargin,
     "q196_cms_counts" ->
       """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
         |rb AS (SELECT r,
