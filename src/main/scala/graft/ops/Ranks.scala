@@ -40,4 +40,51 @@ object Ranks {
           .as(outCol))
     CacheRelease.afterFirstUse(df.join(broadcast(pct), valueCol), hist)
   }
+
+  /** Cross-group quantile-normalized selection gate — the "one
+    * threshold per source, not one global threshold" primitive: a
+    * verbose source (long docs, inflated scores) must not crowd out
+    * every other source when a single corpus-wide cutoff is applied
+    * to an incomparable score. Normalizing to within-group rank
+    * first makes "top (den−num)/den" mean the same thing in every
+    * stratum.
+    *
+    * Selection rule (exact, tie-stable): a row passes iff
+    * den·(rows strictly below it) ≥ num·n — rows sharing a value
+    * pass or fail together, no rank tie-break needed, everything
+    * integer. Both gates are computed: `sel_norm` ranks within the
+    * group, `sel_raw` against the global distribution — the pair
+    * quantifies how skewed the raw cutoff would have been.
+    *
+    * Scale shape: ONE partial+final (group, value) histogram
+    * aggregate over the corpus; every window (in-group prefix,
+    * global prefix via a strict RANGE frame, group/global totals)
+    * runs over HISTOGRAM rows only, bounded by |groups|·|domain| —
+    * the banded-prefix pattern with the fixed-point-score domain
+    * contract `pctRankBanded` documents. The corpus is scanned
+    * once and never re-attached.
+    */
+  def quantileGate(df: DataFrame, groupCol: String, valueCol: String,
+      num: Int, den: Int): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wa = Window.orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__below_g",
+        coalesce(sum(col("__c")).over(wg), lit(0L)))
+      .withColumn("__n_g",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__below_a",
+        coalesce(sum(col("__c")).over(wa), lit(0L)))
+      .withColumn("__n_a", sum(col("__c")).over(Window.partitionBy()))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n"),
+        sum(when(col("__below_g") * den >= col("__n_g") * num,
+          col("__c")).otherwise(0L)).as("sel_norm"),
+        sum(when(col("__below_a") * den >= col("__n_a") * num,
+          col("__c")).otherwise(0L)).as("sel_raw"))
+  }
 }

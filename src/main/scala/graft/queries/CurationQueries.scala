@@ -349,6 +349,30 @@ object CurationQueries extends QueryPack {
         .limit(30)
     }),
 
+    // Cross-source quantile-normalized selection gate
+    // (ops.Ranks.quantileGate): "keep each source's own top 20% by
+    // length" vs the raw global cutoff, side by side — the exact
+    // tie-stable den·below ≥ num·n rule over a (source, n_chars)
+    // histogram, every window bounded by |sources|·|domain|. The
+    // sel_norm/sel_raw gap IS the skew a global threshold would
+    // have imposed.
+    "q203_quantile_gate" -> ((s, dir) => {
+      graft.ops.Ranks.quantileGate(table(s, dir, "documents"),
+          "source", "n_chars", num = 4, den = 5)
+        .orderBy(col("source"))
+    }),
+
+    // Corpus-composition concentration (ops.Concentration): one-row
+    // Shannon-entropy / Gini / top-share diagnostic over the source
+    // distribution — the "is one crawl dominating" gate before
+    // mixing. Entropy terms are per-group e6 floors (q198
+    // convention), the Gini numerator pure integer off count-ranked
+    // groups, top share all-integer.
+    "q204_concentration" -> ((s, dir) => {
+      graft.ops.Concentration.concentration(
+        table(s, dir, "documents"), "source")
+    }),
+
     // Token-label mutual information (ops.Divergence.tokenLabelMi):
     // q198's supervised companion — which tokens IDENTIFY the
     // English slice, presence-based so token-spam can't dominate;
@@ -907,6 +931,42 @@ object CurationQueries extends QueryPack {
         |      ELSE 0.0 END
         |    * 1000000.0) AS BIGINT) AS mi_e6
         |FROM g, tot ORDER BY mi_e6 DESC, term LIMIT 30""".stripMargin,
+    "q203_quantile_gate" ->
+      """WITH h AS (SELECT source, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |w AS (SELECT source, v, c,
+        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_g,
+        |    sum(c) OVER (PARTITION BY source) AS n_g,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_a,
+        |    sum(c) OVER () AS n_a
+        |  FROM h)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN below_g * 5 >= n_g * 4 THEN c ELSE 0 END)
+        |    AS BIGINT) AS sel_norm,
+        |  CAST(sum(CASE WHEN below_a * 5 >= n_a * 4 THEN c ELSE 0 END)
+        |    AS BIGINT) AS sel_raw
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "q204_concentration" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, c, sum(c) OVER () AS n,
+        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i
+        |  FROM c),
+        |e AS (SELECT *, CAST(floor(1000000.0 * (CAST(c AS DOUBLE) / n)
+        |    * ln(CAST(n AS DOUBLE) / c)) AS BIGINT) AS h_e6 FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(h_e6) AS BIGINT) AS entropy_e6,
+        |  CAST(floor(1000000.0
+        |    * CAST(2 * sum(i * c) - (count(*) + 1) * max(n) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * max(n))) AS BIGINT) AS gini_e6,
+        |  CAST((1000000 * max(c)) // max(n) AS BIGINT) AS top_share_e6
+        |FROM e""".stripMargin,
     "q198_js_divergence" ->
       """WITH u AS (
         |  SELECT unnest(string_split(text, ' ')) AS term,

@@ -30,6 +30,19 @@ object RelationalQueries extends QueryPack {
     // "random" sample hash-verifies: u is the seeded md5-prefix
     // hash, the rank key an identical floored IEEE ln on both
     // engines, and the top-k cut is TakeOrderedAndProject.
+    // Stratified sample with EXACT largest-remainder allocation
+    // (ops.Stratified): 60 documents split across languages in
+    // proportion to their counts — base ⌊k·c/N⌋ plus remainder-
+    // ranked +1s, all integer, Σ alloc = k exactly; the per-stratum
+    // draw is the seeded md5 rank (constant k pre-cut →
+    // WindowGroupLimit heaps before the stratum exchange), so the
+    // whole "random" stratified sample hash-verifies.
+    "q202_stratified_sample" -> ((s, dir) => {
+      graft.ops.Stratified.sample(table(s, dir, "documents"),
+          "lang", "doc_id", k = 60, seed = 11)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     "q193_weighted_sample" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .select(col("doc_id"),
@@ -398,6 +411,25 @@ object RelationalQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q202_stratified_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT lang, c, sum(c) OVER () AS n FROM c),
+        |a AS (SELECT lang, (60 * c) // n AS base, (60 * c) % n AS rem
+        |  FROM t),
+        |r AS (SELECT lang, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    60 - sum(base) OVER () AS short FROM a),
+        |al AS (SELECT lang,
+        |    base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc
+        |  FROM r),
+        |s AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT s.lang, s.rn, s.doc_id FROM s JOIN al USING (lang)
+        |WHERE s.rn <= al.alloc ORDER BY lang, rn""".stripMargin,
     "q193_weighted_sample" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -42,6 +42,29 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("quantileGate: exact tie-stable gate, norm vs raw tell skew apart") {
+    // A holds 1..10, B holds 101..110: within-group both keep their
+    // top-2 (below·5 ≥ n·4 -> below ≥ 8); the raw global cutoff
+    // (below ≥ 16) selects only B values.
+    val rows = (1 to 10).map(v => ("A", v.toLong)) ++
+      (1 to 10).map(v => ("B", 100L + v))
+    val out = Ranks.quantileGate(rows.toDF("g", "v"), "g", "v", 4, 5)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toList
+    assert(out == List(("A", 10L, 2L, 0L), ("B", 10L, 2L, 4L)))
+  }
+
+  test("quantileGate ties pass or fail together; all-equal selects none") {
+    // {1,1,1,1,2}: value 2 has below=4 -> 4·5=20 ≥ 4·5=20 passes;
+    // the tied 1s have below=0 and fail together.
+    val a = Seq.fill(4)(("t", 1L)) :+ (("t", 2L))
+    val one = Ranks.quantileGate(a.toDF("g", "v"), "g", "v", 4, 5)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(one == (("t", 5L, 1L, 1L)))
+    val eq = Ranks.quantileGate(Seq.fill(8)(("e", 3L)).toDF("g", "v"),
+      "g", "v", 4, 5).as[(String, Long, Long, Long)].collect().head
+    assert(eq == (("e", 8L, 0L, 0L)))
+  }
+
   test("pctRankBanded windows over the histogram, attaches by broadcast") {
     val df = spark.range(1000).select(col("id"),
       (col("id") % 7L).as("v"))

@@ -1,0 +1,16 @@
+package graft.tools
+
+/** Dump the formatted physical plan of named queries (dev harness). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val spark = graft.GraftSession.local(8, "graft-plandump")
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"==== $n ====")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
