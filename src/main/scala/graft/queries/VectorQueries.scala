@@ -34,6 +34,42 @@ object VectorQueries extends QueryPack {
     // replays bit-for-bit; the global rank windows are bounded by
     // the retrieval candidate sets, never a corpus (see Fusion's
     // scale contract).
+    // MMR diverse re-rank (similarity.Mmr): the diversity-aware
+    // selection step after retrieval — top-30 candidates by cosine
+    // to the vec_id=0 query, then greedy k=8 maximizing
+    // 7·rel − 3·max-sim-to-picked in exact e6 integers. The
+    // corpus-sized work (scoring, top-C cut, C² pair sims) runs in
+    // the engine; the inherently-sequential greedy runs on the
+    // collected ≤ C+C² bounded artifact (the RRF/BPE contract) and
+    // its whole trajectory replays as an unrolled SQL pick chain.
+    "q205_mmr_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qv"),
+          Ann.norm(col("embedding")).as("__qn"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          floor(lit(1000000.0) * Ann.dot(col("embedding"), col("__qv"))
+            / (Ann.norm(col("embedding")) * col("__qn")))
+            .cast("long").as("rel_e6"),
+          col("embedding"))
+        .orderBy(col("rel_e6").desc, col("id")).limit(30)
+        .persist()
+      cand.count() // referenced 3x (rel + both sim sides): pin it
+      val a = cand.select(col("id").as("id_a"), col("embedding").as("__va"))
+      val b = cand.select(col("id").as("id_b"), col("embedding").as("__vb"))
+      val sims = a.join(b, col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(lit(1000000.0) * Ann.dot(col("__va"), col("__vb"))
+            / (Ann.norm(col("__va")) * Ann.norm(col("__vb"))))
+            .cast("long").as("sim_e6"))
+      val out = graft.similarity.Mmr.rerank(
+        cand.select(col("id"), col("rel_e6")), sims, k = 8, lamTen = 7)
+      cand.unpersist() // rerank collected; the result is local rows
+      out.orderBy(col("rank"))
+    }),
+
     "q172_rrf_hybrid" -> ((s, dir) => {
       val sparse = graft.text.Tfidf.bm25Scores(
         table(s, dir, "documents"), "doc_id", "text",
@@ -311,7 +347,60 @@ object VectorQueries extends QueryPack {
       +: rounds :+ assign(iters + 1, s"c$iters")).mkString(",\n")
   }
 
+  /** Unrolled MMR pick chain: pick i joins the max-sim against the
+    * union of picks 1..i−1 (each a MATERIALIZED 1-row CTE — the
+    * DuckDB CTE-inlining lesson, PERF.md r11). Integer score10 =
+    * 7·rel − 3·maxsim with the id tiebreak, exactly the kernel.
+    */
+  private def mmrOracle(k: Int): String = {
+    val base =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id = 0),
+        |cand AS MATERIALIZED (
+        |  SELECT e.vec_id AS id,
+        |    CAST(floor(1000000.0 * list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * q.qn)) AS BIGINT)
+        |      AS rel_e6,
+        |    e.v
+        |  FROM e, q WHERE e.vec_id != 0
+        |  ORDER BY rel_e6 DESC, id LIMIT 30),
+        |sims AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(floor(1000000.0 * list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS sim_e6
+        |  FROM cand a JOIN cand b ON a.id != b.id)""".stripMargin
+    val picks = (1 to k).map { i =>
+      if (i == 1)
+        """p1 AS MATERIALIZED (
+          |  SELECT id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+          |    CAST(7 * rel_e6 AS BIGINT) AS score10_e6
+          |  FROM cand ORDER BY score10_e6 DESC, id LIMIT 1)""".stripMargin
+      else {
+        val sel = (1 until i).map(j => s"SELECT id FROM p$j")
+          .mkString(" UNION ALL ")
+        s"""p$i AS MATERIALIZED (
+           |  SELECT c.id, c.rel_e6,
+           |    CAST(max(s.sim_e6) AS BIGINT) AS maxsim_e6,
+           |    CAST(7 * c.rel_e6 - 3 * max(s.sim_e6) AS BIGINT)
+           |      AS score10_e6
+           |  FROM cand c JOIN sims s ON s.id_a = c.id
+           |    AND s.id_b IN ($sel)
+           |  WHERE c.id NOT IN ($sel)
+           |  GROUP BY c.id, c.rel_e6
+           |  ORDER BY score10_e6 DESC, c.id LIMIT 1)""".stripMargin
+      }
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, id, rel_e6, maxsim_e6," +
+        s" score10_e6 FROM p$i").mkString("\nUNION ALL\n")
+    s"WITH $base,\n${picks.mkString(",\n")}\n$out\nORDER BY rank"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q205_mmr_rerank" -> mmrOracle(8),
     "q172_rrf_hybrid" ->
       s"""WITH ${Fragments.bm25ScoresSql(Seq("hash", "join", "vector"))},
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
