@@ -29,10 +29,20 @@ object Concentration {
   /** One row: n_groups, n_rows, entropy_e6 (Σ −p·ln p, e6),
     * gini_e6, top_share_e6.
     */
-  def concentration(df: DataFrame, groupCol: String): DataFrame = {
+  def concentration(df: DataFrame, groupCol: String): DataFrame =
+    ofCounts(df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c")),
+      groupCol, "__c")
+
+  /** The same gate off a pre-aggregated (group, count) table — the
+    * counts are a mergeable monoid, so a streaming maintenance pass
+    * (`Streams.concentrationMaintStream`) keeps them per batch and
+    * this computes the corpus gate from GROUP rows alone.
+    */
+  def ofCounts(counts: DataFrame, groupCol: String,
+      cntCol: String): DataFrame = {
     val tot = Window.partitionBy()
     val byCnt = Window.orderBy(col("__c"), col(groupCol))
-    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    counts.select(col(groupCol), col(cntCol).cast("long").as("__c"))
       .withColumn("__n", sum(col("__c")).over(tot))
       .withColumn("__i", row_number().over(byCnt))
       .withColumn("__h_e6",

@@ -476,6 +476,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus-composition maintenance — the
+    * [[graft.ops.Concentration]] gate kept live over an ingest
+    * stream: per-group counts are a mergeable monoid, so each
+    * micro-batch aggregates only its own rows and merges into the
+    * versioned state; `Concentration.ofCounts` then reads the gate
+    * (entropy/Gini/top-share) from GROUP rows alone at any time.
+    * Per-batch cost O(batch) + O(groups); the corpus is never
+    * rescanned. StreamsSpec pins maintained == from-scratch.
+    */
+  def concentrationMaintStream(events: DataFrame, groupCol: String,
+      stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          batch.groupBy(col(groupCol)).agg(count(lit(1)).as("__c")))(
+          (prior, fresh) => prior.unionByName(fresh)
+            .groupBy(col(groupCol)).agg(sum(col("__c")).as("__c")))
+      }
+      .start()
+
   /** The shared versioned-state-dir mechanics of every foreachBatch
     * maintenance stream (rollup, funnel, retention): merge the
     * batch's state with the latest prior version and write

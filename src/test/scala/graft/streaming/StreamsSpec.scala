@@ -596,6 +596,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("concentrationMaintStream: maintained gate equals from-scratch") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val base = Files.createTempDirectory("graft-conc").toString
+    val stateDir = s"$base/state"
+    val q = Streams.concentrationMaintStream(
+      input.toDF().toDF("g"), "g", stateDir, s"$base/chk")
+    try {
+      val batch1 = (0 until 120).map(i => s"s${i % 4}")
+      val batch2 = (0 until 90).map(i => s"s${i % 7}")
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val maintained = graft.ops.Concentration.ofCounts(
+          spark.read.parquet(s"$stateDir/v1"), "g", "__c")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val scratch = graft.ops.Concentration.concentration(
+          (batch1 ++ batch2).toDF("g"), "g")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(maintained == scratch)
+      assert(maintained._2 == 210L)
+    } finally q.stop()
+  }
+
   test("psiMonitorStream: per-batch PSI equals the batch psiDrift") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Double]
