@@ -476,6 +476,117 @@ object Streams {
       }
       .start()
 
+  /** Streaming transition-matrix maintenance — the
+    * [[graft.ops.EventAnalytics.transitionCounts]] twin. Unlike the
+    * funnel/retention states (pure sets, order-free), a bigram
+    * count is ORDER-SENSITIVE across the batch boundary: the last
+    * event of a user's stream in batch i and their first event in
+    * batch i+1 form a transition no single batch sees. The state is
+    * therefore two relations in one tagged table: the (from, to, n)
+    * count monoid (`__kind = "c"`) and one boundary row per user —
+    * their latest event (`__kind = "u"`). Each batch contributes its
+    * in-batch bigrams, its per-user first rows (consumed by the
+    * merge to close boundary transitions against the prior state's
+    * last rows, then dropped), and its per-user last rows. Per-batch
+    * cost O(batch) + O(users); events are never rescanned.
+    *
+    * Ordering contract (stated, not assumed silently): batches must
+    * partition each user's stream in event-time order — the same
+    * ingestion-order contract the sessionization and CDC twins
+    * carry. A late event invalidates bigrams already counted; the
+    * recovery is a from-scratch rebuild over the versioned base,
+    * exactly as for the rollup family. StreamsSpec pins maintained
+    * == from-scratch over boundary-straddling users.
+    */
+  def transitionsMaintStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      stateDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fresh = transitionState(batch, userCol, typeCol, tsCol,
+          idCol)
+        val merged =
+          latestVersion(batch.sparkSession, stateDir, id) match {
+            case Some(prior) => mergeTransitions(prior, fresh)
+            case None => fresh.filter(col("__kind") =!= "f")
+          }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/v$id")
+      }
+      .start()
+
+  /** The counts relation of a maintained transition state, in the
+    * batch operator's output shape.
+    */
+  def transitionsFromState(state: DataFrame): DataFrame =
+    state.filter(col("__kind") === "c")
+      .select(col("from_type"), col("to_type"), col("n"))
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** One batch's contribution: in-batch bigram counts ("c"),
+    * per-user first rows ("f", merge-time boundary closers),
+    * per-user last rows ("u", the next boundary state).
+    */
+  private def transitionState(batch: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val tT = batch.schema(typeCol).dataType
+    val nullT = lit(null).cast(tT)
+    val nullU = lit(null).cast(batch.schema(userCol).dataType)
+    val nullTs = lit(null).cast(batch.schema(tsCol).dataType)
+    val nullId = lit(null).cast(batch.schema(idCol).dataType)
+    val counts = batch
+      .withColumn("__from", lag(col(typeCol), 1).over(wAsc))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("c").as("__kind"), col("from_type"), col("to_type"),
+        col("n"), nullU.as("__user"), nullTs.as("__ts"),
+        nullId.as("__id"), nullT.as("__type"))
+    def edge(kind: String,
+        w: org.apache.spark.sql.expressions.WindowSpec) = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(lit(kind).as("__kind"), nullT.as("from_type"),
+        nullT.as("to_type"), lit(null).cast("long").as("n"),
+        col(userCol).as("__user"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("__type"))
+    counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
+  }
+
+  private def mergeTransitions(prior: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val sch = fresh.schema
+    def nul(f: String) = lit(null).cast(sch(f).dataType).as(f)
+    val pu = prior.filter(col("__kind") === "u")
+    val ff = fresh.filter(col("__kind") === "f")
+    val fu = fresh.filter(col("__kind") === "u")
+    val bare = Seq("from_type", "to_type", "n").map(col)
+    val boundary = pu
+      .select(col("__user"), col("__type").as("__lt"))
+      .join(ff.select(col("__user"), col("__type").as("__ft")), "__user")
+      .groupBy(col("__lt").as("from_type"), col("__ft").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val counts = prior.filter(col("__kind") === "c").select(bare: _*)
+      .unionByName(fresh.filter(col("__kind") === "c").select(bare: _*))
+      .unionByName(boundary)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n"))
+      .select(lit("c").as("__kind"), col("from_type"), col("to_type"),
+        col("n"), nul("__user"), nul("__ts"), nul("__id"),
+        nul("__type"))
+    val last = fu.unionByName(
+      pu.join(fu.select(col("__user")), Seq("__user"), "left_anti")
+        .select(fu.columns.map(col): _*))
+    counts.unionByName(last)
+  }
+
   /** Streaming corpus-composition maintenance — the
     * [[graft.ops.Concentration]] gate kept live over an ingest
     * stream: per-group counts are a mergeable monoid, so each

@@ -596,6 +596,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsMaintStream: maintained == from-scratch across batch boundaries") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val base = Files.createTempDirectory("graft-trans").toString
+    val stateDir = s"$base/state"
+    val q = Streams.transitionsMaintStream(
+      input.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+      stateDir, s"$base/chk")
+    try {
+      // u1 straddles b1/b2, u2 straddles b2/b3, u3 only in b1 —
+      // every boundary case: closed transition, carried last row
+      val b1 = Seq((1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (3L, "A", 1L, 3L))
+      val b2 = Seq((1L, "C", 3L, 4L), (2L, "A", 4L, 5L), (2L, "B", 5L, 6L))
+      val b3 = Seq((2L, "C", 6L, 7L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val state = spark.read.parquet(s"$stateDir/v2")
+      val maintained = Streams.transitionsFromState(state)
+        .as[(String, String, Long)].collect().toList
+      val scratch = graft.ops.EventAnalytics.transitionCounts(
+          (b1 ++ b2 ++ b3).toDF("u", "t", "ts", "id"),
+          "u", "t", "ts", "id")
+        .as[(String, String, Long)].collect().toList
+      assert(maintained == scratch)
+      // both B->C bigrams exist ONLY across batch boundaries
+      assert(maintained.contains(("B", "C", 2L)))
+      // boundary state: exactly one last row per ever-seen user
+      val lasts = state.filter($"__kind" === "u")
+        .select($"__user", $"__type").as[(Long, String)].collect().toSet
+      assert(lasts == Set((1L, "C"), (2L, "C"), (3L, "A")))
+    } finally q.stop()
+  }
+
   test("concentrationMaintStream: maintained gate equals from-scratch") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
