@@ -36,7 +36,7 @@ object Bloom {
     * replayable in any engine (48-bit md5 prefix, positive, mod m).
     */
   def bitPos(c: Column, i: Int, mBits: Int): Column =
-    conv(substring(md5(concat(lit(i + ":"), c.cast("string"))), 1, 12),
+    conv(substring(md5(concat(lit(s"$i:"), c.cast("string"))), 1, 12),
       16, 10).cast("long") % mBits
 
   /** The DISTINCT bit-position set of the build keys — the bloom's
@@ -92,7 +92,7 @@ object Bloom {
         var i = 0
         var all = true
         while (all && i < k) {
-          val hex = md.digest((i + ":" + s).getBytes("UTF-8"))
+          val hex = md.digest(s"$i:$s".getBytes("UTF-8"))
             .take(6).map("%02x".format(_)).mkString
           val p = java.lang.Long.parseLong(hex, 16) % mBits
           all = (words((p >> 6).toInt) & (1L << (p & 63).toInt)) != 0

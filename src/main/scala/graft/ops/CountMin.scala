@@ -36,7 +36,7 @@ object CountMin {
     * replayable in any engine (48-bit md5 prefix, positive, mod w).
     */
   def bucket(c: Column, r: Int, w: Int): Column =
-    conv(substring(md5(concat(lit(r + ":"), c.cast("string"))), 1, 12),
+    conv(substring(md5(concat(lit(s"$r:"), c.cast("string"))), 1, 12),
       16, 10).cast("long") % w
 
   /** The d×w counter table (__r, __b, __n) from ONE explode-d

@@ -107,7 +107,7 @@ object Relational {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       buckets: Int): DataFrame = {
-    val salt = pmod(hash(left.columns.map(col): _*), lit(buckets))
+    val salt = pmod(hash(left.columns.toSeq.map(col): _*), lit(buckets))
     val saltedLeft = left.withColumn("__salt", salt)
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -32,7 +32,7 @@ object Sampling {
     */
   def esKeyE9(id: Column, weight: Column, seed: Int): Column = {
     val h = conv(substring(
-      md5(concat(lit(seed + ":"), id.cast("string"))), 1, 12), 16, 10)
+      md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 12), 16, 10)
       .cast("long")
     floor(lit(1000000000.0) *
       log((h.cast("double") + lit(1.0)) / lit(281474976710656.0)) /

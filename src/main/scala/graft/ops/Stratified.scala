@@ -63,7 +63,7 @@ object Stratified {
     val alloc = allocate(counts, stratumCol, "__c", k)
       .select(col(stratumCol), col("alloc"))
     val byDraw = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(concat(lit(seed + ":"),
+      .orderBy(md5(concat(lit(s"$seed:"),
         col(idCol).cast("string"))), col(idCol))
     df.select(col(stratumCol), col(idCol))
       .withColumn("__rn", row_number().over(byDraw))

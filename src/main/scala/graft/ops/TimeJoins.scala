@@ -40,7 +40,7 @@ object TimeJoins {
     val overlap = left.columns.toSet.intersect(rightPayload.toSet)
     require(overlap.isEmpty, s"payload column collision: $overlap")
 
-    val rStruct = struct(rightPayload.map(col): _*)
+    val rStruct = struct(rightPayload.toSeq.map(col): _*)
     val rStructType = StructType(
       rightPayload.map(c => right.schema(c.toString)))
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == timeCol)
@@ -61,8 +61,8 @@ object TimeJoins {
     taggedLeft.unionByName(taggedRight)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((left.columns.map(col) :+ col("__r")): _*)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toSeq.map(col) :+ col("__r")): _*)
+      .select((left.columns.toSeq.map(col) ++
         rightPayload.map(c => col(s"__r.$c").as(c))): _*)
   }
 
@@ -92,7 +92,7 @@ object TimeJoins {
     def bucketOf(c: Column): Column =
       floor(unix_micros(c) / (bucketWidthSec * 1000000L)).cast("long")
 
-    val rStruct = struct(rightPayload.map(col): _*)
+    val rStruct = struct(rightPayload.toSeq.map(col): _*)
     val rStructType = StructType(rightPayload.map(c => right.schema(c)))
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == timeCol)
 
@@ -133,7 +133,7 @@ object TimeJoins {
     inBucket
       .join(carry, Seq(keyCol, "__b"), "left")
       .withColumn("__r", coalesce(col("__r"), col("__carry")))
-      .select((left.columns.map(col) ++
+      .select((left.columns.toSeq.map(col) ++
         rightPayload.map(c => col(s"__r.$c").as(c))): _*)
   }
 

@@ -48,7 +48,7 @@ object Mmr {
     val picked = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Long, Long, Long)]
     val remaining = scala.collection.mutable.LinkedHashMap(
-      cand.map { case (id, r) => id -> r }: _*)
+      cand.toSeq.map { case (id, r) => id -> r }: _*)
     var rank = 1L
     while (rank <= k && remaining.nonEmpty) {
       val best = remaining.iterator.map { case (id, rel) =>

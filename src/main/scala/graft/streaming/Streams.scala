@@ -583,7 +583,7 @@ object Streams {
         nul("__type"))
     val last = fu.unionByName(
       pu.join(fu.select(col("__user")), Seq("__user"), "left_anti")
-        .select(fu.columns.map(col): _*))
+        .select(fu.columns.toSeq.map(col): _*))
     counts.unionByName(last)
   }
 
