@@ -587,6 +587,113 @@ object Streams {
     counts.unionByName(last)
   }
 
+  /** Streaming path-mining maintenance —
+    * [[graft.ops.EventAnalytics.pathCounts]]'s twin, the
+    * transition twin generalized from bigrams to length-`len`
+    * windows. A window can span up to `len` batches, so the boundary
+    * state is each user's trailing `len−1` events (the transition
+    * state's last-row, pluralized). Correctness argument: every
+    * window either sits inside one batch (counted by the in-batch
+    * pass) or spans batches — and a spanning window has a UNIQUE
+    * batch where it ENDS. The merge counts exactly the windows that
+    * START in the prior tail and END in the batch head (an
+    * origin-tag test on the oldest lag and the current row over the
+    * contiguous tail++head segment), so no window is double-counted
+    * and none is missed, even across 3+ tiny batches. Same
+    * ingestion-order contract and versioned-base recovery as the
+    * transition twin; per-batch cost O(batch) + O(users·len).
+    */
+  def pathsMaintStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, len: Int,
+      stateDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fresh = pathState(batch, userCol, typeCol, tsCol, idCol,
+          len)
+        val merged =
+          latestVersion(batch.sparkSession, stateDir, id) match {
+            case Some(prior) => mergePaths(prior, fresh, len)
+            case None => fresh.filter(col("__kind") =!= "f")
+          }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/v$id")
+      }
+      .start()
+
+  /** The counts relation of a maintained path state, in the batch
+    * operator's output shape.
+    */
+  def pathsFromState(state: DataFrame): DataFrame =
+    state.filter(col("__kind") === "c")
+      .select(col("path"), col("n"))
+      .orderBy(col("n").desc, col("path"))
+
+  private def pathState(batch: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      len: Int): DataFrame = {
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    def nulOf(c: String) = lit(null).cast(batch.schema(c).dataType)
+    val counts = graft.ops.EventAnalytics
+      .pathCounts(batch, userCol, typeCol, tsCol, idCol, len)
+      .select(lit("c").as("__kind"), col("path"), col("n"),
+        nulOf(userCol).as("__user"), nulOf(tsCol).as("__ts"),
+        nulOf(idCol).as("__id"), nulOf(typeCol).as("__type"))
+    def edge(kind: String,
+        w: org.apache.spark.sql.expressions.WindowSpec) = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= len - 1)
+      .select(lit(kind).as("__kind"),
+        lit(null).cast("string").as("path"),
+        lit(null).cast("long").as("n"), col(userCol).as("__user"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(typeCol).as("__type"))
+    counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
+  }
+
+  private def mergePaths(prior: DataFrame, fresh: DataFrame,
+      len: Int): DataFrame = {
+    val sch = fresh.schema
+    def nul(f: String) = lit(null).cast(sch(f).dataType).as(f)
+    val pu = prior.filter(col("__kind") === "u")
+    val ff = fresh.filter(col("__kind") === "f")
+    val fu = fresh.filter(col("__kind") === "u")
+    // tail ++ head is a CONTIGUOUS segment of each user's stream, so
+    // subset lags equal stream lags for any window inside it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__user")).orderBy(col("__ts"), col("__id"))
+    val tagged = pu.withColumn("__o", lit("T"))
+      .unionByName(ff.withColumn("__o", lit("B")))
+    val steps = (len - 1 to 0 by -1).map { off =>
+      if (off == 0) col("__type") else lag(col("__type"), off).over(w)
+    }
+    val startO = lag(col("__o"), len - 1).over(w)
+    val boundary = tagged
+      .select(concat_ws(">", steps: _*).as("path"),
+        (steps.map(_.isNotNull).reduce(_ && _) &&
+          col("__o") === "B" && startO === "T").as("__take"))
+      .filter(col("__take"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val bare = Seq("path", "n").map(col)
+    val counts = prior.filter(col("__kind") === "c").select(bare: _*)
+      .unionByName(fresh.filter(col("__kind") === "c").select(bare: _*))
+      .unionByName(boundary)
+      .groupBy(col("path")).agg(sum(col("n")).as("n"))
+      .select(lit("c").as("__kind"), col("path"), col("n"),
+        nul("__user"), nul("__ts"), nul("__id"), nul("__type"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__user"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val last = pu.unionByName(fu)
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= len - 1).drop("__rn")
+    counts.unionByName(last)
+  }
+
   /** Streaming corpus-composition maintenance — the
     * [[graft.ops.Concentration]] gate kept live over an ingest
     * stream: per-group counts are a mergeable monoid, so each

@@ -631,6 +631,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pathsMaintStream: len-3 windows spanning 2 and 3 batches all counted once") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val base = Files.createTempDirectory("graft-paths").toString
+    val stateDir = s"$base/state"
+    val q = Streams.pathsMaintStream(
+      input.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+      len = 3, stateDir, s"$base/chk")
+    try {
+      // u1's stream A B | C D | E: NO window fits a single batch —
+      // every one spans 2 or 3 of them; u2 mixes in-batch (X Y Z X)
+      // and boundary (Z X | Y) windows
+      val b1 = Seq((1L, "A", 1L, 1L), (1L, "B", 2L, 2L))
+      val b2 = Seq((1L, "C", 3L, 3L), (1L, "D", 4L, 4L),
+        (2L, "X", 1L, 5L), (2L, "Y", 2L, 6L), (2L, "Z", 3L, 7L),
+        (2L, "X", 4L, 8L))
+      val b3 = Seq((1L, "E", 5L, 9L), (2L, "Y", 5L, 10L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val state = spark.read.parquet(s"$stateDir/v2")
+      val maintained = Streams.pathsFromState(state)
+        .as[(String, Long)].collect().toList
+      val scratch = graft.ops.EventAnalytics.pathCounts(
+          (b1 ++ b2 ++ b3).toDF("u", "t", "ts", "id"),
+          "u", "t", "ts", "id", len = 3)
+        .as[(String, Long)].collect().toList
+      assert(maintained == scratch)
+      assert(maintained.map(_._1).contains("C>D>E")) // 3-batch span
+      // tail state: each user's trailing 2 events
+      val tails = state.filter($"__kind" === "u")
+        .select($"__user", $"__type").as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(tails == Map(1L -> Set("D", "E"), 2L -> Set("X", "Y")))
+    } finally q.stop()
+  }
+
   test("concentrationMaintStream: maintained gate equals from-scratch") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
