@@ -220,6 +220,26 @@ object EventQueries extends QueryPack {
         table(s, dir, "events"), "event_type", "value")
     }),
 
+    // Incremental transition maintenance (Streams
+    // .transitionsMaintainBatch): the corpus split at its time
+    // midpoint, the matrix computed via the maintenance path —
+    // per-half bigrams + the per-user boundary closure — and the
+    // oracle hash-verifies it equals the from-scratch q180 matrix.
+    // The q175 incremental discipline applied to ORDER-SENSITIVE
+    // state: the cut position must not matter, and the oracle
+    // proves it doesn't.
+    "q206_incr_transitions" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(2L)).cast("long").as("__cut"))
+      val cut = ev.crossJoin(broadcast(mid))
+      Streams.transitionsMaintainBatch(
+        cut.filter(unix_micros(col("ts")) < col("__cut")).drop("__cut"),
+        cut.filter(unix_micros(col("ts")) >= col("__cut")).drop("__cut"),
+        "user_id", "event_type", "ts", "event_id")
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -233,6 +253,19 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical to q180's from-scratch matrix BY DESIGN: the oracle
+    // is what proves the incremental path is cut-invariant
+    "q206_incr_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "q180_event_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

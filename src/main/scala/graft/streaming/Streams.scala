@@ -516,6 +516,23 @@ object Streams {
       }
       .start()
 
+  /** The two-phase maintenance path as a batch computation (q206):
+    * state from `first`, merge of `second`'s contribution, counts
+    * out. The incremental path's result must equal the from-scratch
+    * matrix whatever the cut — which is exactly what the q206
+    * oracle hash-verifies (the q175 incremental-aggregate
+    * discipline applied to ORDER-SENSITIVE state).
+    */
+  def transitionsMaintainBatch(first: DataFrame, second: DataFrame,
+      userCol: String, typeCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val s0 = transitionState(first, userCol, typeCol, tsCol, idCol)
+      .filter(col("__kind") =!= "f")
+    val s1 = mergeTransitions(s0,
+      transitionState(second, userCol, typeCol, tsCol, idCol))
+    transitionsFromState(s1)
+  }
+
   /** The counts relation of a maintained transition state, in the
     * batch operator's output shape.
     */
