@@ -240,6 +240,23 @@ object EventQueries extends QueryPack {
         "user_id", "event_type", "ts", "event_id")
     }),
 
+    // q206's proof for the length-n generalization (Streams
+    // .pathsMaintainBatch, len=3): the midpoint cut puts thousands
+    // of users' length-3 windows across the boundary, and the
+    // oracle (the from-scratch q185 path counts) hash-verifies the
+    // trailing-tail/head closure counted each one exactly once.
+    "q207_incr_paths" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(2L)).cast("long").as("__cut"))
+      val cut = ev.crossJoin(broadcast(mid))
+      Streams.pathsMaintainBatch(
+        cut.filter(unix_micros(col("ts")) < col("__cut")).drop("__cut"),
+        cut.filter(unix_micros(col("ts")) >= col("__cut")).drop("__cut"),
+        "user_id", "event_type", "ts", "event_id", len = 3)
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -253,6 +270,22 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical to q185's from-scratch counts BY DESIGN (the q206
+    // discipline for length-3 windows)
+    "q207_incr_paths" ->
+      """WITH t AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS a,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    event_type AS c
+        |  FROM events)
+        |SELECT a || '>' || b || '>' || c AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY path
+        |ORDER BY n DESC, path""".stripMargin,
     // identical to q180's from-scratch matrix BY DESIGN: the oracle
     // is what proves the incremental path is cut-invariant
     "q206_incr_transitions" ->

@@ -638,6 +638,22 @@ object Streams {
       }
       .start()
 
+  /** The two-phase path maintenance as a batch computation (q207) —
+    * the q206 cut-invariance proof for the length-n generalization:
+    * at corpus scale the midpoint cut puts THOUSANDS of users'
+    * windows across the boundary, a far richer exercise of the
+    * tail/head closure than any fixture.
+    */
+  def pathsMaintainBatch(first: DataFrame, second: DataFrame,
+      userCol: String, typeCol: String, tsCol: String, idCol: String,
+      len: Int): DataFrame = {
+    val s0 = pathState(first, userCol, typeCol, tsCol, idCol, len)
+      .filter(col("__kind") =!= "f")
+    val s1 = mergePaths(s0,
+      pathState(second, userCol, typeCol, tsCol, idCol, len), len)
+    pathsFromState(s1)
+  }
+
   /** The counts relation of a maintained path state, in the batch
     * operator's output shape.
     */
