@@ -257,6 +257,37 @@ object EventQueries extends QueryPack {
         "user_id", "event_type", "ts", "event_id", len = 3)
     }),
 
+    // EWMA control-chart gate (ops.ControlChart): the per-entity
+    // anomaly member of the drift family — each event with a full
+    // 8 prior observations in its user's stream is judged against
+    // its dyadic-weighted (λ=½ truncated at depth 8) history.
+    // Weights 2⁷…2⁰ are exact integers over fx-e2 values, so the
+    // spike/dip verdicts and summed deviations replay bit-exactly.
+    // One USER-keyed window pass (high-cardinality partitions — the
+    // window parallelizes) then a |type|-bounded summary.
+    "q208_ewma_gate" -> ((s, dir) =>
+      graft.ops.ControlChart.ewmaSummary(table(s, dir, "events"),
+        "user_id", "value", "ts", "event_id", "event_type")),
+
+    // The q206 cut-invariance proof for the EWMA gate (Streams
+    // .ewmaMaintainBatch): the midpoint cut puts many users'
+    // depth-8 history windows across the boundary; the maintenance
+    // path gates the second half's head rows against the first
+    // half's trailing state, and the oracle (the from-scratch q208
+    // summary) hash-verifies every row was gated exactly once with
+    // its exact full history.
+    "q209_incr_ewma" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(2L)).cast("long").as("__cut"))
+      val cut = ev.crossJoin(broadcast(mid))
+      Streams.ewmaMaintainBatch(
+        cut.filter(unix_micros(col("ts")) < col("__cut")).drop("__cut"),
+        cut.filter(unix_micros(col("ts")) >= col("__cut")).drop("__cut"),
+        "user_id", "value", "ts", "event_id", "event_type")
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -270,6 +301,70 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical to q208's from-scratch summary BY DESIGN: the
+    // oracle is what proves the maintenance path is cut-invariant
+    "q209_incr_ewma" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS xq,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS l1,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS l2,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS l3,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 4) OVER w AS l4,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 5) OVER w AS l5,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 6) OVER w AS l6,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 7) OVER w AS l7,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 8) OVER w AS l8
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT event_type, xq,
+        |    l1*128 + l2*64 + l3*32 + l4*16
+        |      + l5*8 + l6*4 + l7*2 + l8 AS hist
+        |  FROM q)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_gated,
+        |  CAST(sum(CASE WHEN 255*xq > 3*hist
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spike,
+        |  CAST(sum(CASE WHEN 3*255*xq < hist
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dip,
+        |  CAST(sum(CASE WHEN 255*xq > 3*hist OR 3*255*xq < hist
+        |    THEN abs(255*xq - hist) ELSE 0 END) AS BIGINT)
+        |    AS sum_absdev
+        |FROM g WHERE hist IS NOT NULL AND xq IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the full integer replay: same lags, same dyadic weights, same
+    // all-integer comparisons
+    "q208_ewma_gate" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS xq,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS l1,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS l2,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS l3,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 4) OVER w AS l4,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 5) OVER w AS l5,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 6) OVER w AS l6,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 7) OVER w AS l7,
+        |    lag(CAST(floor(value * 100) AS BIGINT), 8) OVER w AS l8
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT event_type, xq,
+        |    l1*128 + l2*64 + l3*32 + l4*16
+        |      + l5*8 + l6*4 + l7*2 + l8 AS hist
+        |  FROM q)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_gated,
+        |  CAST(sum(CASE WHEN 255*xq > 3*hist
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spike,
+        |  CAST(sum(CASE WHEN 3*255*xq < hist
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dip,
+        |  CAST(sum(CASE WHEN 255*xq > 3*hist OR 3*255*xq < hist
+        |    THEN abs(255*xq - hist) ELSE 0 END) AS BIGINT)
+        |    AS sum_absdev
+        |FROM g WHERE hist IS NOT NULL AND xq IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical to q185's from-scratch counts BY DESIGN (the q206
     // discipline for length-3 windows)
     "q207_incr_paths" ->

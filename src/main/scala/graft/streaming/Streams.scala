@@ -727,6 +727,142 @@ object Streams {
     counts.unionByName(last)
   }
 
+  /** Streaming EWMA-gate maintenance —
+    * [[graft.ops.ControlChart]]'s twin: the spike/dip summary kept
+    * live per micro-batch. Order-sensitive state, the path-twin
+    * discipline at window length Depth+1: a row is gated in the
+    * UNIQUE batch that CONTAINS it, and its depth-8 history either
+    * sits in the same batch (the in-batch pass — any row with ≥8
+    * in-batch priors) or reaches into prior batches. The merge
+    * gates exactly the fresh head rows (first ≤8 per user — the
+    * only rows with <8 in-batch priors) over the contiguous
+    * tail++head segment, where the prior tail (trailing ≤8 per
+    * user) supplies every stream prior a head row can need. No row
+    * double-gated, none missed, users with genuinely short history
+    * stay ungated in both paths. Per-batch cost O(batch) +
+    * O(users·8); the corpus is never rescanned.
+    */
+  def ewmaMaintStream(events: DataFrame, userCol: String,
+      valCol: String, tsCol: String, idCol: String, typeCol: String,
+      k: Int, stateDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fresh = ewmaState(batch, userCol, valCol, tsCol, idCol,
+          typeCol, k)
+        val merged =
+          latestVersion(batch.sparkSession, stateDir, id) match {
+            case Some(prior) => mergeEwma(prior, fresh, typeCol, k)
+            case None => fresh.filter(col("__kind") =!= "f")
+          }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/v$id")
+      }
+      .start()
+
+  /** The two-phase EWMA maintenance as a batch computation (q209):
+    * the q206 cut-invariance proof for per-row windowed STATE — the
+    * from-scratch q208 summary is the oracle, so the check is that
+    * the cut position doesn't matter.
+    */
+  def ewmaMaintainBatch(first: DataFrame, second: DataFrame,
+      userCol: String, valCol: String, tsCol: String, idCol: String,
+      typeCol: String, k: Int = 3): DataFrame = {
+    val s0 = ewmaState(first, userCol, valCol, tsCol, idCol,
+      typeCol, k).filter(col("__kind") =!= "f")
+    val s1 = mergeEwma(s0, ewmaState(second, userCol, valCol, tsCol,
+      idCol, typeCol, k), typeCol, k)
+    ewmaFromState(s1, typeCol)
+  }
+
+  /** The summary relation of a maintained EWMA state, in the batch
+    * operator's output shape.
+    */
+  def ewmaFromState(state: DataFrame, typeCol: String): DataFrame =
+    state.filter(col("__kind") === "c")
+      .select(col(typeCol), col("n_gated"), col("n_spike"),
+        col("n_dip"), col("sum_absdev"))
+      .orderBy(col(typeCol))
+
+  /** One batch's contribution: the in-batch gate summary ("c"),
+    * per-user leading ≤8 rows ("f", the merge-time boundary
+    * candidates), per-user trailing ≤8 rows ("u", the next
+    * boundary's history).
+    */
+  private def ewmaState(batch: DataFrame, userCol: String,
+      valCol: String, tsCol: String, idCol: String, typeCol: String,
+      k: Int): DataFrame = {
+    import graft.ops.ControlChart
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    def nulOf(c: String) = lit(null).cast(batch.schema(c).dataType)
+    val counts = ControlChart.ewmaSummary(batch, userCol, valCol,
+      tsCol, idCol, typeCol, k)
+      .select(lit("c").as("__kind"), col(typeCol), col("n_gated"),
+        col("n_spike"), col("n_dip"), col("sum_absdev"),
+        nulOf(userCol).as("__user"), nulOf(tsCol).as("__ts"),
+        nulOf(idCol).as("__id"), lit(null).cast("long").as("__xq"))
+    def edge(kind: String,
+        w: org.apache.spark.sql.expressions.WindowSpec) = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= ControlChart.Depth)
+      .select(lit(kind).as("__kind"), col(typeCol),
+        lit(null).cast("long").as("n_gated"),
+        lit(null).cast("long").as("n_spike"),
+        lit(null).cast("long").as("n_dip"),
+        lit(null).cast("long").as("sum_absdev"),
+        col(userCol).as("__user"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        floor(col(valCol) * 100).cast("long").as("__xq"))
+    counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
+  }
+
+  private def mergeEwma(prior: DataFrame, fresh: DataFrame,
+      typeCol: String, k: Int): DataFrame = {
+    import graft.ops.ControlChart
+    val sch = fresh.schema
+    def nul(f: String) = lit(null).cast(sch(f).dataType).as(f)
+    val pu = prior.filter(col("__kind") === "u")
+    val ff = fresh.filter(col("__kind") === "f")
+    val fu = fresh.filter(col("__kind") === "u")
+    // tail ++ head is a CONTIGUOUS segment of each user's stream,
+    // so in-segment lags equal stream lags for any head row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__user")).orderBy(col("__ts"), col("__id"))
+    val tagged = pu.withColumn("__o", lit("T"))
+      .unionByName(ff.withColumn("__o", lit("B")))
+    val (dev, status) = ControlChart.gateColumns(col("__xq"), w, k)
+    val seg = tagged
+      .select(col(typeCol), dev.as("dev"), status.as("status"),
+        col("__o"))
+      .filter(col("__o") === "B")
+    val boundary = ControlChart.summarize(seg, typeCol)
+    val bare = Seq(typeCol, "n_gated", "n_spike", "n_dip",
+      "sum_absdev").map(col)
+    val counts = prior.filter(col("__kind") === "c").select(bare: _*)
+      .unionByName(fresh.filter(col("__kind") === "c")
+        .select(bare: _*))
+      .unionByName(boundary)
+      .groupBy(col(typeCol))
+      .agg(sum(col("n_gated")).as("n_gated"),
+        sum(col("n_spike")).as("n_spike"),
+        sum(col("n_dip")).as("n_dip"),
+        sum(col("sum_absdev")).as("sum_absdev"))
+      .select(lit("c").as("__kind"), col(typeCol), col("n_gated"),
+        col("n_spike"), col("n_dip"), col("sum_absdev"),
+        nul("__user"), nul("__ts"), nul("__id"), nul("__xq"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__user"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val last = pu.unionByName(fu)
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= ControlChart.Depth).drop("__rn")
+    counts.unionByName(last)
+  }
+
   /** Streaming corpus-composition maintenance — the
     * [[graft.ops.Concentration]] gate kept live over an ingest
     * stream: per-group counts are a mergeable monoid, so each

@@ -631,6 +631,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaMaintStream: maintained gate summary == from-scratch across batches") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long, Long, String)]
+    val base = Files.createTempDirectory("graft-ewma").toString
+    val stateDir = s"$base/state"
+    val q = Streams.ewmaMaintStream(
+      input.toDF().toDF("u", "v", "ts", "id", "t"),
+      "u", "v", "ts", "id", "t", k = 3, stateDir, s"$base/chk")
+    try {
+      // u1: 13 flat observations then a spike, split 5/5/3 so rows
+      // 9-10 gate across one boundary and 11-13 across two; u2 has
+      // only 6 rows total — never gated, in either path
+      val u1 = (1 to 13).map(i =>
+        (1L, if (i == 12) 40.0 else 1.0, i.toLong, i.toLong, "a"))
+      val u2 = (1 to 6).map(i => (2L, 2.0, i.toLong, 100L + i, "b"))
+      val b1 = u1.take(5) ++ u2.take(3)
+      val b2 = u1.slice(5, 10) ++ u2.drop(3)
+      val b3 = u1.drop(10)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val state = spark.read.parquet(s"$stateDir/v2")
+      val maintained = Streams.ewmaFromState(state, "t")
+        .as[(String, Long, Long, Long, Long)].collect().toList
+      val scratch = graft.ops.ControlChart.ewmaSummary(
+          (b1 ++ b2 ++ b3).toDF("u", "v", "ts", "id", "t"),
+          "u", "v", "ts", "id", "t")
+        .as[(String, Long, Long, Long, Long)].collect().toList
+      assert(maintained == scratch)
+      // the spike at row 12 was gated across a boundary
+      assert(maintained.exists { case (t, _, sp, _, _) =>
+        t == "a" && sp >= 1L })
+      // u2 (6 rows < depth 8) never reached gated status
+      assert(!maintained.exists(_._1 == "b"))
+      // tail state: u1's trailing 8, all 6 of u2's
+      val tails = state.filter($"__kind" === "u")
+        .groupBy($"__user").count()
+        .as[(Long, Long)].collect().toMap
+      assert(tails == Map(1L -> 8L, 2L -> 6L))
+    } finally q.stop()
+  }
+
   test("pathsMaintStream: len-3 windows spanning 2 and 3 batches all counted once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
