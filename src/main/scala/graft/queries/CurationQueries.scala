@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.feature.Features
 import graft.io.Tables.table
 import graft.pipeline.Pipelines
-import graft.text.{Bpe, TextFunctions => T}
+import graft.text.{Bpe, UnigramLm, TextFunctions => T}
 
 /** Round-5 curation pack — the corpus-assembly operators a training
   * pipeline runs between raw scans and packing: exact-substring span
@@ -408,6 +408,34 @@ object CurationQueries extends QueryPack {
       bpeMerges(s, dir).orderBy(col("rank"))
     }),
 
+    // The SECOND tokenizer family (Kudo 2018 unigram LM — the
+    // SentencePiece model Llama-style tokenizers use): candidate
+    // pieces are all 1..4-char substrings of the distinct-word
+    // table weighted by corpus frequency; the vocab is all single
+    // chars (coverage) + top-512 multis; scores are floored-e6 log
+    // probabilities — integers from here on. Everything past the
+    // one corpus scan runs over the Zipf-bounded word table.
+    "q210_unigram_vocab" -> ((s, dir) =>
+      unigramVoc(s, dir)
+        .select(col("piece"), col("c").cast("long").as("c"),
+          col("score_e6"))
+        .orderBy(col("c").desc, col("piece")).limit(100)),
+
+    // The APPLICATION twin of q210: Viterbi segmentation of each
+    // word against the trained vocab (collected as the bounded
+    // integer artifact it is, broadcast to a per-word kernel). The
+    // oracle re-trains the vocab in SQL and replays the SAME
+    // integer DP level-by-level (argmax per position, ties to the
+    // longer last piece), so training AND decoding must agree
+    // end-to-end — the q151/q154 discipline for the unigram family.
+    "q211_unigram_segment" -> ((s, dir) => {
+      val words = UnigramLm
+        .wordCounts(table(s, dir, "documents"), "text")
+        .filter(length(col("w")) <= UnigramLm.MaxWordLen)
+      UnigramLm.segmentWords(words, unigramVoc(s, dir))
+        .orderBy(col("freq").desc, col("w")).limit(100)
+    }),
+
     // The tokenizer APPLICATION twin of q151: the 5 learned merges
     // (a bounded trained artifact — 5 rows reach the driver) replay
     // over the top-100 vocabulary as the expression-only
@@ -613,6 +641,109 @@ object CurationQueries extends QueryPack {
       m
     })
 
+  /** The unigram-LM vocab fit, memoized per sfDir so q210 and q211
+    * share one training pass (persisted — referenced by the segment
+    * kernel's collect AND the vocab query; the r11 re-inline
+    * lesson).
+    */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def unigramVoc(s: SparkSession, dir: String): DataFrame =
+    unigramCache.computeIfAbsent(Memo.key(s, dir), _ => {
+      val v = UnigramLm.vocab(table(s, dir, "documents"), "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      v
+    })
+
+  /** Shared DuckDB CTE chain re-training the unigram vocab: word
+    * counts → weighted substring counts → singles + top-512 multis
+    * → floored-e6 log-prob scores (MATERIALIZED — referenced by
+    * every DP level).
+    */
+  private def unigramCtes: String =
+    """WITH wc AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1
+      |    AND NOT regexp_matches(w, '[\x{10000}-\x{10FFFF}]')
+      |  GROUP BY w),
+      |pc AS (
+      |  SELECT piece, sum(freq) AS c FROM (
+      |    SELECT freq, unnest(flatten(list_transform(
+      |      generate_series(1, length(w)),
+      |      i -> list_transform(
+      |        generate_series(i, least(i + 3, length(w))),
+      |        j -> substr(w, i, j - i + 1))))) AS piece
+      |    FROM wc)
+      |  GROUP BY piece),
+      |voc AS (
+      |  SELECT piece, c FROM pc WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, c FROM (
+      |    SELECT piece, c FROM pc WHERE length(piece) >= 2
+      |    ORDER BY c DESC, piece LIMIT 512)),
+      |tot AS (SELECT sum(c) AS t FROM voc),
+      |v AS MATERIALIZED (
+      |  SELECT piece, c,
+      |    CAST(floor(1000000.0 * (ln(c) - ln(t))) AS BIGINT)
+      |      AS score_e6
+      |  FROM voc, tot)""".stripMargin
+
+  /** The unrolled Viterbi DP: one MATERIALIZED level per character
+    * position (the EM/Lloyd unrolled-CTE discipline); level j picks
+    * each word's argmax over the ≤4 lookback branches with the
+    * SAME tie rule as the kernel (score desc, longer piece desc).
+    */
+  private def unigramDpCtes(maxW: Int): String = {
+    val base =
+      s"""w0 AS (SELECT w, freq FROM wc WHERE length(w) <= $maxW),
+         |d0 AS (SELECT w, freq, CAST(0 AS BIGINT) AS score,
+         |  '' AS path FROM w0)""".stripMargin
+    val levels = (1 to maxW).map { jj =>
+      val branches = (1 to math.min(UnigramLm.MaxPieceLen, jj))
+        .map { l =>
+          s"""    SELECT d.w, d.freq, d.score + v.score_e6 AS score,
+             |      CASE WHEN d.path = '' THEN v.piece
+             |        ELSE d.path || '|' || v.piece END AS path,
+             |      $l AS l
+             |    FROM d${jj - l} d
+             |    JOIN v ON v.piece = substr(d.w, ${jj - l + 1}, $l)
+             |    WHERE length(d.w) >= $jj""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+      s"""d$jj AS MATERIALIZED (
+         |  SELECT w, freq, score, path FROM (
+         |    SELECT w, freq, score, path,
+         |      row_number() OVER (PARTITION BY w
+         |        ORDER BY score DESC, l DESC) AS rn
+         |    FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (base +: levels).mkString(",\n")
+  }
+
+  private def unigramVocabOracle: String =
+    unigramCtes +
+      """
+        |SELECT piece, CAST(c AS BIGINT) AS c, score_e6
+        |FROM v ORDER BY c DESC, piece LIMIT 100""".stripMargin
+
+  private def unigramSegmentOracle: String = {
+    val maxW = UnigramLm.MaxWordLen
+    val fin = (1 to maxW)
+      .map(j => s"SELECT w, freq, score, path FROM d$j " +
+        s"WHERE length(w) = $j")
+      .mkString(" UNION ALL ")
+    unigramCtes + ",\n" + unigramDpCtes(maxW) +
+      s"""
+         |SELECT w, CAST(freq AS BIGINT) AS freq, path AS seg,
+         |  CAST(len(string_split(path, '|')) AS BIGINT) AS n_pieces,
+         |  score AS score_e6
+         |FROM ($fin) ORDER BY freq DESC, w LIMIT 100""".stripMargin
+  }
+
   /** DuckDB replay of the FULL k-round Sennrich merge loop
     * (text.Bpe.learnMerges): round i re-counts adjacent symbol pairs
     * over the round-(i-1) segmentation, picks the argmax (count desc,
@@ -699,6 +830,8 @@ object CurationQueries extends QueryPack {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q151_bpe_learn" -> bpeLearnOracle(5),
     "q154_bpe_segment" -> bpeSegmentOracle(5),
+    "q210_unigram_vocab" -> unigramVocabOracle,
+    "q211_unigram_segment" -> unigramSegmentOracle,
     "q153_pii_redact" ->
       s"""WITH t AS (
          |  SELECT doc_id, text
