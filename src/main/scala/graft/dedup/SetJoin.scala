@@ -96,4 +96,77 @@ object SetJoin {
         expr("inter * 1000000 div uni").as("jacc_e6"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** EXACT asymmetric CONTAINMENT join: every pair (probe q, corpus
+    * doc c) with `|q∩c| / |q| ≥ tNum/tDen` — the pairwise
+    * decontamination report ("which benchmark item leaked into
+    * which training doc"), where [[jaccardJoin]]'s symmetric
+    * threshold would miss a short probe swallowed by a long doc and
+    * [[Dedup.ngramOverlapAcross]] reports per-doc fractions without
+    * attributing the probe.
+    *
+    * Same machinery as [[jaccardJoin]], asymmetric: only the PROBE
+    * side is prefix-cut (with α = ⌈t·|q|⌉ shared tokens required,
+    * pigeonhole puts one inside q's first `|q| − α + 1` tokens in
+    * ANY fixed global order); the corpus side is fully indexed —
+    * containment puts no upper bound on |c|, so there is no corpus
+    * prefix, only the length prune `|c| ≥ α` inside the join and
+    * the positional bound `min(|q|−pq, |c|−pc) ≥ α` after it (the
+    * global rare-first order makes the first shared token carry
+    * both minima). All tests integer; the SQL replay is exact.
+    *
+    * The global order is CORPUS document frequency (probe tokens
+    * absent from the corpus get df 0 — they sort into the prefix
+    * and match nothing, which only wastes prefix slots, never
+    * correctness). Scale shape: the corpus explode is the classic
+    * inverted index; candidate volume is Σ_prefix-token df with
+    * rare-first prefixes, and text never shuffles — only tokens
+    * and ids.
+    */
+  def containmentJoin(probes: DataFrame, corpus: DataFrame,
+      qIdCol: String, qSet: org.apache.spark.sql.Column,
+      cIdCol: String, cSet: org.apache.spark.sql.Column,
+      tNum: Int, tDen: Int): DataFrame = {
+    val qt = probes.select(col(qIdCol).as("__qid"), qSet.as("__qts"))
+    val ct = corpus.select(col(cIdCol).as("__cid"), cSet.as("__cts"))
+    val dfq = ct.select(explode(col("__cts")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    def sortSide(side: DataFrame, id: String, ts: String) = side
+      .select(col(id), explode(col(ts)).as("__t"))
+      .join(dfq, Seq("__t"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .groupBy(col(id))
+      .agg(expr("transform(array_sort(collect_list(struct(__df, __t)))," +
+        " x -> x.__t)").as("__sts"))
+      .withColumn("__l", size(col("__sts")))
+    val sq = sortSide(qt, "__qid", "__qts")
+    val sc = sortSide(ct, "__cid", "__cts")
+    val preQ = sq.select(col("__qid"), col("__l").as("__lq"),
+      posexplode(expr(
+        s"slice(__sts, 1, __l - ((__l * $tNum + $tDen - 1) div $tDen) + 1)"))
+        .as(Seq("__pq", "__pt")))
+    val idxC = sc.select(col("__cid"), col("__l").as("__lc"),
+      posexplode(col("__sts")).as(Seq("__pc", "__pt")))
+    val cand = preQ.join(idxC, "__pt")
+      // length prune: |c| ≥ inter ≥ α = ⌈t·|q|⌉
+      .filter(col("__lc") * tDen >= col("__lq") * tNum)
+      .groupBy(col("__qid"), col("__cid"))
+      .agg(min(col("__pq")).as("__pq"), min(col("__pc")).as("__pc"),
+        first(col("__lq")).as("__flq"), first(col("__lc")).as("__flc"))
+      // positional bound: inter ≤ min(|q|−pq, |c|−pc), 0-based p
+      .filter(least(col("__flq") - col("__pq"),
+        col("__flc") - col("__pc")) * tDen >= col("__flq") * tNum)
+      .select(col("__qid"), col("__cid"))
+    cand
+      .join(sq.select(col("__qid"), col("__sts").as("__sq"),
+        col("__l").as("__lq")), "__qid")
+      .join(sc.select(col("__cid"), col("__sts").as("__sc")), "__cid")
+      .withColumn("inter",
+        size(array_intersect(col("__sq"), col("__sc"))).cast("long"))
+      .filter(col("inter") * tDen >= col("__lq") * tNum)
+      .select(col("__qid").as("q_id"), col("__cid").as("c_id"),
+        col("inter"), col("__lq").cast("long").as("q_len"),
+        expr("inter * 1000000 div __lq").as("cont_e6"))
+      .orderBy(col("q_id"), col("c_id"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.io.Tables.table
 import graft.similarity.Ann
-import graft.text.Winnow
+import graft.text.{TextFunctions => T, Winnow}
 
 /** Deduplication + similarity-search surface (SURVEY.md M11 and the
   * LLM-pipeline extensions): exact dedup, MinHash+LSH, Jaccard
@@ -115,6 +115,28 @@ object DedupQueries extends QueryPack {
     "q183_set_join" -> ((s, dir) => {
       graft.dedup.SetJoin.jaccardJoin(withNearVariants(s, dir),
         "doc_id", Dedup.shingles(col("text"), 3), tNum = 3, tDen = 5)
+    }),
+
+    // EXACT asymmetric CONTAINMENT join (dedup.SetJoin
+    // .containmentJoin): the pairwise decontamination report —
+    // probes are the leading-12-token shingle sets of every 37th
+    // doc, and the join finds every corpus doc holding ≥ 4/5 of a
+    // probe's shingles (each probe at least hits its own source at
+    // containment 1.0). Asymmetric where q183 is symmetric: a short
+    // probe inside a long doc passes here and fails Jaccard. Only
+    // the probe side is prefix-cut; the corpus side is the fully
+    // exploded inverted index (containment bounds |c| from below
+    // only), with the length and positional prunes integer-exact.
+    "q212_containment_join" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val probes = d.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          array_distinct(T.ngramsFast(
+            slice(T.tokens(col("text")), 1, 12), 3)).as("__set"))
+      graft.dedup.SetJoin.containmentJoin(probes, d,
+        "doc_id", col("__set"),
+        "doc_id", Dedup.shingles(col("text"), 3),
+        tNum = 4, tDen = 5)
     }),
 
     // Blocked edit-distance fuzzy dedup: prefix-digest blocking
@@ -444,6 +466,32 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // brute containment via the full token join (the operator's
+    // prefix/length/positional filters are necessary-condition
+    // prunes only, so the simpler formulation is the same math)
+    "q212_containment_join" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |q AS (SELECT doc_id AS qid,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(l[1:12]) - 2),
+        |      i -> array_to_string(l[1:12][i:i+2], ' '))) AS ts
+        |  FROM tk WHERE doc_id % 37 = 0),
+        |c AS (SELECT doc_id AS cid,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(l) - 2),
+        |      i -> array_to_string(l[i:i+2], ' '))) AS ts
+        |  FROM tk),
+        |qe AS (SELECT qid, CAST(len(ts) AS BIGINT) AS lq,
+        |    unnest(ts) AS t FROM q),
+        |ce AS (SELECT cid, unnest(ts) AS t FROM c),
+        |pair AS (SELECT qid, cid, CAST(count(*) AS BIGINT) AS inter,
+        |    any_value(lq) AS lq
+        |  FROM qe JOIN ce USING (t) GROUP BY qid, cid)
+        |SELECT qid AS q_id, cid AS c_id, inter, lq AS q_len,
+        |  CAST(inter * 1000000 // lq AS BIGINT) AS cont_e6
+        |FROM pair WHERE inter * 5 >= lq * 4
+        |ORDER BY q_id, c_id""".stripMargin,
     "q183_set_join" ->
       """WITH c AS (
         |  SELECT doc_id, text FROM documents
