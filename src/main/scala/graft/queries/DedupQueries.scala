@@ -139,6 +139,24 @@ object DedupQueries extends QueryPack {
         tNum = 4, tDen = 5)
     }),
 
+    // KMV set algebra (ops.DistinctSketch.overlapReport): the
+    // distinct-shingle overlap between two corpus halves estimated
+    // from two 64-long sketches ALONE — at 100 TB this replaces the
+    // distinct-intersection join (which shuffles every key) with
+    // two bounded scans and ≤192 longs of state. Every number in
+    // the report is an exact integer function of the data (KMV has
+    // no engine-private bias correction), so the DuckDB oracle
+    // replays the estimates themselves, not just the inputs.
+    "q213_kmv_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      def keys(p: DataFrame) =
+        p.select(explode(Dedup.shingles(col("text"), 3)).as("__s"))
+      graft.ops.DistinctSketch.overlapReport(
+        keys(d.filter(length(col("source")) === 4)), col("__s"),
+        keys(d.filter(length(col("source")) === 5)), col("__s"),
+        k = 64)
+    }),
+
     // Blocked edit-distance fuzzy dedup: prefix-digest blocking
     // turns all-pairs Levenshtein into an equi-join; the THRESHOLDED
     // banded DP (3-arg levenshtein) bounds per-pair cost. Catches
@@ -466,6 +484,43 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the estimates THEMSELVES replay: k-min sketches are exact
+    // integer functions of the hashed key sets
+    "q213_kmv_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(text, ' ') AS l FROM documents),
+        |win AS (SELECT source,
+        |    unnest(list_transform(generate_series(1, len(l) - 2),
+        |      i -> array_to_string(l[i:i+2], ' '))) AS s
+        |  FROM tk),
+        |ha AS (SELECT DISTINCT CAST(CAST('0x'
+        |    || substr(md5(s), 1, 12) AS UBIGINT) AS BIGINT) AS hv
+        |  FROM win WHERE length(source) = 4),
+        |hb AS (SELECT DISTINCT CAST(CAST('0x'
+        |    || substr(md5(s), 1, 12) AS UBIGINT) AS BIGINT) AS hv
+        |  FROM win WHERE length(source) = 5),
+        |sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+        |sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+        |su AS (SELECT hv FROM (
+        |    SELECT hv FROM sa UNION SELECT hv FROM sb)
+        |  ORDER BY hv LIMIT 64),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS k_a,
+        |    CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE (count(*) - 1) * 281474976710656 // max(hv) END
+        |      AS BIGINT) AS est_a FROM sa),
+        |eb AS (SELECT CAST(count(*) AS BIGINT) AS k_b,
+        |    CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE (count(*) - 1) * 281474976710656 // max(hv) END
+        |      AS BIGINT) AS est_b FROM sb),
+        |eu AS (SELECT CAST(count(*) AS BIGINT) AS k_u,
+        |    CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE (count(*) - 1) * 281474976710656 // max(hv) END
+        |      AS BIGINT) AS est_u FROM su),
+        |ia AS (SELECT CAST(count(*) AS BIGINT) AS inter_in_k
+        |  FROM su JOIN sa USING (hv) JOIN sb USING (hv))
+        |SELECT k_a, est_a, k_b, est_b, k_u, est_u, inter_in_k,
+        |  CAST(inter_in_k * est_u // k_u AS BIGINT) AS est_inter
+        |FROM ea, eb, eu, ia""".stripMargin,
     // brute containment via the full token join (the operator's
     // prefix/length/positional filters are necessary-condition
     // prunes only, so the simpler formulation is the same math)
