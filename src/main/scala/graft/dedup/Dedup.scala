@@ -659,4 +659,53 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995) —
+    * the FOURTH blocking family beside exact-prefix digests
+    * ([[editDistancePairs]]), LSH bands and PPJoin prefixes: sort
+    * the corpus once by a semantic key (leading `keyLen` chars,
+    * id-tiebroken — a total order), then compare each record only
+    * against its next `window−1` sort neighbors, Jaccard-verified
+    * on shingle sets with the integer threshold math of
+    * [[SetJoin]]. Candidate count is EXACTLY `(window−1)·n` — the
+    * linear-cost method record linkage reaches for when key skew
+    * makes equality blocks explode; the price is recall bounded by
+    * the window (a pair whose keys sort far apart is missed, by
+    * documented contract — LSH covers that regime).
+    *
+    * Scale shape: one distributed sort (range-partitioned, the
+    * gapless `zipWithIndex` op — no single-partition row_number),
+    * one ≤(window−1)-wide index explode, one id-keyed equi-join.
+    * Shingle arrays shuffle once; text never does.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, keyLen: Int = 40, window: Int = 8,
+      tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    val keyed = docs.select(col(idCol), col(textCol))
+      .withColumn("__sk", substring(col(textCol), 1, keyLen))
+    val idx = graft.ops.Relational
+      .zipWithIndex(keyed, "__ix", Seq(col("__sk"), col(idCol)))
+      .withColumn("__sh", shingles(col(textCol), 3))
+      .select(col("__ix"), col(idCol).as("__id"), col("__sh"),
+        size(col("__sh")).as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // materialize: referenced by both sides of the join
+    val probes = idx.select(col("__ix"), col("__id").as("__ida"),
+        col("__sh").as("__sa"), col("__l").as("__la"),
+        explode(sequence(col("__ix") + 1,
+          col("__ix") + (window - 1))).as("__ib"))
+    probes
+      .join(idx.select(col("__ix").as("__ib"), col("__id").as("__idb"),
+        col("__sh").as("__sb"), col("__l").as("__lb")), "__ib")
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("uni",
+        (col("__la") + col("__lb")).cast("long") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        col("inter"), col("uni"),
+        expr("inter * 1000000 div uni").as("jacc_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -139,6 +139,21 @@ object DedupQueries extends QueryPack {
         tNum = 4, tDen = 5)
     }),
 
+    // Sorted-neighborhood near-dup pairs (Dedup
+    // .sortedNeighborhoodPairs): the FOURTH blocking family beside
+    // exact-prefix digests (q168), LSH bands (q44) and PPJoin
+    // prefixes (q183) — one distributed sort by the leading-40-char
+    // key, then each record meets only its next 7 sort neighbors.
+    // Candidate count is exactly 7n whatever the key skew (the
+    // failure mode that explodes equality blocks); recall is
+    // window-bounded by documented contract. Same corpus and
+    // threshold as q183, so the found pairs are directly
+    // comparable.
+    "q214_sorted_neighborhood" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodPairs(withNearVariants(s, dir),
+        "doc_id", "text", keyLen = 40, window = 8, tNum = 3, tDen = 5)
+    }),
+
     // KMV set algebra (ops.DistinctSketch.overlapReport): the
     // distinct-shingle overlap between two corpus halves estimated
     // from two 64-long sketches ALONE — at 100 TB this replaces the
@@ -484,6 +499,36 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the full replay: same sort key, same neighbor window, same
+    // integer Jaccard threshold
+    "q214_sorted_neighborhood" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    text || ' nd' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ix AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY substr(text, 1, 40), doc_id)
+        |      AS ix
+        |  FROM c),
+        |sh AS (SELECT doc_id, ix,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |      AS s
+        |  FROM ix),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b
+        |    ON b.ix > a.ix AND b.ix <= a.ix + 7)
+        |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+        |  inter, uni,
+        |  CAST(inter * 1000000 // uni AS BIGINT) AS jacc_e6
+        |FROM p WHERE inter * 5 >= uni * 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // the estimates THEMSELVES replay: k-min sketches are exact
     // integer functions of the hashed key sets
     "q213_kmv_overlap" ->
