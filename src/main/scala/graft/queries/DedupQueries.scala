@@ -139,6 +139,46 @@ object DedupQueries extends QueryPack {
         tNum = 4, tDen = 5)
     }),
 
+    // Fellegi-Sunter record linkage (ops.Linkage): entity
+    // resolution over STRUCTURED records — the customer catalog
+    // plus two injected re-registration shapes (key changed, name
+    // restyled, balance drifted 1.37 → "match"; key changed, name
+    // kept, balance drifted 777.77 → "possible"). Integer
+    // field-agreement weights (scaled log-likelihood ratios, the
+    // form production linkage tables ship in), blocking on
+    // (nation, segment) — pair count is block-bounded and the
+    // non-match mass never survives the projection.
+    "q215_record_linkage" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val close = c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("Cust#"), expr("right(c_name, 9)")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + 1.37).as("c_acctbal"),
+          col("c_mktsegment"))
+      val stale = c.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 777.77).as("c_acctbal"),
+          col("c_mktsegment"))
+      val pairs = graft.ops.Linkage.blockPairs(
+        c.unionByName(close).unionByName(stale),
+        "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+      def cents(cc: org.apache.spark.sql.Column) =
+        floor(cc * 100).cast("long")
+      graft.ops.Linkage.fsClassify(pairs, Seq(
+          (expr("right(c_name_a, 9)") === expr("right(c_name_b, 9)"),
+            34, -18),
+          (abs(cents(col("c_acctbal_a")) - cents(col("c_acctbal_b")))
+            <= 500, 10, -15),
+          (col("c_name_a") === col("c_name_b"), 8, 0)),
+        matchMin = 40, possibleMin = 10)
+        .select(col("id_a"), col("id_b"), col("score"), col("cls"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Sorted-neighborhood near-dup pairs (Dedup
     // .sortedNeighborhoodPairs): the FOURTH blocking family beside
     // exact-prefix digests (q168), LSH bands (q44) and PPJoin
@@ -499,6 +539,37 @@ object DedupQueries extends QueryPack {
        |wfp AS (SELECT DISTINCT doc_id, mh AS h FROM wwin WHERE cnt = 4)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // integer weights replay exactly; the only doubles are the
+    // +1.37/+777.77 drifts, floored to cents before comparison
+    "q215_record_linkage" ->
+      """WITH c0 AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment FROM customer),
+        |v AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'Cust#' || right(c_name, 9) AS c_name, c_nationkey,
+        |    c_acctbal + 1.37 AS c_acctbal, c_mktsegment
+        |  FROM c0 WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_nationkey,
+        |    c_acctbal + 777.77, c_mktsegment
+        |  FROM c0 WHERE c_custkey % 17 = 0),
+        |u AS (SELECT * FROM c0 UNION ALL SELECT * FROM v),
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CASE WHEN right(a.c_name, 9) = right(b.c_name, 9)
+        |      THEN 34 ELSE -18 END
+        |  + CASE WHEN abs(CAST(floor(a.c_acctbal * 100) AS BIGINT)
+        |      - CAST(floor(b.c_acctbal * 100) AS BIGINT)) <= 500
+        |      THEN 10 ELSE -15 END
+        |  + CASE WHEN a.c_name = b.c_name THEN 8 ELSE 0 END AS score
+        |  FROM u a JOIN u b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 40 THEN 'match'
+        |    ELSE 'possible' END AS cls
+        |FROM p WHERE score >= 10 ORDER BY id_a, id_b""".stripMargin,
     // the full replay: same sort key, same neighbor window, same
     // integer Jaccard threshold
     "q214_sorted_neighborhood" ->
