@@ -268,6 +268,22 @@ object RelationalQueries extends QueryPack {
         })
     }),
 
+    // Privacy release gate (ops.Privacy): k-anonymity and
+    // l-diversity over the customer catalog — QI = (nation,
+    // $500 balance bucket), sensitive = market segment. The PII
+    // scrubber (q91/q153) removes DIRECT identifiers; this measures
+    // the INDIRECT ones a released table still leaks. One QI-keyed
+    // two-level aggregate (no per-group value set materializes),
+    // 1-row summary out.
+    "q216_anonymity_gate" -> ((s, dir) => {
+      graft.ops.Privacy.anonymityReport(
+        table(s, dir, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 500).cast("long").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment",
+        k = 5, l = 3)
+    }),
+
     // Union + distinct (U1) across two inputs.
     "q10_union_distinct" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -466,6 +482,25 @@ object RelationalQueries extends QueryPack {
         |   LEFT JOIN b ON b.k = pass.k WHERE b.k IS NULL)
         |    AS n_false_pos""".stripMargin,
     "q177_data_checks" -> dqOracle,
+    "q216_anonymity_gate" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+        |      AS n_sensitive
+        |  FROM customer GROUP BY c_nationkey, bal_bucket)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k_violations,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS l_violations,
+        |  min(n) AS k_achieved,
+        |  min(n_sensitive) AS l_achieved
+        |FROM g""".stripMargin,
     "q167_zorder_layout" -> {
       val z = graft.io.Zorder.zvalueSql("sa", "sb")
       s"""WITH st AS (
