@@ -408,6 +408,21 @@ object CurationQueries extends QueryPack {
       bpeMerges(s, dir).orderBy(col("rank"))
     }),
 
+    // Positional inverted-index phrase search (text.InvertedIndex):
+    // the retrieval primitive under the ranking surface (TF-IDF/
+    // BM25/RRF rank; this answers exact-phrase containment). The
+    // postings build is one scan + posexplode; the phrase query is
+    // |phrase|−1 equi-joins on (doc, adjacent position) — work
+    // scales with the terms' posting lists, never the corpus, and
+    // at 100 TB the postings table is bucketed by token so the
+    // joins co-locate.
+    "q217_phrase_search" -> ((s, dir) => {
+      val post = graft.text.InvertedIndex.postings(
+        table(s, dir, "documents"), "doc_id", "text")
+      graft.text.InvertedIndex.phraseHits(post, "doc_id",
+        Seq("hash", "join"))
+    }),
+
     // The SECOND tokenizer family (Kudo 2018 unigram LM — the
     // SentencePiece model Llama-style tokenizers use): candidate
     // pieces are all 1..4-char substrings of the distinct-word
@@ -830,6 +845,16 @@ object CurationQueries extends QueryPack {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q151_bpe_learn" -> bpeLearnOracle(5),
     "q154_bpe_segment" -> bpeSegmentOracle(5),
+    "q217_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(len(list_filter(generate_series(1, len(l) - 1),
+        |      i -> l[i] = 'hash' AND l[i+1] = 'join')) AS BIGINT)
+        |      AS n_hits
+        |  FROM tk)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q210_unigram_vocab" -> unigramVocabOracle,
     "q211_unigram_segment" -> unigramSegmentOracle,
     "q153_pii_redact" ->

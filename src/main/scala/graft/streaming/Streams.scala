@@ -885,6 +885,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming distinct-cardinality maintenance — the
+    * [[graft.ops.DistinctSketch]] KMV sketch kept live over an
+    * ingest stream: k-min hash sets are a mergeable monoid (union
+    * then re-take the k smallest), so each micro-batch sketches
+    * only its own rows and merges ≤ 2k longs into the versioned
+    * state; `DistinctSketch`-style estimates read off the state at
+    * any time. The distinct-count twin of the concentration
+    * maintainer; StreamsSpec pins maintained == from-scratch.
+    */
+  def kmvMaintStream(events: DataFrame, keyCol: String, k: Int,
+      stateDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          graft.ops.DistinctSketch.sketchOf(batch, col(keyCol), k))(
+          (prior, fresh) => prior.unionByName(fresh).distinct()
+            .orderBy(col("__h")).limit(k))
+      }
+      .start()
+
   /** The shared versioned-state-dir mechanics of every foreachBatch
     * maintenance stream (rollup, funnel, retention): merge the
     * batch's state with the latest prior version and write

@@ -631,6 +631,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvMaintStream: maintained sketch == sketch of everything seen") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val base = Files.createTempDirectory("graft-kmv").toString
+    val stateDir = s"$base/state"
+    val q = Streams.kmvMaintStream(
+      input.toDF().toDF("k"), "k", k = 32, stateDir, s"$base/chk")
+    try {
+      val b1 = (0 until 300).map(i => s"u${i % 170}")
+      val b2 = (0 until 300).map(i => s"u${i % 110 + 120}")
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val maintained = spark.read.parquet(s"$stateDir/v1")
+        .orderBy($"__h").as[Long].collect().toList
+      val scratch = graft.ops.DistinctSketch
+        .sketchOf((b1 ++ b2).toDF("k"), col("k"), 32)
+        .as[Long].collect().toList
+      assert(maintained == scratch && maintained.size == 32)
+    } finally q.stop()
+  }
+
   test("ewmaMaintStream: maintained gate summary == from-scratch across batches") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
