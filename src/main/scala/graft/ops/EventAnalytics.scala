@@ -202,4 +202,84 @@ object EventAnalytics {
       tsCol: String, steps: Seq[String]): DataFrame =
     events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol), col(typeCol), col(tsCol)).distinct()
+
+  /** Multi-touch conversion attribution — the credit-assignment
+    * question funnels don't answer: for each conversion, WHICH
+    * preceding touch gets the credit. First-touch, last-touch and
+    * linear models computed in one pass: touches inside the
+    * `windowMs` lookback of each conversion (strictly before it)
+    * rank by (ts, id); linear credit is exact-integer e6 fixed
+    * point — `1e6 div n` per touch with the remainder assigned to
+    * the LAST touch, so credits sum to exactly 1e6 per converted
+    * conversion and the whole model replays in SQL.
+    *
+    * Scale shape: one user-keyed equi-join (conversions × touches,
+    * the time bound as join-condition filter), then a window
+    * partitioned by CONVERSION id (high-cardinality — parallel),
+    * then a |touch types|-bounded aggregate. Conversions with no
+    * in-window touch drop (unattributable).
+    */
+  def touchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      convType: String, touchTypes: Seq[String],
+      windowMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"),
+        unix_millis(col(tsCol)).as("__tc"), col(idCol).as("__cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("touch_type"),
+        unix_millis(col(tsCol)).as("__tt"), col(idCol).as("__tid"))
+    val j = conv.join(touch, Seq("__u"))
+      .filter(col("__tt") >= col("__tc") - windowMs &&
+        col("__tt") < col("__tc"))
+    val byConv = Window.partitionBy(col("__cid"))
+    val ranked = j
+      .withColumn("__rn", row_number().over(
+        byConv.orderBy(col("__tt"), col("__tid"))))
+      .withColumn("__n", count(lit(1)).over(byConv))
+    ranked.groupBy(col("touch_type"))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__rn") === col("__n"), 1L).otherwise(0L))
+          .as("n_last"),
+        sum(expr("1000000L div __n") +
+          when(col("__rn") === col("__n"), expr("1000000L % __n"))
+            .otherwise(lit(0L))).as("credit_e6"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** SCD type-2 history build — the warehouse primitive that turns
+    * an update stream into validity intervals: per key, ordered by
+    * (ts, id), collapse no-op updates (same fx-e2 value as the
+    * previous row), then each surviving change is valid from its
+    * own timestamp until the next change (`valid_to_us` NULL on the
+    * current row), with a per-key version number. All integer
+    * (epoch MICROS — the ts column's full resolution, so the window
+    * order equals true event order; fx-e2 values), fully
+    * SQL-replayable.
+    *
+    * Scale shape: two window passes over the SAME key-partitioned
+    * (ts, id) frame — Catalyst plans them into one sort — and a
+    * filter between; no joins, no global sort.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String,
+      valCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(idCol))
+    val changes = events
+      .select(col(keyCol), col(idCol),
+        unix_micros(col(tsCol)).as("__us"),
+        floor(col(valCol) * 100).cast("long").as("__fx"))
+      .withColumn("__prev", lag(col("__fx"), 1).over(w))
+      .filter(col("__prev").isNull || col("__fx") =!= col("__prev"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w))
+      .select(col(keyCol), col("version"),
+        col("__fx").as("value_fx"), col("__us").as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
 }

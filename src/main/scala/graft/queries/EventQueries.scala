@@ -288,6 +288,32 @@ object EventQueries extends QueryPack {
         "user_id", "value", "ts", "event_id", "event_type")
     }),
 
+    // Multi-touch conversion attribution (ops.EventAnalytics
+    // .touchAttribution): first/last/linear credit for every
+    // purchase's preceding view/click touches inside a 3-day
+    // lookback. Linear credit is exact-integer e6 fixed point with
+    // the division remainder assigned to the last touch, so credits
+    // sum to exactly 1e6 per attributed conversion and the whole
+    // model replays in SQL. One user-keyed join, one conversion-
+    // keyed window, |touch types|-bounded output.
+    "q218_touch_attribution" -> ((s, dir) =>
+      graft.ops.EventAnalytics.touchAttribution(
+        table(s, dir, "events"), "user_id", "event_type", "ts",
+        "event_id", convType = "purchase",
+        touchTypes = Seq("view", "click"),
+        windowMs = 3L * 24 * 3600 * 1000)),
+
+    // SCD type-2 history build (ops.EventAnalytics.scd2Intervals):
+    // the update stream becomes validity intervals — no-op updates
+    // (same fx-e2 value as the previous row) collapse, each change
+    // is valid until the next, NULL valid_to on the current row.
+    // Epoch-micros arithmetic (the ts column's full resolution) so
+    // the window order is true event order in both engines.
+    "q219_scd2_history" -> ((s, dir) =>
+      graft.ops.EventAnalytics.scd2Intervals(table(s, dir, "events"),
+        "user_id", "value", "ts", "event_id")
+        .orderBy(col("user_id"), col("version")).limit(500)),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -301,6 +327,53 @@ object EventQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // exact-integer credit replay: 1e6 div n + remainder-to-last
+    "q218_touch_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS cid, epoch_ms(ts) AS tc
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS touch_type,
+        |    epoch_ms(ts) AS tt, event_id AS tid
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.cid, t.touch_type, t.tt, t.tid
+        |  FROM conv c JOIN t USING (user_id)
+        |  WHERE t.tt >= c.tc - 259200000 AND t.tt < c.tc),
+        |r AS (SELECT cid, touch_type,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY tt, tid) AS rn,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM j)
+        |SELECT touch_type,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first,
+        |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_last,
+        |  CAST(sum(1000000 // n
+        |    + CASE WHEN rn = n THEN 1000000 % n ELSE 0 END)
+        |    AS BIGINT) AS credit_e6
+        |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // full interval replay on epoch micros
+    "q219_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, us, fx,
+        |    lag(fx) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, us, fx FROM ch
+        |  WHERE prev IS NULL OR fx != prev),
+        |v AS (SELECT user_id,
+        |    CAST(row_number() OVER w AS INT) AS version,
+        |    fx AS value_fx, us AS valid_from_us,
+        |    lead(us) OVER w AS valid_to_us
+        |  FROM f WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id))
+        |SELECT user_id, version, value_fx, valid_from_us,
+        |  valid_to_us, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version LIMIT 500""".stripMargin,
     // identical to q208's from-scratch summary BY DESIGN: the
     // oracle is what proves the maintenance path is cut-invariant
     "q209_incr_ewma" ->
