@@ -65,6 +65,31 @@ object GraphQueries extends QueryPack {
       graft.graph.Triangles.stats(edges, "pa", "pb")
     }),
 
+    // 2-hop neighborhood feature aggregation (graph.NeighborAgg):
+    // the GraphSAGE mean-aggregate shape over the q181 co-order
+    // graph — per part, the 1-hop integer-div mean of neighbor
+    // prices (fx-e2) and the 2-hop mean of neighbor h1. Each hop is
+    // one edge-feature equi-join + one node-keyed aggregate, the
+    // message-passing round GNN preprocessing runs at any scale.
+    "q220_graph_features" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.join(li.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("pa"), col("p2").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(col("pa"), col("pb"))
+      val feats = table(s, dir, "part").select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("fx"))
+      graft.graph.NeighborAgg.twoHopMeans(edges, "pa", "pb",
+        feats, "p_partkey", "fx")
+        .withColumnRenamed("p_partkey", "part")
+        .orderBy(col("part")).limit(200)
+    }),
+
     // Top-3 phrases per doc by summed node scores.
     "q67_textrank_phrases" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -107,6 +132,30 @@ object GraphQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // both hops replayed as integer-div means over the same
+    // thresholded edge list
+    "q220_graph_features" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY x, y HAVING count(*) >= 2),
+        |sym AS (SELECT x AS s, y AS d FROM e
+        |  UNION ALL SELECT y AS s, x AS d FROM e),
+        |f AS (SELECT p_partkey AS d,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS fx
+        |  FROM part),
+        |h1 AS (SELECT s, CAST(count(*) AS BIGINT) AS deg,
+        |    CAST(sum(fx) // count(*) AS BIGINT) AS h1
+        |  FROM sym JOIN f USING (d) GROUP BY s),
+        |h2 AS (SELECT sym.s AS s,
+        |    CAST(sum(h1.h1) // count(*) AS BIGINT) AS h2
+        |  FROM sym JOIN h1 ON sym.d = h1.s GROUP BY sym.s)
+        |SELECT h1.s AS part, h1.deg, h1.h1, h2.h2
+        |FROM h1 JOIN h2 ON h1.s = h2.s
+        |ORDER BY part LIMIT 200""".stripMargin,
     "q181_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
