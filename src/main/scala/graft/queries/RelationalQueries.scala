@@ -268,6 +268,25 @@ object RelationalQueries extends QueryPack {
         })
     }),
 
+    // Exact ε-band join (ops.BandJoin): |x_l − x_r| ≤ ε as a
+    // bucketed equi-join — the theta-join Spark would plan as a
+    // broadcast nested loop becomes a 3-bucket explode + equi-join
+    // with candidate volume 3× the true in-band density, never n·m.
+    // Here: per part, how many OTHER parts price within 10 cents.
+    // The oracle takes DuckDB's native range-join path (BETWEEN) —
+    // two different engine strategies, one exact answer.
+    "q221_band_join" -> ((s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey").as("k"),
+        floor(col("p_retailprice") * 100).cast("long").as("fx"))
+      graft.ops.BandJoin.bandPairs(p, "k", "fx", p, "k", "fx",
+        eps = 10L)
+        .filter(col("id_l") =!= col("id_r"))
+        .groupBy(col("id_l"))
+        .agg(count(lit(1)).as("n_in_band"))
+        .select(col("id_l").as("part"), col("n_in_band"))
+        .orderBy(col("part")).limit(200)
+    }),
+
     // Privacy release gate (ops.Privacy): k-anonymity and
     // l-diversity over the customer catalog — QI = (nation,
     // $500 balance bucket), sensitive = market segment. The PII
@@ -482,6 +501,15 @@ object RelationalQueries extends QueryPack {
         |   LEFT JOIN b ON b.k = pass.k WHERE b.k IS NULL)
         |    AS n_false_pos""".stripMargin,
     "q177_data_checks" -> dqOracle,
+    "q221_band_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS k,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS fx
+        |  FROM part)
+        |SELECT a.k AS part, CAST(count(*) AS BIGINT) AS n_in_band
+        |FROM p a JOIN p b
+        |  ON b.fx BETWEEN a.fx - 10 AND a.fx + 10 AND a.k != b.k
+        |GROUP BY a.k ORDER BY part LIMIT 200""".stripMargin,
     "q216_anonymity_gate" ->
       """WITH g AS (
         |  SELECT c_nationkey,
