@@ -314,6 +314,26 @@ object EventQueries extends QueryPack {
         "user_id", "value", "ts", "event_id")
         .orderBy(col("user_id"), col("version")).limit(500)),
 
+    // The q206 cut-invariance proof for INTERVAL state (Streams
+    // .scd2MaintainBatch): the midpoint cut severs every user's
+    // change chain; the maintenance path must close the first
+    // half's current rows at the second half's first surviving
+    // change, collapse cross-boundary no-ops, and renumber
+    // versions — and the oracle (the from-scratch q219 intervals)
+    // hash-verifies all of it.
+    "q222_incr_scd2" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(2L)).cast("long").as("__cut"))
+      val cut = ev.crossJoin(broadcast(mid))
+      Streams.scd2MaintainBatch(
+        cut.filter(unix_micros(col("ts")) < col("__cut")).drop("__cut"),
+        cut.filter(unix_micros(col("ts")) >= col("__cut")).drop("__cut"),
+        "user_id", "value", "ts", "event_id")
+        .orderBy(col("user_id"), col("version")).limit(500)
+    }),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -353,6 +373,28 @@ object EventQueries extends QueryPack {
         |    + CASE WHEN rn = n THEN 1000000 % n ELSE 0 END)
         |    AS BIGINT) AS credit_e6
         |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // identical to q219's from-scratch intervals BY DESIGN: the
+    // oracle is what proves the interval maintenance cut-invariant
+    "q222_incr_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS fx
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, us, fx,
+        |    lag(fx) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, us, fx FROM ch
+        |  WHERE prev IS NULL OR fx != prev),
+        |v AS (SELECT user_id,
+        |    CAST(row_number() OVER w AS INT) AS version,
+        |    fx AS value_fx, us AS valid_from_us,
+        |    lead(us) OVER w AS valid_to_us
+        |  FROM f WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id))
+        |SELECT user_id, version, value_fx, valid_from_us,
+        |  valid_to_us, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version LIMIT 500""".stripMargin,
     // full interval replay on epoch micros
     "q219_scd2_history" ->
       """WITH e AS (

@@ -885,6 +885,92 @@ object Streams {
       }
       .start()
 
+  /** Streaming SCD2 history maintenance —
+    * [[graft.ops.EventAnalytics.scd2Intervals]] kept live: each
+    * micro-batch computes its OWN interval relation (in-batch
+    * collapse included) and merges against the prior state with one
+    * boundary rule per key — if the batch's first change equals the
+    * prior current value, that change is a no-op (drop it, the
+    * prior current row extends through it); otherwise the prior
+    * current row closes at the batch's first change. Versions shift
+    * by the prior per-key maximum. The merge touches each key's
+    * CURRENT row plus the batch's own rows — O(batch + keys), the
+    * history body is carried, never recomputed.
+    */
+  def scd2MaintStream(events: DataFrame, keyCol: String,
+      valCol: String, tsCol: String, idCol: String, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fresh = graft.ops.EventAnalytics.scd2Intervals(batch,
+          keyCol, valCol, tsCol, idCol)
+        val merged =
+          latestVersion(batch.sparkSession, stateDir, id) match {
+            case Some(prior) => mergeScd2(prior, fresh, keyCol)
+            case None => fresh
+          }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/v$id")
+      }
+      .start()
+
+  /** The two-phase SCD2 maintenance as a batch computation (q222):
+    * intervals from `first`, merged with `second`'s — the q206
+    * cut-invariance discipline for INTERVAL state, proved by the
+    * from-scratch q219 oracle.
+    */
+  def scd2MaintainBatch(first: DataFrame, second: DataFrame,
+      keyCol: String, valCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val s0 = graft.ops.EventAnalytics.scd2Intervals(first, keyCol,
+      valCol, tsCol, idCol)
+    val s1 = graft.ops.EventAnalytics.scd2Intervals(second, keyCol,
+      valCol, tsCol, idCol)
+    mergeScd2(s0, s1, keyCol)
+  }
+
+  private def mergeScd2(prior: DataFrame, fresh: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = Seq(keyCol, "version", "value_fx", "valid_from_us",
+      "valid_to_us", "is_current").map(col)
+    // each key's prior summit: current value and max version
+    val summit = prior.filter(col("is_current"))
+      .select(col(keyCol), col("value_fx").as("__curfx"))
+      .join(prior.groupBy(col(keyCol))
+        .agg(max(col("version")).as("__vmax")), keyCol)
+    // boundary rule: the batch's first change collapses iff it
+    // repeats the prior current value
+    val f = fresh.join(summit, Seq(keyCol), "left")
+    val surviving = f.filter(col("__curfx").isNull ||
+      col("version") > 1 || col("value_fx") =!= col("__curfx"))
+    // recompute the surviving-fresh chain per key: version renumber
+    // and valid_to re-chain (dropping v1 breaks both)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("valid_from_us"))
+    val chained = surviving
+      .withColumn("version",
+        (row_number().over(w) + coalesce(col("__vmax"), lit(0)))
+          .cast("int"))
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(cols: _*)
+    // keys whose fresh rows ALL collapsed (single no-op change):
+    // prior current stays open; otherwise it closes at the first
+    // surviving fresh change
+    val firstSurv = chained.groupBy(col(keyCol))
+      .agg(min(col("valid_from_us")).as("__close"))
+    val priorAdj = prior.join(firstSurv, Seq(keyCol), "left")
+      .withColumn("valid_to_us",
+        when(col("is_current") && col("__close").isNotNull,
+          col("__close")).otherwise(col("valid_to_us")))
+      .withColumn("is_current",
+        col("is_current") && col("__close").isNull)
+      .select(cols: _*)
+    priorAdj.unionByName(chained)
+  }
+
   /** Streaming distinct-cardinality maintenance — the
     * [[graft.ops.DistinctSketch]] KMV sketch kept live over an
     * ingest stream: k-min hash sets are a mergeable monoid (union

@@ -631,6 +631,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2MaintStream: maintained intervals == from-scratch across batches") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long, Long)]
+    val base = Files.createTempDirectory("graft-scd2").toString
+    val stateDir = s"$base/state"
+    val q = Streams.scd2MaintStream(
+      input.toDF().toDF("u", "v", "ts0", "id")
+        .withColumn("ts", timestamp_micros($"ts0")),
+      "u", "v", "ts", "id", stateDir, s"$base/chk")
+    try {
+      // u1: change, boundary NO-OP (1.0 again), change, change —
+      // the cross-boundary collapse and the close both exercise;
+      // u2 appears only in batch 2; u3 only in batch 1 (untouched
+      // carry); batch 3 repeats u2's last value (all-collapse batch)
+      val b1 = Seq((1L, 1.0, 1000L, 1L), (1L, 2.0, 2000L, 2L),
+        (1L, 1.0, 3000L, 3L), (3L, 9.0, 1000L, 4L))
+      val b2 = Seq((1L, 1.0, 4000L, 5L), (1L, 4.0, 5000L, 6L),
+        (2L, 7.0, 4500L, 7L))
+      val b3 = Seq((2L, 7.0, 6000L, 8L), (1L, 5.0, 7000L, 9L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val maintained = spark.read.parquet(s"$stateDir/v2")
+        .orderBy($"u", $"version")
+        .as[(Long, Int, Long, Long, Option[Long], Boolean)]
+        .collect().toList
+      val scratch = graft.ops.EventAnalytics.scd2Intervals(
+          (b1 ++ b2 ++ b3).toDF("u", "v", "ts0", "id")
+            .withColumn("ts", timestamp_micros($"ts0")),
+          "u", "v", "ts", "id")
+        .orderBy($"u", $"version")
+        .as[(Long, Int, Long, Long, Option[Long], Boolean)]
+        .collect().toList
+      assert(maintained == scratch)
+      // the boundary no-op collapsed: u1's value-1.0 interval at
+      // version 3 spans THROUGH the batch-2 repeat (closes at the
+      // 4.0 change, us=5000)
+      assert(maintained.exists { case (u, ver, fx, from, to, _) =>
+        u == 1L && ver == 3 && fx == 100L && to.contains(5000L) })
+      // u3 carried untouched and current
+      assert(maintained.exists { case (u, _, fx, _, to, cur) =>
+        u == 3L && fx == 900L && to.isEmpty && cur })
+    } finally q.stop()
+  }
+
   test("kmvMaintStream: maintained sketch == sketch of everything seen") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
