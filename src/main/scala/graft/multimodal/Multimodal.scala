@@ -270,6 +270,38 @@ object Multimodal {
       dHash56(pixels.toArray, w, h)
     }
 
+  /** ViT-style patch grid: a decoded gray image split into
+    * (w/pw)×(h/ph) non-overlapping patches with exact-integer
+    * per-patch stats — the patch-embedding input layout a vision
+    * training pipeline materializes before the model ever sees a
+    * pixel. Rows: (patch_row, patch_col, sum, min, max).
+    */
+  private[graft] def patchStats(pixels: Array[Int], w: Int, h: Int,
+      pw: Int, ph: Int): Seq[(Int, Int, Long, Int, Int)] = {
+    require(w % pw == 0 && h % ph == 0,
+      s"patch grid needs dims divisible by ${pw}x$ph, got ${w}x$h")
+    for (pr <- 0 until h / ph; pc <- 0 until w / pw) yield {
+      var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var y = pr * ph
+      while (y < (pr + 1) * ph) {
+        var x = pc * pw
+        while (x < (pc + 1) * pw) {
+          val p = pixels(y * w + x)
+          s += p; if (p < mn) mn = p; if (p > mx) mx = p
+          x += 1
+        }
+        y += 1
+      }
+      (pr, pc, s, mn, mx)
+    }
+  }
+
+  /** UDF: decoded pixels + dims + patch dims → patch-stat rows. */
+  def patchStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (pixels: Seq[Int], w: Int, h: Int, pw: Int, ph: Int) =>
+      patchStats(pixels.toArray, w, h, pw, ph)
+    }
+
   // ---- REAL lossy pixel codec (JDK javax.imageio JPEG plugin) ----
   // The last documented pixel-codec stub closes here: encode writes a
   // genuine baseline JFIF JPEG (real DCT, real Huffman tables — any

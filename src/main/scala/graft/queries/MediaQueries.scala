@@ -132,6 +132,27 @@ object MediaQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ViT-style patch-grid extraction (Multimodal.patchStats): the
+    // q144 images decoded through the REAL PNG reader, split into
+    // 4x4 patches with exact-integer per-patch stats — the patch-
+    // embedding input layout a vision pipeline materializes. The
+    // oracle replays pixel formula → patch sums with no codec, so
+    // an encoder, decoder, OR patch-walk bug breaks the match.
+    "q223_image_patches" -> ((s, dir) => {
+      table(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(Multimodal.patchStatsUdf(
+            Multimodal.pngDecodeGrayUdf(
+              Multimodal.pngEncodeGrayUdf(pixelsExpr, lit(imgW),
+                lit(imgH))),
+            lit(imgW), lit(imgH), lit(4), lit(4))).as("p"))
+        .select(col("doc_id"), col("p._1").as("patch_row"),
+          col("p._2").as("patch_col"), col("p._3").as("p_sum"),
+          col("p._4").cast("long").as("p_min"),
+          col("p._5").cast("long").as("p_max"))
+        .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+    }),
+
     // Perceptual near-dup pairs: 4 x 14-bit band bucketing over the
     // 56-bit dHash (Dedup.bandedHammingPairs) at maxHamming=3 —
     // recall is TOTAL for distance < tables (pigeonhole), so the
@@ -392,6 +413,27 @@ object MediaQueries extends QueryPack {
     "q144_image_phash" ->
       s"""WITH $phashCte
          |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
+    "q223_image_patches" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, d.doc_id - d.doc_id % 5 AS base,
+        |         d.doc_id % 5 AS v, x.range AS x, y.range AS y
+        |  FROM documents d, range(0, 36) x, range(0, 28) y
+        |  WHERE d.doc_id < 50),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |    CASE WHEN v > 0 AND (x + y*36 + v*13) % 101 = 0
+        |      THEN ((x*(3 + base % 11) + y*(5 + base % 13)
+        |             + ((x*y + base) % 17) * 15) % 256 + 128) % 256
+        |      ELSE (x*(3 + base % 11) + y*(5 + base % 13)
+        |            + ((x*y + base) % 17) * 15) % 256 END AS gray
+        |  FROM px)
+        |SELECT doc_id, CAST(y // 4 AS INT) AS patch_row,
+        |  CAST(x // 4 AS INT) AS patch_col,
+        |  CAST(sum(gray) AS BIGINT) AS p_sum,
+        |  CAST(min(gray) AS BIGINT) AS p_min,
+        |  CAST(max(gray) AS BIGINT) AS p_max
+        |FROM g GROUP BY doc_id, patch_row, patch_col
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     "q145_image_phash_pairs" ->
       s"""WITH $phashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
