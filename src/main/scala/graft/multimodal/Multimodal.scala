@@ -302,6 +302,43 @@ object Multimodal {
       patchStats(pixels.toArray, w, h, pw, ph)
     }
 
+  /** Framed audio features — the ASR preprocessing layout (the
+    * audio twin of [[patchStats]]): decoded PCM split into
+    * `frameLen`-sample windows at `hop` stride (overlapping when
+    * hop < frameLen, FULL frames only), each frame reduced to
+    * exact integers: energy = Σx², zero crossings (sign change
+    * between consecutive samples, x ≥ 0 counted positive), peak
+    * |x|. Rows: (frame, energy, zcr, peak).
+    */
+  private[graft] def audioFrames(samples: Array[Int], frameLen: Int,
+      hop: Int): Seq[(Int, Long, Int, Int)] = {
+    require(frameLen > 0 && hop > 0, "frameLen and hop must be > 0")
+    val out = Seq.newBuilder[(Int, Long, Int, Int)]
+    var f = 0
+    while (f * hop + frameLen <= samples.length) {
+      var e = 0L; var z = 0; var pk = 0
+      var i = f * hop
+      val end = f * hop + frameLen
+      while (i < end) {
+        val v = samples(i)
+        e += v.toLong * v
+        if (i > f * hop &&
+          ((v >= 0) != (samples(i - 1) >= 0))) z += 1
+        val a = math.abs(v); if (a > pk) pk = a
+        i += 1
+      }
+      out += ((f, e, z, pk))
+      f += 1
+    }
+    out.result()
+  }
+
+  /** UDF: decoded samples + frame/hop → framed feature rows. */
+  def audioFramesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (samples: Seq[Int], frameLen: Int, hop: Int) =>
+      audioFrames(samples.toArray, frameLen, hop)
+    }
+
   // ---- REAL lossy pixel codec (JDK javax.imageio JPEG plugin) ----
   // The last documented pixel-codec stub closes here: encode writes a
   // genuine baseline JFIF JPEG (real DCT, real Huffman tables — any

@@ -196,6 +196,31 @@ object MediaQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Framed audio features (Multimodal.audioFrames): the q147 PCM
+    // round-trip reframed into overlapping 64-sample windows at
+    // hop 32 — the ASR preprocessing layout, the audio twin of the
+    // q223 patch grid. Per frame: exact-integer energy / zero
+    // crossings / peak. decode(encode(x)) == x for PCM, so the
+    // oracle replays formula → frames with no codec.
+    "q224_audio_frames" -> ((s, dir) => {
+      val n = col("doc_id") % 200 + 50
+      val sr = (lit(8000) + (col("doc_id") % 5) * 1000).cast("int")
+      val samples = transform(sequence(lit(0), n - 1), i =>
+        (((i * i + col("doc_id") * 31 + i * 7) % 4096) - 2048)
+          .cast("int"))
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(Multimodal.audioFramesUdf(
+            Multimodal.pcmDecodeUdf(
+              Multimodal.pcmEncodeUdf(samples, sr)),
+            lit(64), lit(32))).as("fr"))
+        .select(col("doc_id"), col("fr._1").as("frame"),
+          col("fr._2").as("energy"),
+          col("fr._3").cast("long").as("zcr"),
+          col("fr._4").cast("long").as("peak"))
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     // REAL video-frame extraction: per-doc "videos" are streams of
     // 2-4 concatenated genuine PNGs (frame pixels from the formula
     // below). The TESTED path is all real: the container walk finds
@@ -413,6 +438,28 @@ object MediaQueries extends QueryPack {
     "q144_image_phash" ->
       s"""WITH $phashCte
          |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
+    "q224_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
+        |  WHERE doc_id < 100),
+        |fr AS (SELECT doc_id, n, f.range AS f
+        |  FROM d, range(0, 32) f WHERE f.range * 32 + 64 <= n),
+        |sm AS (SELECT doc_id, f, j.range AS j,
+        |    f * 32 + j.range AS i
+        |  FROM fr, range(0, 64) j),
+        |x AS (SELECT doc_id, f, j,
+        |    ((i*i + doc_id*31 + i*7) % 4096) - 2048 AS v,
+        |    CASE WHEN j > 0 THEN
+        |      (((i-1)*(i-1) + doc_id*31 + (i-1)*7) % 4096) - 2048
+        |    END AS pv
+        |  FROM sm)
+        |SELECT doc_id, CAST(f AS INT) AS frame,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN j > 0 AND ((v >= 0) != (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM x GROUP BY doc_id, f
+        |ORDER BY doc_id, frame""".stripMargin,
     "q223_image_patches" ->
       """WITH px AS (
         |  SELECT d.doc_id, d.doc_id - d.doc_id % 5 AS base,
