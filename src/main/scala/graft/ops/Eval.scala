@@ -187,6 +187,33 @@ object Eval {
     * silently dropping them would overstate recall, the one mistake
     * a recall meter cannot make.
     */
+  /** MRR/hit meter — the third leg of the retrieval-eval triad:
+    * recall@k says how many true neighbors survived, NDCG@k says
+    * where the ranking put them, reciprocal rank says how soon the
+    * FIRST one appears (the metric single-answer retrieval — RAG
+    * lookup, QA — actually optimizes). Per query: the approx rank
+    * of the first true neighbor, `rr_e6 = 1e6 div rank` (exact
+    * rational), `hit` as the boolean. Starved queries surface as
+    * rr 0 via the left join from the exact side — the recallAtK
+    * discipline.
+    */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, rankCol: String): DataFrame = {
+    val firstHit = approx
+      .select(col(queryCol), col(neighborCol),
+        col(rankCol).cast("long").as("__r"))
+      .join(exact.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol))
+      .groupBy(col(queryCol))
+      .agg(min(col("__r")).as("first_hit_rank"))
+    exact.select(col(queryCol)).distinct()
+      .join(firstHit, Seq(queryCol), "left_outer")
+      .withColumn("rr_e6", when(col("first_hit_rank").isNull, 0L)
+        .otherwise(expr("1000000 div first_hit_rank")))
+      .withColumn("hit", col("first_hit_rank").isNotNull)
+      .orderBy(col(queryCol))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       neighborCol: String, k: Int): DataFrame = {
     val hits = approx.select(col(queryCol), col(neighborCol))

@@ -385,6 +385,17 @@ object DedupQueries extends QueryPack {
         "query_id", "neighbor_id", "rank", 5)
     }),
 
+    // MRR of the same LSH pass (ops.Eval.mrrAtK): the third meter
+    // over the SAME memoized (exact, approx) pair — how soon the
+    // first true neighbor appears, the metric single-answer
+    // retrieval optimizes. Exact rational rr; starved queries read
+    // rr 0, never drop.
+    "q225_ann_mrr" -> ((s, dir) => {
+      val (exact, approx) = annMeterLists(s, dir)
+      graft.ops.Eval.mrrAtK(approx, exact,
+        "query_id", "neighbor_id", "rank")
+    }),
+
     // LSH-bucketed ANN (scale path; recall < 1 by design) — the
     // hyperplanes are deterministic integer hashes, so the oracle
     // reproduces them exactly.
@@ -852,6 +863,21 @@ object DedupQueries extends QueryPack {
          |        ORDER BY cos DESC, neighbor_id) as int) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q225_ann_mrr" ->
+      s"""WITH $annMeterCtes,
+         |fh AS (SELECT ex.query_id,
+         |    CAST(min(ap.rank) AS BIGINT) AS first_hit_rank
+         |  FROM ap JOIN ex ON ap.query_id = ex.query_id
+         |    AND ap.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT qs.query_id, fh.first_hit_rank,
+         |  CAST(CASE WHEN fh.first_hit_rank IS NULL THEN 0
+         |    ELSE 1000000 // fh.first_hit_rank END AS BIGINT)
+         |    AS rr_e6,
+         |  fh.first_hit_rank IS NOT NULL AS hit
+         |FROM qs LEFT JOIN fh ON qs.query_id = fh.query_id
+         |ORDER BY qs.query_id""".stripMargin,
     "q174_ann_recall" ->
       s"""WITH $annMeterCtes,
          |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
