@@ -80,6 +80,51 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Brier score + skill — the calibration SUMMARY beside
+    * [[calibrationBins]]'s per-bin diagnostic: mean squared error of
+    * the probability forecast against the binary label, and the
+    * skill relative to the climatology baseline (always predict the
+    * base rate). PURE integer in ONE corpus pass: scores clamp to
+    * e4 probabilities, `brier·n = Σ(p−y)²` in decimal-widened
+    * integers, and the baseline needs no second pass because y is
+    * binary — `Σ(c−y)² = n·c² − 2c·Σy + 10000·Σy` with
+    * `c = Σy div n` (y² = 10000·y exactly). Skill is the
+    * sign-guarded e6 division; NULL when the labels are constant
+    * (baseline 0 — skill undefined).
+    *
+    * Output: one row (n, n_pos, brier_e8, brier_base_e8, skill_e6).
+    */
+  def brierSkill(df: DataFrame, scoreE4Col: String,
+      labelCol: String): DataFrame =
+    df.select(
+        least(greatest(col(scoreE4Col).cast("long"), lit(0L)),
+          lit(10000L)).cast("decimal(38,0)").as("__p"),
+        (col(labelCol).cast("long") * 10000L)
+          .cast("decimal(38,0)").as("__y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__sq"))
+      .withColumn("__c", expr("__sy div __n"))
+      .withColumn("__brier", expr("__sq div __n"))
+      .withColumn("__base",
+        expr("(__c * __c * __n - 2 * __c * __sy + 10000 * __sy)" +
+          " div __n"))
+      // skill can be NEGATIVE (worse than climatology) — the
+      // abs/sign guard keeps Spark's truncating div and SQL's
+      // flooring // identical (the kappa/OLS convention)
+      .select(
+        col("__n").cast("long").as("n"),
+        expr("cast(__sy div 10000 as bigint)").as("n_pos"),
+        expr("cast(__brier as bigint)").as("brier_e8"),
+        expr("cast(__base as bigint)").as("brier_base_e8"),
+        expr("""CASE WHEN __base = 0 THEN NULL
+          WHEN __base >= __brier THEN
+            cast((__base - __brier) * 1000000 div __base as bigint)
+          ELSE
+            -cast((__brier - __base) * 1000000 div __base as bigint)
+          END""").as("skill_e6"))
+
   /** Cohen's κ between two categorical columns — chance-corrected
     * agreement, the multi-class companion to [[aucE6]]: raw accuracy
     * flatters any pair whose marginals overlap (two classifiers that

@@ -333,6 +333,22 @@ object CurationQueries extends QueryPack {
         "s", "pos", bins = 10)
     }),
 
+    // Brier score + skill (ops.Eval.brierSkill): the calibration
+    // SUMMARY beside q197's per-bin diagnostic — mean squared error
+    // of the quality score as an is-English probability forecast,
+    // and skill vs the climatology baseline. One corpus pass; the
+    // baseline needs no second pass because y is binary
+    // (Σ(c−y)² closes in terms of n and Σy). All decimal-widened
+    // integers; skill's sign guard keeps div/// identical.
+    "q226_brier_score" -> ((s, dir) =>
+      graft.ops.Eval.brierSkill(
+        table(s, dir, "documents")
+          .select(
+            floor(Features.linearQualityScore(col("text"),
+              T.tokens(col("text"))) * 10000.0).cast("long").as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+        "s", "pos")),
+
     // Jensen-Shannon divergence between the English slice and the
     // rest (ops.Divergence): the mixture-design gate — which tokens
     // carry the distributional difference between two corpus
@@ -1151,6 +1167,43 @@ object CurationQueries extends QueryPack {
         |FROM w ORDER BY jsd_term_e6 DESC, term LIMIT 30""".stripMargin,
     // the q166 score chain, then exact-integer equal-width binning
     // (the histogramFx idiom) with truncating per-bin divisions
+    "q226_brier_score" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toks AS l FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t),
+         |sc AS (SELECT
+         |  least(greatest(CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS HUGEINT),
+         |    0), 10000) AS p,
+         |  CASE WHEN lang = 'en' THEN 10000::HUGEINT
+         |    ELSE 0::HUGEINT END AS y
+         |  FROM f),
+         |a AS (SELECT count(*)::HUGEINT AS n, sum(y) AS sy,
+         |    sum((p - y) * (p - y)) AS sq FROM sc),
+         |b AS (SELECT n, sy, sq, sy // n AS c,
+         |    sq // n AS brier,
+         |    ((sy // n) * (sy // n) * n - 2 * (sy // n) * sy
+         |      + 10000 * sy) // n AS base FROM a)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(sy // 10000 AS BIGINT) AS n_pos,
+         |  CAST(brier AS BIGINT) AS brier_e8,
+         |  CAST(base AS BIGINT) AS brier_base_e8,
+         |  CASE WHEN base = 0 THEN NULL
+         |    WHEN base >= brier THEN
+         |      CAST((base - brier) * 1000000 // base AS BIGINT)
+         |    ELSE
+         |      -CAST((brier - base) * 1000000 // base AS BIGINT)
+         |    END AS skill_e6
+         |FROM b""".stripMargin,
     "q197_calibration" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toks AS l FROM documents),
          |f AS (SELECT doc_id, lang,
