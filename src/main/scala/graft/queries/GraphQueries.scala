@@ -97,6 +97,17 @@ object GraphQueries extends QueryPack {
         .orderBy(col("part")).limit(200)
     }),
 
+    // k-core decomposition (graph.KCore): iterative peeling of the
+    // q181 co-order graph at k=2 — drop degree-<2 nodes until the
+    // fixpoint (4 rounds at sf0.01, 6 at sf0.1; the oracle unrolls
+    // 12 — peeling is idempotent past the fixpoint, so extra
+    // rounds are identity and a too-short unroll would fail LOUDLY
+    // by hash). Each round is one degree aggregate + two semi-joins,
+    // edge list localCheckpoint'ed per round (the lineage contract).
+    "q227_kcore" -> ((s, dir) =>
+      graft.graph.KCore.coreDegrees(coorderEdges(s, dir),
+        "pa", "pb", k = 2)),
+
     // Top-3 phrases per doc by summed node scores.
     "q67_textrank_phrases" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -110,6 +121,39 @@ object GraphQueries extends QueryPack {
   )
 
   /** Shared graph CTEs + `Iters` unrolled power-iteration CTEs. */
+  /** Unrolled k-core peel: round i = degree aggregate over e(i−1),
+    * keep set, filtered edge list (MATERIALIZED — each level is
+    * referenced 3×, the r11 CTE-inline lesson). Peeling past the
+    * fixpoint is identity, so `rounds` only needs to be ≥ the true
+    * peel depth — and a too-short unroll fails loudly by hash.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY x, y HAVING count(*) >= 2)""".stripMargin
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT n, count(*) AS d FROM (
+         |    SELECT x AS n FROM e${i - 1}
+         |    UNION ALL SELECT y FROM e${i - 1}) GROUP BY n),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.x, e.y FROM e${i - 1} e
+         |  JOIN k$i ka ON e.x = ka.n
+         |  JOIN k$i kb ON e.y = kb.n)""".stripMargin
+    }
+    (head +: peel).mkString(",\n") +
+      s"""
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT x AS n FROM e$rounds
+         |      UNION ALL SELECT y FROM e$rounds)
+         |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   private def pagerankCtes: String = {
     val base =
       """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -139,6 +183,7 @@ object GraphQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q227_kcore" -> kcoreOracle(k = 2, rounds = 12),
     // both hops replayed as integer-div means over the same
     // thresholded edge list
     "q220_graph_features" ->
