@@ -80,6 +80,35 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Wilson-lower-bound rate ranking (Wilson 1927) — the league
+    * table a curation pipeline ranks SOURCES by: the raw pass rate
+    * flatters small sources (2/2 beats 980/1000), the Wilson lower
+    * bound at z=1.96 penalizes exactly the sample-size uncertainty.
+    * One group aggregate; the bound is IEEE double arithmetic in a
+    * FIXED textual form (sqrt is correctly rounded by IEEE 754, and
+    * the oracle evaluates the identical expression tree — same
+    * parenthesization, z² written as 1.96*1.96 in both engines so
+    * both parse-then-multiply the same doubles), floored e6.
+    *
+    * Output: (group, n, n_pass, wilson_lb_e6) ranked by bound.
+    */
+  def wilsonRates(df: DataFrame, groupCol: String,
+      passCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(passCol).cast("long")).as("n_pass"))
+      .withColumn("wilson_lb_e6", expr(
+        """cast(floor((
+          |  (n_pass / cast(n as double))
+          |  + (1.96*1.96)/(2*cast(n as double))
+          |  - 1.96 * sqrt(((n_pass / cast(n as double))
+          |      * (1 - n_pass / cast(n as double))
+          |      + (1.96*1.96)/(4*cast(n as double)))
+          |    / cast(n as double))
+          |) / (1 + (1.96*1.96)/cast(n as double))
+          |* 1000000.0) as bigint)""".stripMargin))
+      .orderBy(col("wilson_lb_e6").desc, col(groupCol))
+
   /** Brier score + skill — the calibration SUMMARY beside
     * [[calibrationBins]]'s per-bin diagnostic: mean squared error of
     * the probability forecast against the binary label, and the

@@ -333,6 +333,22 @@ object CurationQueries extends QueryPack {
         "s", "pos", bins = 10)
     }),
 
+    // Source-reliability league table (ops.Eval.wilsonRates): rank
+    // sources by the Wilson lower bound of their quality pass rate
+    // — the raw rate flatters small sources; the bound charges
+    // sample-size uncertainty exactly. Pass = linear quality score
+    // ≥ 0.42 (the corpus median band). sqrt is IEEE
+    // correctly-rounded and the oracle evaluates the IDENTICAL
+    // expression text, so the e6 floor replays.
+    "q228_source_wilson" -> ((s, dir) =>
+      graft.ops.Eval.wilsonRates(
+        table(s, dir, "documents")
+          .select(col("source"),
+            (floor(Features.linearQualityScore(col("text"),
+              T.tokens(col("text"))) * 10000.0) >= 4200L)
+              .cast("long").as("pass")),
+        "source", "pass")),
+
     // Brier score + skill (ops.Eval.brierSkill): the calibration
     // SUMMARY beside q197's per-bin diagnostic — mean squared error
     // of the quality score as an is-English probability forecast,
@@ -1167,6 +1183,38 @@ object CurationQueries extends QueryPack {
         |FROM w ORDER BY jsd_term_e6 DESC, term LIMIT 30""".stripMargin,
     // the q166 score chain, then exact-integer equal-width binning
     // (the histogramFx idiom) with truncating per-bin divisions
+    "q228_source_wilson" ->
+      s"""WITH t AS (SELECT source, text, $toks AS l FROM documents),
+         |f AS (SELECT source,
+         |  least(cast(len(l) as double), 500.0) / 500.0 AS f_len,
+         |  least(length(replace(text, ' ', ''))
+         |          / cast(len(l) as double), 10.0) / 10.0 AS f_wlen,
+         |  len(list_filter(l, x -> list_contains(
+         |    ['the','a','an','of','and','to','in','is','it','for','on',
+         |     'with','as','at','by','this','that'], x)))
+         |    / cast(len(l) as double) AS f_stop,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    / cast(length(text) as double) AS f_digit
+         |  FROM t),
+         |sc AS (SELECT source,
+         |  CASE WHEN CAST(floor((0.2 + 0.5 * f_len + 0.3 * f_wlen
+         |        + 0.4 * f_stop - 0.6 * f_digit) * 10000.0) AS BIGINT)
+         |      >= 4200 THEN 1 ELSE 0 END AS pass
+         |  FROM f),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass
+         |  FROM sc GROUP BY source)
+         |SELECT source, n, n_pass,
+         |  cast(floor((
+         |    (n_pass / cast(n as double))
+         |    + (1.96*1.96)/(2*cast(n as double))
+         |    - 1.96 * sqrt(((n_pass / cast(n as double))
+         |        * (1 - n_pass / cast(n as double))
+         |        + (1.96*1.96)/(4*cast(n as double)))
+         |      / cast(n as double))
+         |  ) / (1 + (1.96*1.96)/cast(n as double))
+         |  * 1000000.0) as bigint) AS wilson_lb_e6
+         |FROM g ORDER BY wilson_lb_e6 DESC, source""".stripMargin,
     "q226_brier_score" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toks AS l FROM documents),
          |f AS (SELECT doc_id, lang,
