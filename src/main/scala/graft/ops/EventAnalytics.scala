@@ -222,14 +222,40 @@ object EventAnalytics {
   def touchAttribution(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
       convType: String, touchTypes: Seq[String],
-      windowMs: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val conv = events.filter(col(typeCol) === convType)
+      windowMs: Long): DataFrame =
+    attributionFromParts(
+      conversions(events, userCol, typeCol, tsCol, idCol, convType),
+      touches(events, userCol, typeCol, tsCol, idCol, touchTypes),
+      windowMs)
+      .orderBy(col("touch_type"))
+
+  /** The conversion relation (__u, __tc ms, __cid) — factored so
+    * the maintenance twin can split conversions by whether their
+    * lookback window crosses a batch boundary.
+    */
+  def conversions(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      convType: String): DataFrame =
+    events.filter(col(typeCol) === convType)
       .select(col(userCol).as("__u"),
         unix_millis(col(tsCol)).as("__tc"), col(idCol).as("__cid"))
-    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+
+  /** The touch relation (__u, touch_type, __tt ms, __tid). */
+  def touches(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String,
+      touchTypes: Seq[String]): DataFrame =
+    events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), col(typeCol).as("touch_type"),
         unix_millis(col(tsCol)).as("__tt"), col(idCol).as("__tid"))
+
+  /** Attribution core over explicit conversion/touch relations —
+    * UNordered summary (callers order); summaries are additive over
+    * conversion sets, which is what the maintenance twin's
+    * partition-by-boundary merge relies on.
+    */
+  def attributionFromParts(conv: DataFrame, touch: DataFrame,
+      windowMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val j = conv.join(touch, Seq("__u"))
       .filter(col("__tt") >= col("__tc") - windowMs &&
         col("__tt") < col("__tc"))
@@ -246,7 +272,6 @@ object EventAnalytics {
         sum(expr("1000000L div __n") +
           when(col("__rn") === col("__n"), expr("1000000L % __n"))
             .otherwise(lit(0L))).as("credit_e6"))
-      .orderBy(col("touch_type"))
   }
 
   /** SCD type-2 history build — the warehouse primitive that turns

@@ -303,6 +303,27 @@ object EventQueries extends QueryPack {
         touchTypes = Seq("view", "click"),
         windowMs = 3L * 24 * 3600 * 1000)),
 
+    // The cut-invariance proof for TIME-HORIZON state (Streams
+    // .attributionMaintainBatch): the midpoint cut splits every
+    // 3-day lookback window that straddles it; conversions
+    // partition into first-half / fully-in-second / crossing, the
+    // crossing ones recompute over the horizon-bounded trailing
+    // touches, and the oracle (the from-scratch q218 summary)
+    // hash-verifies the three additive passes reassemble exactly.
+    "q229_incr_attribution" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(2L)).cast("long").as("__cut"))
+      val cut = ev.crossJoin(broadcast(mid))
+      Streams.attributionMaintainBatch(
+        cut.filter(unix_micros(col("ts")) < col("__cut")).drop("__cut"),
+        cut.filter(unix_micros(col("ts")) >= col("__cut")).drop("__cut"),
+        "user_id", "event_type", "ts", "event_id",
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        windowMs = 3L * 24 * 3600 * 1000)
+    }),
+
     // SCD type-2 history build (ops.EventAnalytics.scd2Intervals):
     // the update stream becomes validity intervals — no-op updates
     // (same fx-e2 value as the previous row) collapse, each change
@@ -348,7 +369,34 @@ object EventQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     // exact-integer credit replay: 1e6 div n + remainder-to-last
-    "q218_touch_attribution" ->
+        // identical to q218's from-scratch summary BY DESIGN: the
+    // oracle proves the horizon-state maintenance cut-invariant
+    "q229_incr_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS cid, epoch_ms(ts) AS tc
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS touch_type,
+        |    epoch_ms(ts) AS tt, event_id AS tid
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.cid, t.touch_type, t.tt, t.tid
+        |  FROM conv c JOIN t USING (user_id)
+        |  WHERE t.tt >= c.tc - 259200000 AND t.tt < c.tc),
+        |r AS (SELECT cid, touch_type,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY tt, tid) AS rn,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM j)
+        |SELECT touch_type,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first,
+        |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_last,
+        |  CAST(sum(1000000 // n
+        |    + CASE WHEN rn = n THEN 1000000 % n ELSE 0 END)
+        |    AS BIGINT) AS credit_e6
+        |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+"q218_touch_attribution" ->
       """WITH conv AS (
         |  SELECT user_id, event_id AS cid, epoch_ms(ts) AS tc
         |  FROM events WHERE event_type = 'purchase'),

@@ -885,6 +885,56 @@ object Streams {
       }
       .start()
 
+  /** The two-phase attribution maintenance as a batch computation
+    * (q229) — the cut-invariance discipline for TIME-HORIZON state:
+    * a conversion is attributed in the batch that CONTAINS it, and
+    * its lookback window either sits inside that batch or reaches
+    * back at most `windowMs` — so the only boundary state is the
+    * first half's trailing touches within the horizon (bounded by
+    * per-user activity × window, never stream length). Conversions
+    * partition three ways — first half (complete there: a
+    * conversion's touches always precede it), second half with the
+    * window fully past the cut (in-batch), second half with a
+    * crossing window (recomputed over tail ∪ second touches) — and
+    * attribution summaries are ADDITIVE over conversion sets, so
+    * the three passes sum. Oracle = the from-scratch q218 SQL.
+    */
+  def attributionMaintainBatch(first: DataFrame, second: DataFrame,
+      userCol: String, typeCol: String, tsCol: String,
+      idCol: String, convType: String, touchTypes: Seq[String],
+      windowMs: Long): DataFrame = {
+    import graft.ops.EventAnalytics._
+    val cut = second.agg(min(unix_millis(col(tsCol))).as("__cut"))
+    val convA = conversions(first, userCol, typeCol, tsCol, idCol,
+      convType)
+    val touchA = touches(first, userCol, typeCol, tsCol, idCol,
+      touchTypes)
+    val convB = conversions(second, userCol, typeCol, tsCol, idCol,
+      convType).crossJoin(broadcast(cut))
+    val touchB = touches(second, userCol, typeCol, tsCol, idCol,
+      touchTypes)
+    // the horizon-bounded boundary state: first's touches within
+    // windowMs of the cut
+    val tail = touchA.crossJoin(broadcast(cut))
+      .filter(col("__tt") >= col("__cut") - windowMs)
+      .drop("__cut")
+    val passA = attributionFromParts(convA, touchA, windowMs)
+    val passInB = attributionFromParts(
+      convB.filter(col("__tc") - windowMs >= col("__cut"))
+        .drop("__cut"),
+      touchB, windowMs)
+    val passCross = attributionFromParts(
+      convB.filter(col("__tc") - windowMs < col("__cut"))
+        .drop("__cut"),
+      tail.unionByName(touchB), windowMs)
+    passA.unionByName(passInB).unionByName(passCross)
+      .groupBy(col("touch_type"))
+      .agg(sum(col("n_first")).as("n_first"),
+        sum(col("n_last")).as("n_last"),
+        sum(col("credit_e6")).as("credit_e6"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Streaming SCD2 history maintenance —
     * [[graft.ops.EventAnalytics.scd2Intervals]] kept live: each
     * micro-batch computes its OWN interval relation (in-batch
