@@ -333,6 +333,36 @@ object CurationQueries extends QueryPack {
         "s", "pos", bins = 10)
     }),
 
+    // Tokenizer fertility per source (the q210/q211 unigram family
+    // applied as an EVAL): pieces-per-token under the trained vocab
+    // — the compression metric tokenizer teams track per corpus
+    // slice — plus the share of tokens that fell back to all
+    // single-char pieces. Segmentation runs once over the DISTINCT
+    // word table (the Zipf bound) and joins back to the
+    // (source, word) counts; all ratios are exact e6 integers.
+    "q230_tokenizer_fertility" -> ((s, dir) => {
+      val sw = table(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1 &&
+          length(col("w")) <= UnigramLm.MaxWordLen)
+        .filter(!col("w").rlike("[\\uD800-\\uDFFF]"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("freq"))
+      val words = sw.select(col("w")).distinct()
+        .withColumn("freq", lit(1L))
+      val seg = UnigramLm.segmentWords(words, unigramVoc(s, dir))
+        .select(col("w"), col("n_pieces"))
+      sw.join(seg, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          expr("sum(freq * n_pieces) * 1000000 div sum(freq)")
+            .as("fert_e6"),
+          expr("sum(freq * (CASE WHEN n_pieces = length(w)" +
+            " THEN 1 ELSE 0 END)) * 1000000 div sum(freq)")
+            .as("allsingle_e6"))
+        .orderBy(col("source"))
+    }),
+
     // Source-reliability league table (ops.Eval.wilsonRates): rank
     // sources by the Wilson lower bound of their quality pass rate
     // — the raw rate flatters small sources; the bound charges
@@ -1183,6 +1213,31 @@ object CurationQueries extends QueryPack {
         |FROM w ORDER BY jsd_term_e6 DESC, term LIMIT 30""".stripMargin,
     // the q166 score chain, then exact-integer equal-width binning
     // (the histogramFx idiom) with truncating per-bin divisions
+    "q230_tokenizer_fertility" -> {
+      val maxW = UnigramLm.MaxWordLen
+      val fin = (1 to maxW)
+        .map(j => s"SELECT w, path FROM d$j WHERE length(w) = $j")
+        .mkString(" UNION ALL ")
+      unigramCtes + ",\n" + unigramDpCtes(maxW) +
+        s""",
+           |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  WHERE length(w) >= 1 AND length(w) <= $maxW
+           |    AND NOT regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]')
+           |  GROUP BY source, w),
+           |np AS (SELECT w,
+           |    CAST(len(string_split(path, '|')) AS BIGINT) AS n_pieces
+           |  FROM ($fin))
+           |SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+           |  CAST(sum(freq * n_pieces) * 1000000 // sum(freq)
+           |    AS BIGINT) AS fert_e6,
+           |  CAST(sum(freq * (CASE WHEN n_pieces = length(w)
+           |      THEN 1 ELSE 0 END)) * 1000000 // sum(freq)
+           |    AS BIGINT) AS allsingle_e6
+           |FROM sw JOIN np USING (w)
+           |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q228_source_wilson" ->
       s"""WITH t AS (SELECT source, text, $toks AS l FROM documents),
          |f AS (SELECT source,
