@@ -355,6 +355,18 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("version")).limit(500)
     }),
 
+    // Sweep-line peak concurrency (ops.Concurrency): how many
+    // q70-style sessions were active at once and the earliest
+    // microsecond the peak is reached — the capacity-planning
+    // readout. The sweep runs over 2·|sessions| delta rows (the
+    // session-bounded relation, never events), with the stated
+    // inclusive/+1-first tie convention replayed exactly.
+    "q231_peak_concurrency" -> ((s, dir) =>
+      graft.ops.Concurrency.peakConcurrency(
+        Streams.sessionizeBatch(table(s, dir, "events"),
+          "user_id", "ts", "value", gapMs = 30 * 60 * 1000L),
+        "session_start", "session_end")),
+
     // Gap-based batch sessionization (the streaming module's batch
     // twin over real event data): sessions per user with 30-minute
     // silence cutting, corpus-level session-length histogram.
@@ -814,6 +826,37 @@ object EventQueries extends QueryPack {
         |       cast(count(*) as bigint) AS n
         |FROM events, (SELECT unnest([0, 30]) AS off) o
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // sessions rebuilt with the q70 CTEs, then the identical
+    // +1-first sweep
+    "q231_peak_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, session_id,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM sess GROUP BY user_id, session_id),
+        |d AS (SELECT s AS t, 1 AS delta FROM per
+        |  UNION ALL SELECT e AS t, -1 AS delta FROM per),
+        |r AS (SELECT t, delta,
+        |    sum(delta) OVER (ORDER BY t, delta DESC
+        |      ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM d),
+        |mx AS (SELECT max(running) AS peak FROM r)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_intervals,
+        |  CAST(mx.peak AS BIGINT) AS peak,
+        |  (SELECT min(t) FROM r WHERE r.running = mx.peak)
+        |    AS peak_at_us
+        |FROM mx""".stripMargin,
     "q70_session_stats" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
