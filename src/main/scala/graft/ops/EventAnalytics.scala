@@ -274,6 +274,48 @@ object EventAnalytics {
             .otherwise(lit(0L))).as("credit_e6"))
   }
 
+  /** First-touch-to-conversion latency distribution — the duration
+    * companion to the funnel: per user, the time from the first
+    * `fromType` event to the first `toType` event strictly after
+    * it, summarized as exact RANK-based percentiles (value at rank
+    * `⌈p·n/100⌉` over the (latency, user)-ordered list — no
+    * interpolation, no float, so any engine replays it). Users
+    * without both events drop.
+    *
+    * Scale shape: two user-keyed aggregates + one user-keyed join
+    * produce ONE latency row per converting user; the rank window
+    * runs over that |users|-bounded relation (the W2
+    * single-partition contract). Output: one row
+    * (n_users, p50_ms, p90_ms, max_ms).
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, fromType: String,
+      toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(unix_millis(col(tsCol))).as("__tv"))
+    val lat = events.filter(col(typeCol) === toType)
+      .join(first, userCol)
+      .filter(unix_millis(col(tsCol)) > col("__tv"))
+      .groupBy(col(userCol), col("__tv"))
+      .agg(min(unix_millis(col(tsCol))).as("__tp"))
+      .select(col(userCol), (col("__tp") - col("__tv")).as("__lat"))
+    val w = Window.orderBy(col("__lat"), col(userCol))
+    val ranked = lat
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n_users"))))
+    ranked.agg(
+        max(col("n_users")).as("n_users"),
+        max(when(col("__rk") ===
+          expr("(n_users * 50 + 99) div 100"), col("__lat")))
+          .as("p50_ms"),
+        max(when(col("__rk") ===
+          expr("(n_users * 90 + 99) div 100"), col("__lat")))
+          .as("p90_ms"),
+        max(col("__lat")).as("max_ms"))
+  }
+
   /** SCD type-2 history build — the warehouse primitive that turns
     * an update stream into validity intervals: per key, ordered by
     * (ts, id), collapse no-op updates (same fx-e2 value as the

@@ -355,6 +355,16 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("version")).limit(500)
     }),
 
+    // First-view-to-first-purchase latency distribution
+    // (ops.EventAnalytics.conversionLatency): exact RANK-based
+    // percentiles (value at ⌈p·n/100⌉ over the ordered latency
+    // list — no interpolation, no float) over one latency row per
+    // converting user. The duration companion to the q178 funnel.
+    "q232_conversion_latency" -> ((s, dir) =>
+      graft.ops.EventAnalytics.conversionLatency(
+        table(s, dir, "events"), "user_id", "event_type", "ts",
+        fromType = "view", toType = "purchase")),
+
     // Sweep-line peak concurrency (ops.Concurrency): how many
     // q70-style sessions were active at once and the earliest
     // microsecond the peak is reached — the capacity-planning
@@ -826,6 +836,27 @@ object EventQueries extends QueryPack {
         |       cast(count(*) as bigint) AS n
         |FROM events, (SELECT unnest([0, 30]) AS off) o
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // rank-based percentiles replay with the identical integer
+    // ceil-rank formula
+    "q232_conversion_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS tv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) - fv.tv AS l
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > fv.tv
+        |  GROUP BY e.user_id, fv.tv),
+        |r AS (SELECT l, row_number() OVER (ORDER BY l, user_id)
+        |    AS rk FROM lat),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lat)
+        |SELECT n.n_users,
+        |  (SELECT l FROM r, n
+        |   WHERE rk = (n.n_users * 50 + 99) // 100) AS p50_ms,
+        |  (SELECT l FROM r, n
+        |   WHERE rk = (n.n_users * 90 + 99) // 100) AS p90_ms,
+        |  (SELECT max(l) FROM r) AS max_ms
+        |FROM n""".stripMargin,
     // sessions rebuilt with the q70 CTEs, then the identical
     // +1-first sweep
     "q231_peak_concurrency" ->
