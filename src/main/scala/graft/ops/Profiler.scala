@@ -344,4 +344,35 @@ object Profiler {
         min(col("__fx")).as("lo_fx"), max(col("__fx")).as("hi_fx"))
       .orderBy(col("bucket"))
   }
+
+  /** EQUI-DEPTH histogram — the optimizer-stats companion to
+    * [[histogramFx]]'s equi-width bins: each bucket holds ≈ N/B
+    * rows, so skewed columns get narrow buckets where the mass is
+    * (the selectivity-estimation shape ANALYZE computes). A distinct
+    * value belongs to bucket `(cum_before · B) div N` — an exact
+    * integer rule over the value-count prefix sums, so whole value
+    * runs never split across buckets and any engine replays the
+    * bounds bit-for-bit.
+    *
+    * Scale shape: the q187 family contract — one map-side-combined
+    * (fx, count) aggregate whose exchange is bounded by the DOMAIN,
+    * then the prefix-sum window over those ≤domain rows. For
+    * near-unique columns quantize first (ksDriftBinned's rule).
+    */
+  def equiDepthHistogramFx(df: DataFrame, c: String,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy().orderBy(col("__fx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(fx(col(c)).as("__fx"))
+      .groupBy(col("__fx")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(ord))
+      .withColumn("__tot", sum(col("__cnt")).over(allRowsWindow))
+      .withColumn("bucket",
+        expr(s"((__cum - __cnt) * $buckets) div __tot"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__cnt")).as("n"),
+        min(col("__fx")).as("lo_fx"), max(col("__fx")).as("hi_fx"))
+      .orderBy(col("bucket"))
+  }
 }

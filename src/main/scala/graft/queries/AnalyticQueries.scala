@@ -32,6 +32,16 @@ object AnalyticQueries extends QueryPack {
         "l_extendedprice", buckets = 20)
     }),
 
+    // EQUI-DEPTH histogram (ops.Profiler.equiDepthHistogramFx): the
+    // optimizer-stats companion to q170's equi-width bins — each
+    // bucket holds ≈N/10 rows so skewed columns get narrow buckets
+    // where the mass is. Bucket membership is the exact integer
+    // rule (cum_before·B) div N over domain-bounded value-count
+    // prefix sums (the q187 window contract).
+    "q233_equidepth_hist" -> ((s, dir) =>
+      graft.ops.Profiler.equiDepthHistogramFx(
+        table(s, dir, "lineitem"), "l_extendedprice", buckets = 10)),
+
     // Pairwise association rules over order baskets
     // (ops.Associations): support/confidence/lift in exact e6
     // integers, support floor before the ordered top-20.
@@ -186,6 +196,21 @@ object AnalyticQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q233_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS fx
+        |  FROM lineitem),
+        |g AS (SELECT fx, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY fx),
+        |p AS (SELECT fx, cnt,
+        |    sum(cnt) OVER (ORDER BY fx ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    sum(cnt) OVER () AS tot
+        |  FROM g)
+        |SELECT CAST(((cum - cnt) * 10) // tot AS BIGINT) AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS n,
+        |  min(fx) AS lo_fx, max(fx) AS hi_fx
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q182_assoc_rules" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
