@@ -109,6 +109,51 @@ object Eval {
           |* 1000000.0) as bigint)""".stripMargin))
       .orderBy(col("wilson_lb_e6").desc, col(groupCol))
 
+  /** Two-proportion z-test — the experimentation gate: did cohort
+    * A's conversion rate differ from cohort B's beyond sampling
+    * noise. The pooled-variance z statistic in the q228 determinism
+    * discipline: inputs are exact integers (per-cohort n, k), the
+    * statistic is IEEE doubles in a FIXED textual form (sqrt
+    * correctly rounded; both engines parse-then-evaluate the same
+    * tree), floored e6 — z is signed, and floor (not truncate)
+    * agrees across engines on negatives. `significant` reads
+    * |z_e6| ≥ 1.96e6 off the already-floored value, so it is a pure
+    * function of the replayed integer.
+    *
+    * `cohortCol` must take exactly two values; A = the
+    * lexicographically smaller one. One |cohorts|-row aggregate +
+    * a 1-row projection.
+    */
+  def twoProportionZ(df: DataFrame, cohortCol: String,
+      convCol: String): DataFrame = {
+    val g = df.groupBy(col(cohortCol).as("__c"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(convCol).cast("long")).as("__k"))
+    val ab = g.crossJoin(broadcast(
+        g.agg(min(col("__c")).as("__ca"), max(col("__c")).as("__cb"))))
+      .agg(
+        max(when(col("__c") === col("__ca"), col("__n"))).as("n_a"),
+        max(when(col("__c") === col("__ca"), col("__k"))).as("conv_a"),
+        max(when(col("__c") === col("__cb"), col("__n"))).as("n_b"),
+        max(when(col("__c") === col("__cb"), col("__k"))).as("conv_b"))
+    // degenerate pooled rate (0 or 1 — zero variance) → z is
+    // undefined: NULL, not a division error (ANSI mode) — and the
+    // oracle carries the identical guard
+    ab.withColumn("z_e6", expr(
+        """case when conv_a + conv_b = 0
+          |       or conv_a + conv_b = n_a + n_b then null
+          |  else cast(floor(
+          |  ((conv_a / cast(n_a as double))
+          |   - (conv_b / cast(n_b as double)))
+          |  / sqrt(
+          |      ((conv_a + conv_b) / cast(n_a + n_b as double))
+          |      * (1 - (conv_a + conv_b) / cast(n_a + n_b as double))
+          |      * (1.0/cast(n_a as double) + 1.0/cast(n_b as double)))
+          |  * 1000000.0) as bigint) end""".stripMargin))
+      .withColumn("significant",
+        abs(col("z_e6")) >= lit(1960000L))
+  }
+
   /** Brier score + skill — the calibration SUMMARY beside
     * [[calibrationBins]]'s per-bin diagnostic: mean squared error of
     * the probability forecast against the binary label, and the

@@ -355,6 +355,28 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("version")).limit(500)
     }),
 
+    // Two-proportion z-test A/B gate (ops.Eval.twoProportionZ):
+    // did the even-user cohort convert (≥1 purchase) at a
+    // different rate than the odd-user cohort, beyond sampling
+    // noise — the experimentation primitive. Per-user conversion
+    // flags → two (n, k) rows → the pooled-variance z in the q228
+    // fixed-expression discipline, floored e6 (signed: floor, not
+    // truncate, so engines agree on negatives).
+    "q234_ab_test" -> ((s, dir) => {
+      // converted = more purchases than clicks: splits users at
+      // every SF (a has-any-purchase flag saturates to rate 1.0 on
+      // this corpus — zero pooled variance, z undefined)
+      val conv = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >
+          sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L))).cast("long").as("converted"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("cohort"), col("converted"))
+      graft.ops.Eval.twoProportionZ(conv, "cohort", "converted")
+    }),
+
     // First-view-to-first-purchase latency distribution
     // (ops.EventAnalytics.conversionLatency): exact RANK-based
     // percentiles (value at ⌈p·n/100⌉ over the ordered latency
@@ -836,6 +858,53 @@ object EventQueries extends QueryPack {
         |       cast(count(*) as bigint) AS n
         |FROM events, (SELECT unnest([0, 30]) AS off) o
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // the identical fixed-form z expression, floored e6
+    "q234_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |             THEN 1 ELSE 0 END)
+        |           > sum(CASE WHEN event_type = 'click'
+        |             THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |    AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS k
+        |  FROM u GROUP BY cohort),
+        |w AS (SELECT
+        |    max(CASE WHEN cohort = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN cohort = 'A' THEN k END) AS conv_a,
+        |    max(CASE WHEN cohort = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN cohort = 'B' THEN k END) AS conv_b
+        |  FROM g)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN conv_a + conv_b = 0
+        |         OR conv_a + conv_b = n_a + n_b THEN NULL
+        |  ELSE cast(floor(
+        |    ((conv_a / cast(n_a as double))
+        |     - (conv_b / cast(n_b as double)))
+        |    / sqrt(
+        |        ((conv_a + conv_b) / cast(n_a + n_b as double))
+        |        * (1 - (conv_a + conv_b)
+        |             / cast(n_a + n_b as double))
+        |        * (1.0/cast(n_a as double)
+        |           + 1.0/cast(n_b as double)))
+        |    * 1000000.0) as bigint) END AS z_e6,
+        |  abs(CASE WHEN conv_a + conv_b = 0
+        |         OR conv_a + conv_b = n_a + n_b THEN NULL
+        |  ELSE cast(floor(
+        |    ((conv_a / cast(n_a as double))
+        |     - (conv_b / cast(n_b as double)))
+        |    / sqrt(
+        |        ((conv_a + conv_b) / cast(n_a + n_b as double))
+        |        * (1 - (conv_a + conv_b)
+        |             / cast(n_a + n_b as double))
+        |        * (1.0/cast(n_a as double)
+        |           + 1.0/cast(n_b as double)))
+        |    * 1000000.0) as bigint) END) >= 1960000 AS significant
+        |FROM w""".stripMargin,
     // rank-based percentiles replay with the identical integer
     // ceil-rank formula
     "q232_conversion_latency" ->
