@@ -345,6 +345,53 @@ object Profiler {
       .orderBy(col("bucket"))
   }
 
+  /** Pairwise Pearson correlation screen — the feature-selection
+    * readout over a table's numeric columns: every pair's r from
+    * ONE corpus aggregate carrying all the moment sums (Σx, Σx²,
+    * Σxy per pair) in decimal-widened integers over fx-e2 values.
+    * The only floating point is the final fixed-form expression
+    * (decimal→double casts are IEEE round-nearest in any engine,
+    * sqrt correctly rounded), floored e6; zero-variance columns
+    * yield NULL under an explicit guard, not a division error.
+    *
+    * Scale shape: one map-side-combined aggregate (k + k + k(k−1)/2
+    * sums on the wire), then the pair rows unfold from the single
+    * 1-row result inside one Project — the corpus is scanned once
+    * for ALL pairs.
+    */
+  def pearsonScreenFx(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def nm(c: String) = c.replaceAll("[^A-Za-z0-9]", "_")
+    val sums =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
+      cols.map(c => sum(fx(col(c)).cast("decimal(38,0)"))
+        .as(s"__s_${nm(c)}")) ++
+      cols.map(c => sum((fx(col(c)) * fx(col(c)))
+        .cast("decimal(38,0)")).as(s"__ss_${nm(c)}")) ++
+      (for (i <- cols.indices; j <- i + 1 until cols.size) yield
+        sum((fx(col(cols(i))) * fx(col(cols(j))))
+          .cast("decimal(38,0)"))
+          .as(s"__sp_${nm(cols(i))}_${nm(cols(j))}"))
+    val agg1 = df.agg(sums.head, sums.tail: _*)
+    val pairRows = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield {
+        val (a, b) = (nm(cols(i)), nm(cols(j)))
+        struct(lit(cols(i)).as("x_col"), lit(cols(j)).as("y_col"),
+          expr(
+            s"""case when __n * __ss_$a - __s_$a * __s_$a = 0
+               |      or __n * __ss_$b - __s_$b * __s_$b = 0 then null
+               |else cast(floor(
+               |  cast(__n * __sp_${a}_$b - __s_$a * __s_$b as double)
+               |  / sqrt(cast(__n * __ss_$a - __s_$a * __s_$a as double)
+               |       * cast(__n * __ss_$b - __s_$b * __s_$b as double))
+               |  * 1000000.0) as bigint) end""".stripMargin)
+            .as("r_e6"))
+      }
+    agg1.select(explode(array(pairRows: _*)).as("__p"))
+      .select(col("__p.x_col"), col("__p.y_col"), col("__p.r_e6"))
+      .orderBy(col("x_col"), col("y_col"))
+  }
+
   /** EQUI-DEPTH histogram — the optimizer-stats companion to
     * [[histogramFx]]'s equi-width bins: each bucket holds ≈ N/B
     * rows, so skewed columns get narrow buckets where the mass is

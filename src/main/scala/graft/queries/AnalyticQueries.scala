@@ -32,6 +32,16 @@ object AnalyticQueries extends QueryPack {
         "l_extendedprice", buckets = 20)
     }),
 
+    // Pairwise Pearson correlation screen (ops.Profiler
+    // .pearsonScreenFx): every numeric-column pair's r from ONE
+    // corpus aggregate of decimal-widened integer moments — the
+    // feature-selection readout ANALYZE-style profilers ship. The
+    // only floats are the final fixed-form expression (IEEE casts +
+    // correctly-rounded sqrt), floored e6; zero variance → NULL.
+    "q235_correlation_screen" -> ((s, dir) =>
+      graft.ops.Profiler.pearsonScreenFx(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // EQUI-DEPTH histogram (ops.Profiler.equiDepthHistogramFx): the
     // optimizer-stats companion to q170's equi-width bins — each
     // bucket holds ≈N/10 rows so skewed columns get narrow buckets
@@ -195,7 +205,39 @@ object AnalyticQueries extends QueryPack {
     })
   )
 
+  /** Generated moment-sum oracle for the correlation screen — the
+    * identical fixed-form r expression over HUGEINT sums.
+    */
+  private def pearsonOracle(cols: Seq[String]): String = {
+    def nm(c: String) = c.replaceAll("[^A-Za-z0-9]", "_")
+    def f(c: String) = s"CAST(floor($c * 100) AS HUGEINT)"
+    val sums = (Seq("count(*)::HUGEINT AS n") ++
+      cols.map(c => s"sum(${f(c)}) AS s_${nm(c)}") ++
+      cols.map(c => s"sum(${f(c)} * ${f(c)}) AS ss_${nm(c)}") ++
+      (for (i <- cols.indices; j <- i + 1 until cols.size) yield
+        s"sum(${f(cols(i))} * ${f(cols(j))})" +
+          s" AS sp_${nm(cols(i))}_${nm(cols(j))}"))
+      .mkString(",\n    ")
+    val selects = (for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield {
+        val (a, b) = (nm(cols(i)), nm(cols(j)))
+        s"""SELECT '${cols(i)}' AS x_col, '${cols(j)}' AS y_col,
+           |  CASE WHEN n*ss_$a - s_$a*s_$a = 0
+           |        OR n*ss_$b - s_$b*s_$b = 0 THEN NULL
+           |  ELSE cast(floor(
+           |    cast(n*sp_${a}_$b - s_$a*s_$b as double)
+           |    / sqrt(cast(n*ss_$a - s_$a*s_$a as double)
+           |         * cast(n*ss_$b - s_$b*s_$b as double))
+           |    * 1000000.0) as bigint) END AS r_e6
+           |FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"WITH m AS (\n  SELECT $sums\n  FROM lineitem)\n" +
+      s"SELECT * FROM (\n$selects)\nORDER BY x_col, y_col"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q235_correlation_screen" -> pearsonOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q233_equidepth_hist" ->
       """WITH v AS (
         |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS fx
