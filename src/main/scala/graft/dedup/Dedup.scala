@@ -402,6 +402,59 @@ object Dedup {
         round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
   }
 
+  /** Maximal duplicate-span EXTENTS — the form exact-substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") actually REMOVES: where
+    * [[duplicateSpans]] reports how many n-token windows of a doc
+    * are shared, this merges the duplicated windows' token COVERAGE
+    * into maximal per-doc spans — the union of [p, p+n−1] ranges
+    * over duplicated window starts p, adjacent-or-overlapping
+    * ranges (next start ≤ prev start + n) coalesced. Output one row
+    * per span: (id, span_start, span_end, span_tokens), 1-based
+    * inclusive token positions, ordered (id, span_start) — the cut
+    * list a remover applies verbatim.
+    *
+    * A window is duplicated iff its hash occurs in ≥ 2 DISTINCT
+    * docs, read per row as `count over (hash) > count over (hash,
+    * doc)` — two bounded windows on the SAME digest exchange
+    * [[duplicateSpans]] already pays, no join back to the corpus
+    * and no second scan. Span assembly is gaps-and-islands per doc:
+    * the islands window partitions by doc id (doc-length-bounded);
+    * nothing global. Same recall contract as [[duplicateSpans]].
+    */
+  def duplicateSpanExtents(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(idCol),
+        posexplode(TextFunctions.ngramsFast(
+          TextFunctions.tokens(col(textCol)), n)))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        md5(col("col")).as("__h"))
+      .repartition(col("__h"))
+    val ch = Window.partitionBy(col("__h"))
+    val chd = Window.partitionBy(col("__h"), col(idCol))
+    val dup = w
+      .withColumn("__ct", count(lit(1)).over(ch))
+      .withColumn("__cd", count(lit(1)).over(chd))
+      .filter(col("__ct") > col("__cd"))
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"))
+      .withColumn("span_tokens",
+        col("span_end") - col("span_start") + 1L)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col(idCol), col("span_start"))
+  }
+
   /** Cross-corpus n-gram-overlap contamination report (the GPT-3 /
     * PaLM decontamination method: a training doc is contaminated to
     * the degree its `n`-token windows appear anywhere in the
@@ -681,6 +734,8 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       textCol: String, keyLen: Int = 40, window: Int = 8,
       tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    require(window >= 2,
+      s"window must be >= 2 (window-1 sort neighbors per record); got $window")
     val keyed = docs.select(col(idCol), col(textCol))
       .withColumn("__sk", substring(col(textCol), 1, keyLen))
     val idx = graft.ops.Relational

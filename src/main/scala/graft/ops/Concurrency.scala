@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   * deltas before −1 at equal timestamps, so touching intervals
   * overlap — the convention stated once and replayed exactly.
   *
-  * Scale shape: the sweep runs over 2·|intervals| delta rows — the
-  * SESSION-bounded relation, not the event stream — so the global
-  * running-sum window is the documented bounded-single-partition
-  * shape (the W2 vocab-indexer contract), fine for millions of
-  * intervals and NOT for billions; shard by calendar day first at
-  * that scale (peaks don't cross a shard boundary if shards overlap
-  * by the max session length).
+  * Scale shape: the sweep's running sum is the banded TWO-LEVEL
+  * prefix sum (the q126/q130/q140 pattern — `Packing
+  * .packSpansGlobal` is the template): delta rows band by time
+  * bucket, per-band delta totals (one small aggregate, one row per
+  * band) carry across bands through a window over BAND rows only,
+  * and each row's running count is its band carry plus a
+  * within-band window partitioned by band. The 2·|intervals| delta
+  * relation pays one hash exchange on the band id; the naive
+  * `Window.orderBy(t)` global sort — which serializes every delta
+  * through ONE task — never appears. Equal timestamps always land
+  * in the same band (banding is on t), so the +1-before-−1 tie
+  * order is preserved exactly; ConcurrencySpec pins equality with
+  * the naive global window.
   */
 object Concurrency {
 
@@ -26,17 +32,38 @@ object Concurrency {
     * its time are invariant to tie-order among equal (t, delta)
     * rows: +1s sort first, so the within-tie maximum is the sum
     * after all the tie's arrivals, whatever their permutation.
+    *
+    * `bandWidthUs` slices the timestamp range (default 1 hour):
+    * band count tracks time-range / bandWidth — size it so each
+    * band holds ~10⁵-10⁶ delta rows at scale. Any value gives the
+    * identical result; it only moves work between the band-carry
+    * window (≤|bands| rows) and the per-band windows.
     */
   def peakConcurrency(intervals: DataFrame, startCol: String,
-      endCol: String): DataFrame = {
+      endCol: String,
+      bandWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    require(bandWidthUs > 0, "bandWidthUs must be > 0")
     val d = intervals
       .select(unix_micros(col(startCol)).as("t"), lit(1L).as("delta"))
       .unionByName(intervals
         .select(unix_micros(col(endCol)).as("t"),
           lit(-1L).as("delta")))
-    val sweep = Window.orderBy(col("t"), col("delta").desc)
+      // floor division correct for negative epochs too (pre-1970)
+      .withColumn("__b",
+        floor(col("t") / lit(bandWidthUs.toDouble)).cast("long"))
+    val carryW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = d.groupBy(col("__b"))
+      .agg(sum(col("delta")).as("__bt"))
+      .withColumn("__carry",
+        coalesce(sum(col("__bt")).over(carryW), lit(0L)))
+      .select(col("__b"), col("__carry"))
+    val inBand = Window.partitionBy(col("__b"))
+      .orderBy(col("t"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val r = d.withColumn("running", sum(col("delta")).over(sweep))
+    val r = d.join(broadcast(carries), "__b")
+      .withColumn("running",
+        col("__carry") + sum(col("delta")).over(inBand))
     val peak = r.agg(max(col("running")).as("peak"))
     r.crossJoin(broadcast(peak))
       .filter(col("running") === col("peak"))

@@ -74,16 +74,22 @@ object CountMin {
   def estimate(sk: DataFrame, probes: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
     val carry = probes.columns.toSeq.map(col)
-    probes
-      .select(carry :+
+    // __pid keys the min-aggregate per probe ROW, not per distinct
+    // row value — duplicate probe rows each keep their estimate
+    val withId = probes.withColumn("__pid",
+      monotonically_increasing_id())
+    val grp = col("__pid") +: carry
+    withId
+      .select(grp :+
         explode(array((0 until d).map(r =>
           struct(lit(r).as("__r"), bucket(col(keyCol), r, w).as("__b"))): _*))
           .as("__rb"): _*)
-      .select(carry :+ col("__rb.__r").as("__r") :+
+      .select(grp :+ col("__rb.__r").as("__r") :+
         col("__rb.__b").as("__b"): _*)
       .join(broadcast(sk), Seq("__r", "__b"), "left")
       .na.fill(0L, Seq("__n"))
-      .groupBy(carry: _*)
+      .groupBy(grp: _*)
       .agg(min(col("__n")).as("est_n"))
+      .drop("__pid")
   }
 }

@@ -69,7 +69,8 @@ object Eval {
       col(labelCol).cast("long").as("__pos"))
     val stats = s.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
     s.crossJoin(broadcast(stats))
-      .withColumn("bin", expr(s"((__s - __mn) * $bins) div (__mx - __mn + 1)"))
+      .withColumn("bin", expr(
+        s"((cast(__s as decimal(38,0)) - __mn) * $bins) div (__mx - __mn + 1)"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

@@ -283,10 +283,15 @@ object EventAnalytics {
     * without both events drop.
     *
     * Scale shape: two user-keyed aggregates + one user-keyed join
-    * produce ONE latency row per converting user; the rank window
-    * runs over that |users|-bounded relation (the W2
-    * single-partition contract). Output: one row
-    * (n_users, p50_ms, p90_ms, max_ms).
+    * produce ONE latency row per converting user; the rank is then
+    * read off the latency-value HISTOGRAM prefix sum (the q233
+    * equi-depth shape, `Profiler.equiDepthHistogramFx`) — the
+    * value at rank k is the smallest latency whose cumulative
+    * count reaches k, identical to ranking user rows because rank
+    * ties share a latency value. The only unpartitioned window
+    * runs over DISTINCT-latency rows (ms-quantized durations, far
+    * below |users| at scale), never over one row per user.
+    * Output: one row (n_users, p50_ms, p90_ms, max_ms).
     */
   def conversionLatency(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, fromType: String,
@@ -301,16 +306,19 @@ object EventAnalytics {
       .groupBy(col(userCol), col("__tv"))
       .agg(min(unix_millis(col(tsCol))).as("__tp"))
       .select(col(userCol), (col("__tp") - col("__tv")).as("__lat"))
-    val w = Window.orderBy(col("__lat"), col(userCol))
-    val ranked = lat
-      .withColumn("__rk", row_number().over(w))
-      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n_users"))))
-    ranked.agg(
+    val hist = lat.groupBy(col("__lat"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__lat"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("n_users"))))
+      .agg(
         max(col("n_users")).as("n_users"),
-        max(when(col("__rk") ===
+        min(when(col("__cum") >=
           expr("(n_users * 50 + 99) div 100"), col("__lat")))
           .as("p50_ms"),
-        max(when(col("__rk") ===
+        min(when(col("__cum") >=
           expr("(n_users * 90 + 99) div 100"), col("__lat")))
           .as("p90_ms"),
         max(col("__lat")).as("max_ms"))

@@ -39,6 +39,21 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Maximal duplicate-span extents over the SAME spliced corpus as
+    // q106 — the cut list exact-substring dedup actually removes:
+    // duplicated 13-token windows' coverage merged per doc into
+    // maximal (span_start, span_end) token ranges via
+    // gaps-and-islands (merge while next start <= prev start + 13).
+    "q236_dup_span_extents" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = T.tokens(col("text"))
+      val spliced = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(toks, lit(11), size(toks)), " ").as("text"))
+      Dedup.duplicateSpanExtents(d.unionByName(spliced), "doc_id", "text",
+        n = 13)
+    }),
+
     // Gopher repetition rules: fraction of characters taken by the
     // single most frequent 2-/3-/4-gram (ties broken by gram text).
     // A per-document statistic, so it is computed ENTIRELY map-side
@@ -1058,6 +1073,41 @@ object CurationQueries extends QueryPack {
          |  cast(n_dup_windows as bigint) AS n_dup_windows,
          |  round(n_dup_windows * 1.0 / n_windows, 4) AS dup_ratio
          |FROM per WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
+    // same corpus + duplicated-window rule as q106, then the
+    // gaps-and-islands merge replayed: flag a new island when the
+    // gap between successive duplicate starts exceeds n=13, island
+    // id by running sum, one span row per (doc, island)
+    "q236_dup_span_extents" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, l FROM tk
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         string_split(array_to_string(l[11:len(l)], ' '), ' ')
+         |  FROM tk WHERE doc_id < 30),
+         |g AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(l) - 12)) AS pos, l
+         |      FROM corpus),
+         |hh AS (SELECT doc_id, pos,
+         |         md5(array_to_string(l[pos:pos+12], ' ')) AS h FROM g),
+         |c AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY h) AS ct,
+         |        count(*) OVER (PARTITION BY h, doc_id) AS cd
+         |      FROM hh),
+         |d AS (SELECT doc_id, pos FROM c WHERE ct > cd),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |               ORDER BY pos) > 13 THEN 1 ELSE 0 END AS flag
+         |      FROM d),
+         |si AS (SELECT doc_id, pos,
+         |         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS isl
+         |       FROM i)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 12 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM si GROUP BY doc_id, isl
+         |ORDER BY doc_id, span_start""".stripMargin,
     "q107_top_ngram" -> {
       def topCte(n: Int) =
         s"""t$n AS (

@@ -31,6 +31,13 @@ object UnigramLm {
   /** Longest candidate piece, and the DP lookback bound. */
   val MaxPieceLen = 4
 
+  /** e6-scaled log-prob charged per OOV character (a char absent
+    * from the trained vocab, possible only on input the vocab was
+    * not trained on): very negative so any in-vocab segmentation
+    * wins, far from Long.MinValue so sums never wrap.
+    */
+  val UnkScoreE6 = -1000000000000L
+
   /** Words longer than this are excluded from the oracle-replayed
     * segmentation QUERY (the unrolled DP has one CTE level per
     * character); [[segmentWord]] itself handles any length.
@@ -104,15 +111,26 @@ object UnigramLm {
       var l = 1
       val lMax = math.min(MaxPieceLen, j)
       while (l <= lMax) {
-        scores.get(w.substring(j - l, j)) match {
-          case Some(s) =>
-            val sc = best(j - l) + s
-            if (sc > bs || (sc == bs && l > bestL)) {
-              bs = sc; bestL = l
-            }
-          case None =>
+        // a prefix at Long.MinValue is unreachable — extending it
+        // would wrap the sum positive and fake a best path
+        if (best(j - l) != Long.MinValue) {
+          scores.get(w.substring(j - l, j)) match {
+            case Some(s) =>
+              val sc = best(j - l) + s
+              if (sc > bs || (sc == bs && l > bestL)) {
+                bs = sc; bestL = l
+              }
+            case None =>
+          }
         }
         l += 1
+      }
+      if (bestL == 0) {
+        // OOV character: no vocab piece ends here — emit the single
+        // char as an <unk>-penalized piece so every position stays
+        // reachable (backtrack can never see bl == 0 and loop)
+        bs = best(j - 1) + UnkScoreE6
+        bestL = 1
       }
       best(j) = bs; bl(j) = bestL
       j += 1

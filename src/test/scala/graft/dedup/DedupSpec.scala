@@ -360,6 +360,63 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("duplicateSpanExtents: overlapping and adjacent windows merge, gap > n splits") {
+    // 40 shared tokens s0..s39 at the HEAD of doc 1 and doc 2 (one
+    // maximal span), plus a second shared run u0..u12 (exactly n=13
+    // tokens — one window) near doc 1's tail, separated by unique
+    // filler wider than n.
+    val shared = (0 until 40).map(i => s"s$i").mkString(" ")
+    val run2 = (0 until 13).map(i => s"u$i").mkString(" ")
+    val filler1 = (0 until 20).map(i => s"f$i").mkString(" ")
+    val filler2 = (0 until 20).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $filler1 $run2"),
+      (2L, s"$shared $filler2"),
+      (3L, s"$run2 alone tail words here padding")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanExtents(docs, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc1: windows 1..28 all duplicated (shared head, merge into
+    // [1,40]); u-run starts at token 61, its single window → [61,73]
+    assert(out == List(
+      (1L, 1L, 40L, 40L), (1L, 61L, 73L, 13L),
+      (2L, 1L, 40L, 40L),
+      (3L, 1L, 13L, 13L)))
+  }
+
+  test("duplicateSpanExtents: extents cover exactly duplicateSpans' window count") {
+    // coverage-union replay: per doc, Σ span_tokens must equal the
+    // size of { p..p+n-1 : window p duplicated } — brute-forced here
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ") + " " +
+        (0 until 15).map(i => s"x$i").mkString(" ") + " " +
+        (0 until 30).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"a$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val n = 13
+    val spans = Dedup.duplicateSpanExtents(docs, "doc_id", "text", n)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // brute force: hash windows, find cross-doc dups, union coverage
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(n).zipWithIndex.filter(_._1.size == n)
+        .map { case (w, i) => (id, i + 1, w.mkString(" ")) }.toSeq
+    }
+    val byHash = wins.groupBy(_._3)
+    val dupPos = wins.filter { case (id, _, w) =>
+      byHash(w).exists(_._1 != id) ||
+        byHash(w).count(o => o._1 == id) > byHash(w).count(_._1 == id)
+    }
+    val cover = dupPos.groupBy(_._1).map { case (id, ps) =>
+      id -> ps.flatMap(p => p._2 until (p._2 + n)).toSet
+    }
+    val got = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap(sp => sp._2 to sp._3).toSet
+    }
+    assert(got == cover)
+  }
+
   test("editDistancePairs: same-prefix small edits found, big edits cut by threshold") {
     val prefix = "shared forty-character document prefix xx "
     val docs = Seq(

@@ -137,6 +137,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(paths == trans)
   }
 
+  test("conversionLatency: first-view to first-later-purchase, ceil-rank values") {
+    val ev = Seq(
+      // u1: view@10, purchase@30 → 20 s
+      (1L, "view", ts(10)), (1L, "purchase", ts(30)),
+      // u2: purchase BEFORE the first view must not count; later one does
+      (2L, "purchase", ts(5)), (2L, "view", ts(10)), (2L, "purchase", ts(50)),
+      // u3: view only — drops
+      (3L, "view", ts(1)),
+      // u4: purchase at the same ms as the view — strict after, drops
+      (4L, "view", ts(7)), (4L, "purchase", ts(7)),
+      // u5: 10 s
+      (5L, "view", ts(0)), (5L, "purchase", ts(10))
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.conversionLatency(ev,
+      "user_id", "event_type", "t", "view", "purchase")
+      .as[(Long, Long, Long, Long)].head()
+    // latencies {10000, 20000, 40000}: rank ⌈50·3/100⌉=2 → 20000,
+    // rank ⌈90·3/100⌉=3 → 40000
+    assert(out == ((3L, 20000L, 40000L, 40000L)))
+  }
+
+  test("conversionLatency: histogram rank equals the row-rank form, with ties") {
+    val rnd = new scala.util.Random(7)
+    // heavy latency ties: durations drawn from a small set so the
+    // histogram path must reproduce value-at-rank through tied runs
+    val ev = (1 to 300).flatMap { u =>
+      val s = rnd.nextInt(1000).toLong
+      val conv = rnd.nextInt(10) < 7
+      Seq((u.toLong, "view", ts(s))) ++
+        (if (conv) Seq((u.toLong, "purchase",
+          ts(s + 1 + rnd.nextInt(8)))) else Nil)
+    }.toDF("user_id", "event_type", "t")
+    val got = EventAnalytics.conversionLatency(ev,
+      "user_id", "event_type", "t", "view", "purchase")
+      .as[(Long, Long, Long, Long)].head()
+    // row-rank replay: value at rank ⌈p·n/100⌉ over the sorted list
+    val lats = ev.as[(Long, String, java.sql.Timestamp)].collect()
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        val v = rows.filter(_._2 == "view").map(_._3.getTime).min
+        val ps = rows.filter(r => r._2 == "purchase" && r._3.getTime > v)
+        if (ps.isEmpty) None else Some(ps.map(_._3.getTime).min - v)
+      }.toSeq.sorted
+    val n = lats.size
+    def atRank(p: Int) = lats((p * n + 99) / 100 - 1)
+    assert(got == ((n.toLong, atRank(50), atRank(90), lats.max)))
+  }
+
   test("cohortRetention: the retention triangle off first-activity weeks") {
     val wk = 7L * 86400L
     val ev = Seq(
