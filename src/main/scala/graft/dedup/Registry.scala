@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Cross-run incremental dedup registry — the corpus-registry shape
+  * a continuously-ingesting pipeline needs: a persisted
+  * (digest → first-seen keeper) table, bucketed on the digest
+  * ([[graft.io.Bucketing]] machinery), that each NEW batch dedups
+  * against WITHOUT rescanning historical text. First-seen wins:
+  * a digest's keeper is the row that first ingested it (min id
+  * within its founding batch), and later batches' copies drop —
+  * replaying batches in order therefore equals a from-scratch dedup
+  * of the union under the (batch_no, id) tie rule, which is what
+  * RegistrySpec and the q237 oracle pin.
+  *
+  * Scale shape: the registry holds 16-byte digests + keeper ids —
+  * the INDEX, never the corpus (at 100 TB of text the digest table
+  * is ~0.01% of corpus bytes). A batch ingest pays: one batch-side
+  * digest aggregate, one equi-join against the bucketed registry
+  * (registry side exchange-free off the bucket layout; only the
+  * batch — the small side by construction — shuffles to align),
+  * and one bucket-aligned append of the new digests. History text
+  * is never read again; the registry is never rewritten, only
+  * appended (each append lays one file per bucket — the reader
+  * keeps the exchange-free join; per-file sort metadata is
+  * per-append, which bucketed scans tolerate).
+  */
+object Registry {
+
+  /** Create or replace an EMPTY registry table `name` at `path`,
+    * bucketed on the digest column `h`.
+    */
+  def create(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // remove stale files from a previous registry at the same path —
+    // saveAsTable Append would otherwise resurrect them
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    // the location must exist up front: scanning the still-empty
+    // table (the first batch's anti-join) lists the directory
+    fs.mkdirs(p)
+    spark.sql(
+      s"""CREATE TABLE $name (h STRING, keep_id BIGINT, batch_no INT)
+         |USING parquet
+         |CLUSTERED BY (h) SORTED BY (h) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
+  }
+
+  /** The batch rows that survive against the current registry:
+    * digests never seen before, one keeper per digest (min id
+    * WITHIN the batch). Pure read — [[ingest]] is the mutating
+    * form. Returns (h, keep_id).
+    */
+  def dedupBatch(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fresh = batch
+      .select(col(idCol).cast("long").as("keep_id"),
+        TextFunctions.contentHash(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("keep_id")).as("keep_id"))
+    fresh.join(spark.table(name).select(col("h")), Seq("h"), "left_anti")
+  }
+
+  /** Ingest one batch: append its surviving digests (tagged
+    * `batchNo`) to the registry and return them. Idempotent at the
+    * DIGEST level — re-ingesting an already-registered batch
+    * appends nothing and returns zero rows.
+    */
+  def ingest(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, batchNo: Int): DataFrame = {
+    // the survivor set must be pinned BEFORE the append, and plain
+    // persist() is NOT enough: the insert refreshes the table by
+    // path, which invalidates every cached plan referencing it —
+    // including the survivors, which would lazily recompute against
+    // the just-updated registry and vanish. localCheckpoint severs
+    // the lineage (the plan becomes an RDD scan with no table
+    // reference), so the refresh cannot touch it.
+    val kept = dedupBatch(spark, name, batch, idCol, textCol)
+      .withColumn("batch_no", lit(batchNo))
+      .select(col("h"), col("keep_id"), col("batch_no"))
+      .localCheckpoint()
+    // insertInto keeps the table's bucket spec: rows hash to their
+    // bucket files on write, so the layout contract survives appends
+    kept.write.mode(SaveMode.Append).insertInto(name)
+    kept
+  }
+}

@@ -438,6 +438,34 @@ object DedupQueries extends QueryPack {
     // miss them, while winnowing's normalization makes the copies
     // share their full fingerprint set (dup_ratio 1.0 for both ends
     // of each pair).
+    // Cross-run incremental dedup registry (dedup.Registry): the
+    // corpus splits into 3 batches (doc_id % 3) ingested IN ORDER
+    // into a fresh digest-bucketed registry table; each batch
+    // dedups against the registered digests only — history text is
+    // never rescanned. First-seen-wins: replaying batches equals a
+    // from-scratch dedup of the union under the (batch_no, id) tie
+    // rule, which is exactly what the oracle replays. Output one
+    // row per batch: (batch_no, n_in, n_kept).
+    "q237_dedup_registry" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val name = s"graft_dedup_reg_$tag"
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry/$tag"
+      Registry.create(s, name, path, buckets = 8)
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val rows = (0 until 3).map { b =>
+        val batch = d.filter(col("doc_id") % 3 === b)
+        val nIn = batch.count()
+        val kept = Registry.ingest(s, name, batch, "doc_id", "text", b)
+        (b, nIn, kept.count())
+      }
+      import s.implicits._
+      rows.toDF("batch_no", "n_in", "n_kept")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_kept"))
+        .orderBy(col("batch_no"))
+    }),
+
     "q146_winnow_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val punct = d.filter(col("doc_id") < 30)
@@ -954,6 +982,21 @@ object DedupQueries extends QueryPack {
          |GROUP BY 1, 2 HAVING count(*) >= 8
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // first-seen-wins replay: a digest's founding batch is
+    // min(doc_id % 3); kept per batch = distinct digests founded
+    // there, input per batch = raw row count
+    "q237_dedup_registry" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_no,
+        |    md5(text) AS h
+        |  FROM documents),
+        |i AS (SELECT batch_no, count(*) AS n_in FROM b GROUP BY batch_no),
+        |f AS (SELECT h, min(batch_no) AS batch_no FROM b GROUP BY h),
+        |k AS (SELECT batch_no, count(*) AS n_kept FROM f GROUP BY batch_no)
+        |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM i LEFT JOIN k USING (batch_no)
+        |ORDER BY i.batch_no""".stripMargin,
     "q146_winnow_spans" -> {
       val punctSrc =
         """(SELECT doc_id, text FROM documents

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshReg(tag: String): (String, String) = {
+    val name = s"graft_test_reg_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/$tag"
+    Registry.create(spark, name, path, buckets = 4)
+    (name, path)
+  }
+
+  test("registry replay equals from-scratch dedup of the union (first-seen wins)") {
+    val (name, _) = freshReg("replay")
+    // batch 1 re-introduces batch 0's text under LOWER ids — the
+    // registry must still keep batch 0's keeper (first-seen), which
+    // is exactly the (batch_no, id) tie rule the oracle replays
+    val b0 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((1L, "alpha"), (2L, "gamma"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val k0 = Registry.ingest(spark, name, b0, "doc_id", "text", 0)
+      .as[(String, Long, Int)].collect().toSet
+    val k1 = Registry.ingest(spark, name, b1, "doc_id", "text", 1)
+      .as[(String, Long, Int)].collect().toSet
+    assert(k0.map(r => (r._2, r._3)) == Set((10L, 0), (11L, 0)))
+    assert(k1.map(r => (r._2, r._3)) == Set((2L, 1)))
+    // from-scratch replay over the union with the same tie rule
+    val union = b0.withColumn("b", lit(0)).unionByName(b1.withColumn("b", lit(1)))
+    val scratch = union
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("b"), col("doc_id"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("keep_id"), col("k.b").as("batch_no"))
+      .as[(String, Long, Int)].collect().toSet
+    assert((k0 ++ k1) == scratch)
+  }
+
+  test("re-ingesting an already-registered batch is idempotent: zero new rows") {
+    val (name, _) = freshReg("idem")
+    val b = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(Registry.ingest(spark, name, b, "doc_id", "text", 0).count() == 2L)
+    val before = spark.table(name).count()
+    assert(Registry.ingest(spark, name, b, "doc_id", "text", 1).count() == 0L)
+    assert(spark.table(name).count() == before)
+  }
+
+  test("batch dedup joins the registry without shuffling the registry side") {
+    val (name, _) = freshReg("plan")
+    Registry.ingest(spark, name,
+      (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+    val batch = (40L to 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val plan = Registry.dedupBatch(spark, name, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the stored side must come straight off the bucketed scan: its
+    // join subtree carries Bucketed: true and no Exchange above it
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+    // bucketed scans print SelectedBucketsCount — the reader is
+    // actually using the bucket layout, not treating it as raw files
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+  }
+
+  test("survivors returned by ingest are pinned before the append (not vanished)") {
+    val (name, _) = freshReg("pin")
+    val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")
+    val kept = Registry.ingest(spark, name, b, "doc_id", "text", 0)
+    // consuming AFTER the append must still show the survivors
+    assert(kept.count() == 2L)
+  }
+}
