@@ -102,34 +102,63 @@ object Ann {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, nProbe: Int, queries: DataFrame, k: Int,
       roundTo: Int = 6): DataFrame = {
-    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+    val (cents, assigned) =
+      ivfIndex(corpus, idCol, vecCol, nCentroids, roundTo)
+    ivfProbe(cents, assigned, queries, idCol, vecCol, nProbe, k, roundTo)
+  }
+
+  /** Nearest-centroid ranking for an arbitrary vector table against
+    * a broadcast (cent_id, cv, cn) centroid relation — shared by the
+    * inverted-file build and the query probe.
+    */
+  private def nearestCents(vecs: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, outId: String, n: Int,
+      roundTo: Int): DataFrame = {
+    val w = Window.partitionBy(col(outId))
+      .orderBy(col("__ccos").desc, col("cent_id"))
+    vecs.select(col(idCol).as(outId), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"))
+      .crossJoin(broadcast(cents))
+      // rounded before ranking (like the final top-k): the rank
+      // must not hinge on sub-ulp engine differences
+      .withColumn("__ccos",
+        round(dot(col("v"), col("cv")) / (col("vn") * col("cn")), roundTo))
+      .withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= n)
+      .select(col(outId), col("cent_id"), col("v"), col("vn"))
+  }
+
+  /** Build the IVF index: (centroids, inverted file). Centroids are
+    * (cent_id, cv, cn) — the id<nCentroids convention; the inverted
+    * file is one (neighbor_id, cent_id, v, vn) row per corpus
+    * vector, persisted (read once per probed cluster join). Both
+    * halves are what [[IndexStore.saveIvf]] persists to parquet so
+    * the one corpus scan is paid offline, once.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, roundTo: Int = 6): (DataFrame, DataFrame) = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
-        norm(col(vecCol)).as("cn")))
+        norm(col(vecCol)).as("cn"))
+    val assigned =
+      nearestCents(corpus, idCol, vecCol, cents, "neighbor_id", 1, roundTo)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cents, assigned)
+  }
 
-    // nearest-centroid ranking for an arbitrary vector table
-    def nearestCents(vecs: DataFrame, outId: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__ccos").desc, col("cent_id"))
-      vecs.select(col(idCol).as(outId), col(vecCol).as("v"),
-          norm(col(vecCol)).as("vn"))
-        .crossJoin(cents)
-        // rounded before ranking (like the final top-k): the rank
-        // must not hinge on sub-ulp engine differences
-        .withColumn("__ccos",
-          round(dot(col("v"), col("cv")) / (col("vn") * col("cn")), roundTo))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= n)
-        .select(col(outId), col("cent_id"), col("v"), col("vn"))
-    }
-
-    // inverted file: cluster id per corpus vector (persisted: read
-    // once per probed cluster join)
-    val assigned = nearestCents(corpus, "neighbor_id", 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = nearestCents(queries, "query_id", nProbe)
-      .select(col("query_id"), col("cent_id"),
-        col("v").as("qv"), col("vn").as("qn"))
-
+  /** Probe a PREBUILT IVF index: rank each query's nProbe nearest
+    * centroids, equi-join the probed clusters' inverted lists, score
+    * and keep top-k. The corpus is never rescanned — `assigned` (as
+    * built by [[ivfIndex]] or loaded by [[IndexStore.loadIvf]]) is
+    * the only corpus-derived input.
+    */
+  def ivfProbe(cents: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, nProbe: Int,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val probes =
+      nearestCents(queries, idCol, vecCol, cents, "query_id", nProbe, roundTo)
+        .select(col("query_id"), col("cent_id"),
+          col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(assigned, "cent_id")

@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline ANN index artifacts — the contract a 100 TB similarity
+  * service runs on: the expensive corpus pass (PQ training + encode,
+  * IVF assignment) happens ONCE in an offline job, the result lands
+  * as parquet, and every later query session loads the artifact and
+  * probes without touching the corpus again. Within a session the
+  * index tables live as DataFrames ([[Pq.trainEncode]] /
+  * [[Ann.ivfIndex]]); this store is the session boundary.
+  *
+  * Layout: `<path>/meta` (one row of build parameters — the probe
+  * path re-derives nothing from the corpus, so the parameters must
+  * travel with the data), plus the index tables. Codes and inverted
+  * lists repartition on their join key at write so a read starts
+  * from a layout aligned with the probe joins. IndexStoreSpec pins
+  * probe-through-artifact == probe-through-fresh-build for both
+  * families.
+  */
+object IndexStore {
+
+  /** Persist a PQ index: codebooks (m·k rows), codes (m per vector),
+    * and (dim, m, quantScale) — what [[Pq.adcTopKWith]] needs.
+    */
+  def savePq(cents: DataFrame, codes: DataFrame, path: String,
+      dim: Int, m: Int, quantScale: Double): Unit = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    Seq((dim, m, quantScale)).toDF("dim", "m", "quant_scale")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+    codes.repartition(col("__s"), col("__cid"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+  }
+
+  /** Load a PQ index: (cents, codes, dim, m, quantScale). */
+  def loadPq(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int, Int, Double) = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    (spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"),
+      meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
+      meta.getAs[Double]("quant_scale"))
+  }
+
+  /** ADC top-k straight off a saved artifact. */
+  def pqTopK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val (cents, codes, dim, m, quantScale) = loadPq(spark, path)
+    Pq.adcTopKWith(cents, codes, queries, idCol, vecCol, dim, m,
+      topK, quantScale)
+  }
+
+  /** Persist an IVF index: centroids + inverted file, as built by
+    * [[Ann.ivfIndex]], with the roundTo convention in the meta (the
+    * probe must rank with the SAME rounding the assignment used).
+    * The inverted file partitions by cluster at write — each probed
+    * cluster reads contiguously.
+    */
+  def saveIvf(cents: DataFrame, assigned: DataFrame, path: String,
+      roundTo: Int): Unit = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    Seq(roundTo).toDF("round_to")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    assigned.repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/inverted")
+  }
+
+  /** Load an IVF index: (cents, assigned, roundTo). */
+  def loadIvf(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int) = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/inverted"),
+      meta.getAs[Int]("round_to"))
+  }
+
+  /** IVF top-k straight off a saved artifact. */
+  def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val (cents, assigned, roundTo) = loadIvf(spark, path)
+    Ann.ivfProbe(cents, assigned, queries, idCol, vecCol, nProbe, k,
+      roundTo)
+  }
+}

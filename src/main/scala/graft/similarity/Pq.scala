@@ -137,6 +137,20 @@ object Pq {
       topK: Int, quantScale: Double = 1e6): DataFrame = {
     val (cents, codes) =
       trainEncode(embeddings, idCol, vecCol, dim, m, k, iters, quantScale)
+    val out = adcTopKWith(cents, codes, queries, idCol, vecCol,
+      dim, m, topK, quantScale)
+    graft.ops.CacheRelease.afterFirstUse(out, codes)
+  }
+
+  /** ADC top-k against a PREBUILT index — the probe path an offline
+    * index artifact serves ([[IndexStore.savePq]]/[[IndexStore
+    * .loadPq]]): `cents`/`codes` exactly as [[trainEncode]] returns
+    * them (or as loaded back from parquet). The corpus' raw vectors
+    * are never touched; only the code table scans.
+    */
+  def adcTopKWith(cents: DataFrame, codes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, topK: Int, quantScale: Double = 1e6): DataFrame = {
     val qsub = subvectors(queries, idCol, vecCol, m, dim / m, quantScale)
     // |Q|·m·k-row distance table — the per-query lookup tables ADC
     // reads instead of raw vectors; broadcast to the code scan.
@@ -145,12 +159,11 @@ object Pq {
         sqDist(col("__qv"), col("__cq")).as("__d"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
-    val out = codes.join(broadcast(qdt), Seq("__s", "__cid"))
+    codes.join(broadcast(qdt), Seq("__s", "__cid"))
       .filter(col("__id") =!= col("query_id"))
       .groupBy(col("query_id"), col("__id").as("neighbor_id"))
       .agg(sum(col("__d")).as("adist"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= topK)
-    graft.ops.CacheRelease.afterFirstUse(out, codes)
   }
 }
