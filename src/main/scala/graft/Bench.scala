@@ -70,6 +70,15 @@ object Bench {
     }.toMap
     sentinel(record = true)
     spark.stop()
+    println(renderLine(results, sentinels.toSeq, sfDir))
+  }
+
+  /** The one-line JSON the driver captures, with the char-budget
+    * ladder applied. Pure — BenchLineSpec drives it to 300 synthetic
+    * keys and asserts every rung's output parses and fits.
+    */
+  def renderLine(results: Map[String, Double],
+      sentinels: Seq[Double], sfDir: String): String = {
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // appends an ~80-char "[success] Total time" trailer after us. The
     // whole JSON line must therefore start inside that window or the
@@ -152,14 +161,11 @@ object Bench {
     lazy val lineMin = Seq(0.05, 0.1, 0.2, 0.5, 1.0).iterator
       .map(m => mkLine(fcs, dropQ = true, minQ = m, qUnit = "cs"))
       .find(_.length <= cap)
-    if (line2.length <= cap) println(line2)
-    else if (line1.length <= cap) println(line1)
-    else if (line0.length <= cap) println(line0)
-    else if (lineCs.length <= cap) println(lineCs)
-    else lineMin match {
-      case Some(l) => println(l)
-      case None => println(
-        s"""{"metric":"total","value":${f2(total)},"unit":"sec"$sentCs,"sf":"$sfDir"}""")
-    }
+    if (line2.length <= cap) line2
+    else if (line1.length <= cap) line1
+    else if (line0.length <= cap) line0
+    else if (lineCs.length <= cap) lineCs
+    else lineMin.getOrElse(
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$sentCs,"sf":"$sfDir"}""")
   }
 }
