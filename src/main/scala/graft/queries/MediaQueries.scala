@@ -310,6 +310,36 @@ object MediaQueries extends QueryPack {
     // over encoder drift) — while MultimodalSpec pins the tight bands
     // (max<=32, mean<=8, dHash distance<=10). Closes the last pixel
     // stub: every image format the engine models now has a real codec.
+    // Exact-integer 8x8 DCT round trip at quality granularity
+    // (multimodal.Dct): 64 deterministic pixel blocks (integer
+    // formula over (doc_id, x, y) — both engines synthesize the
+    // same bytes), forward DCT -> JPEG-shape quantization at
+    // quality 10/50/90 -> dequantize -> inverse -> clamp, with
+    // per-quality distortion (max abs err, SSE) and code sparsity
+    // (nnz) aggregates. Every step is fixed-point long arithmetic
+    // off the hardcoded 2^13 basis table, so unlike q152's
+    // encoder-dependent JPEG bands this is a FULL hash oracle —
+    // the transform+quantizer core of lossy image coding, exact.
+    "q238_dct_roundtrip" -> ((s, dir) => {
+      import graft.multimodal.Dct
+      val blocks = table(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long").as("b"))
+        .withColumn("px", expr(
+          """transform(sequence(0L, 63L), i ->
+            |  (b*37 + (i div 8)*16 + (i % 8)*7 +
+            |   ((b+1)*((i div 8)+3)*((i % 8)+5)) % 31) % 256)"""
+            .stripMargin))
+      Seq(10, 50, 90).map { q =>
+        blocks.withColumn("st", Dct.statsUdf(q)(col("px")))
+          .agg(count(lit(1)).as("n_blocks"),
+            max(col("st._1")).as("max_abs_err"),
+            sum(col("st._2")).as("sse"),
+            sum(col("st._3").cast("long")).as("nnz"))
+          .select(lit(q).as("quality"), col("n_blocks"),
+            col("max_abs_err"), col("sse"), col("nnz"))
+      }.reduce(_ unionByName _).orderBy(col("quality"))
+    }),
+
     "q152_jpeg_roundtrip" -> ((s, dir) => {
       table(s, dir, "documents").filter(col("doc_id") < 200)
         // synthesize the 1008-cell pixel array ONCE per row (HOF
@@ -425,6 +455,61 @@ object MediaQueries extends QueryPack {
         |JOIN n ON g.doc_id = n.doc_id
         |LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
+    // full relational DCT replay: same 64-long basis and
+    // quality-scaled quant VALUES the kernel multiplies (emitted by
+    // Dct.basisSqlValues/quantSqlValues), same sign-guarded
+    // round-half-away divisions on non-negative numerators
+    "q238_dct_roundtrip" -> {
+      import graft.multimodal.Dct
+      val quantRows = Seq(10, 50, 90).flatMap { q =>
+        for (u <- 0 until 8; v <- 0 until 8)
+          yield s"($q,$u,$v,${Dct.quantStep(u, v, q)})"
+      }.mkString(", ")
+      s"""WITH m(u, x, c) AS (VALUES ${Dct.basisSqlValues}),
+         |qt(quality, u, v, q) AS (VALUES $quantRows),
+         |b AS (SELECT CAST(doc_id AS BIGINT) AS bid FROM documents
+         |      WHERE doc_id < 64),
+         |pos AS (SELECT CAST(t1.range AS BIGINT) AS x,
+         |          CAST(t2.range AS BIGINT) AS y
+         |        FROM range(0, 8) t1 CROSS JOIN range(0, 8) t2),
+         |px AS (SELECT bid, x, y,
+         |         (bid*37 + x*16 + y*7 +
+         |          ((bid+1)*(x+3)*(y+5)) % 31) % 256 AS p
+         |       FROM b CROSS JOIN pos),
+         |fwd AS (SELECT px.bid, m1.u, m2.u AS v,
+         |          sum((px.p - 128) * m1.c * m2.c) AS f
+         |        FROM px JOIN m m1 ON m1.x = px.x
+         |                JOIN m m2 ON m2.x = px.y
+         |        GROUP BY px.bid, m1.u, m2.u),
+         |cf AS (SELECT qt.quality, fwd.bid, fwd.u, fwd.v,
+         |         (CASE WHEN fwd.f < 0 THEN -1 ELSE 1 END) *
+         |           ((abs(fwd.f) + (CAST(qt.q AS BIGINT) * 67108864) // 2)
+         |             // (CAST(qt.q AS BIGINT) * 67108864)) AS code,
+         |         qt.q
+         |       FROM fwd JOIN qt ON qt.u = fwd.u AND qt.v = fwd.v),
+         |inv AS (SELECT cf.quality, cf.bid, n1.x, n2.x AS y,
+         |          sum(cf.code * cf.q * n1.c * n2.c) AS g
+         |        FROM cf JOIN m n1 ON n1.u = cf.u
+         |                JOIN m n2 ON n2.u = cf.v
+         |        GROUP BY cf.quality, cf.bid, n1.x, n2.x),
+         |rec AS (SELECT quality, bid, x, y,
+         |          greatest(0, least(255,
+         |            (CASE WHEN g < 0 THEN -1 ELSE 1 END) *
+         |              ((abs(g) + 33554432) // 67108864) + 128)) AS p2
+         |        FROM inv),
+         |err AS (SELECT r.quality, r.bid, abs(r.p2 - px.p) AS e
+         |        FROM rec r JOIN px ON px.bid = r.bid
+         |          AND px.x = r.x AND px.y = r.y),
+         |nz AS (SELECT quality,
+         |         sum(CASE WHEN code <> 0 THEN 1 ELSE 0 END) AS nnz
+         |       FROM cf GROUP BY quality)
+         |SELECT e.quality, CAST(count(*) / 64 AS BIGINT) AS n_blocks,
+         |  CAST(max(e.e) AS BIGINT) AS max_abs_err,
+         |  CAST(sum(e.e * e.e) AS BIGINT) AS sse,
+         |  CAST(max(nz.nnz) AS BIGINT) AS nnz
+         |FROM err e JOIN nz ON nz.quality = e.quality
+         |GROUP BY e.quality ORDER BY e.quality""".stripMargin
+    },
     "q143_media_headers" ->
       """SELECT doc_id,
         |  CAST(doc_id % 512 + 16 AS BIGINT) AS width,
