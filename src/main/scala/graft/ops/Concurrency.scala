@@ -43,6 +43,13 @@ object Concurrency {
       endCol: String,
       bandWidthUs: Long = 3600L * 1000000L): DataFrame = {
     require(bandWidthUs > 0, "bandWidthUs must be > 0")
+    // persisted: the delta relation is referenced FOUR times through
+    // the plan (carries + main join, each under both the peak
+    // aggregate and the earliest-peak filter) — unpersisted, the
+    // whole upstream interval build (q231: sessionization over
+    // events) would re-run per reference (the q191 re-inline trap;
+    // measured 2x on the bench). 2·|intervals| narrow rows — the
+    // session-bounded relation, safe to cache at any realistic SF.
     val d = intervals
       .select(unix_micros(col(startCol)).as("t"), lit(1L).as("delta"))
       .unionByName(intervals
@@ -51,6 +58,11 @@ object Concurrency {
       // floor division correct for negative epochs too (pre-1970)
       .withColumn("__b",
         floor(col("t") / lit(bandWidthUs.toDouble)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW: the carry/peak/count broadcast subqueries all
+    // launch before a lazy cache fills — raced, each would compute
+    // the full upstream build (the round-1 persist-then-count rule)
+    d.count()
     val carryW = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = d.groupBy(col("__b"))
@@ -61,16 +73,23 @@ object Concurrency {
     val inBand = Window.partitionBy(col("__b"))
       .orderBy(col("t"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // r is read twice (the peak aggregate and the earliest-peak
+    // filter): persisted so the carry build and the banded window
+    // run once, not per reference
     val r = d.join(broadcast(carries), "__b")
       .withColumn("running",
         col("__carry") + sum(col("delta")).over(inBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val peak = r.agg(max(col("running")).as("peak"))
-    r.crossJoin(broadcast(peak))
+    val out = r.crossJoin(broadcast(peak))
       .filter(col("running") === col("peak"))
       .agg(min(col("t")).as("peak_at_us"),
         max(col("peak")).as("peak"))
+      // every interval contributes exactly two delta rows, so the
+      // count reads the cache instead of re-deriving the intervals
       .crossJoin(broadcast(
-        intervals.agg(count(lit(1)).as("n_intervals"))))
+        d.agg((count(lit(1)) / 2).cast("long").as("n_intervals"))))
       .select(col("n_intervals"), col("peak"), col("peak_at_us"))
+    graft.ops.CacheRelease.afterFirstUse(out, d, r)
   }
 }
