@@ -430,6 +430,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming dedup-registry maintenance — [[graft.dedup
+    * .Registry]]'s ingestion twin: each micro-batch dedups against
+    * the persisted digest registry (anti-join whose stored side
+    * reads exchange-free off the bucket layout) and appends ONLY
+    * its own new digests, tagged with the batch id. The registry
+    * table IS the state — append-only, no versioned copies — so
+    * per-batch cost is O(batch) and history text is never
+    * rescanned. First-seen-wins across the whole stream: replaying
+    * the batches equals a from-scratch dedup of their union under
+    * the (batch_no, id) tie rule (StreamsSpec pins it). The
+    * optional handler receives each batch's survivors.
+    */
+  def registryMaintStream(docs: DataFrame, idCol: String,
+      textCol: String, registryName: String, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(graft.dedup.Registry.ingest(batch.sparkSession,
+          registryName, batch, idCol, textCol, id.toInt), id)
+      }
+      .start()
+
   /** Streaming count-min maintenance — [[graft.ops.CountMin]]'s
     * ingestion twin: each micro-batch sketches ONLY its own rows and
     * merges counter-wise with the prior version (the d·w-bounded

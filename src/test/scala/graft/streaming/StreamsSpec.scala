@@ -566,6 +566,36 @@ class StreamsSpec extends SparkSpec {
     } finally { q.stop(); refHist.unpersist() }
   }
 
+  test("registryMaintStream: streamed ingests equal from-scratch first-seen dedup") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft-reg-stream").toString
+    val name = "graft_stream_reg_spec"
+    graft.dedup.Registry.create(spark, name, s"$base/reg", buckets = 4)
+    val q = Streams.registryMaintStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      name, s"$base/chk")()
+    try {
+      // batch 1 re-introduces batch 0 texts under lower ids: the
+      // registry must keep batch 0's keepers
+      val b0 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
+      val b1 = Seq((1L, "alpha"), (2L, "gamma"), (3L, "gamma"))
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+      val reg = spark.table(name)
+        .as[(String, Long, Int)].collect().toSet
+      val union = (b0.map(r => (r._1, r._2, 0)) ++
+        b1.map(r => (r._1, r._2, 1))).toDF("doc_id", "text", "b")
+      val scratch = union
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(struct(col("b"), col("doc_id"))).as("k"))
+        .select(col("h"), col("k.doc_id"), col("k.b"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(reg == scratch)
+    } finally q.stop()
+  }
+
   test("cmsMaintStream: maintained sketch equals the from-scratch sketch; estimates agree") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
