@@ -146,6 +146,27 @@ object AnalyticQueries extends QueryPack {
     // overflow; slope/intercept land as truncated fixed-point longs
     // and replay bit-for-bit (abs/sign-guarded div — see the op's
     // scaladoc on truncate-vs-floor divergence).
+    // Deterministic HyperLogLog distinct-count (ops.Hll): md5-derived
+    // 48-bit hashes -> 64 max-rank registers per event_type -> the
+    // exact-integer raw estimate, with the true distinct count
+    // beside it. Unlike approx_count_distinct (opaque HLL++
+    // internals), every register and the estimate replay
+    // bit-for-bit in any engine with md5 + bin — the verifiable
+    // sketch contract, with mergeability spec-pinned (HllSpec).
+    "q239_hll_distinct" -> ((s, dir) => {
+      import graft.ops.Hll
+      val ev = table(s, dir, "events")
+      val est = Hll.estimate(
+        Hll.registers(ev, "user_id", Seq("event_type")),
+        Seq("event_type"))
+      val truth = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_true"))
+      truth.join(est, "event_type")
+        .select(col("event_type"), col("n_true"), col("est"),
+          col("zero_regs"))
+        .orderBy(col("event_type"))
+    }),
+
     "q186_trend_ols" -> ((s, dir) => {
       graft.ops.Trend.olsByGroup(
         table(s, dir, "events")
@@ -341,6 +362,38 @@ object AnalyticQueries extends QueryPack {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, yr)
         |ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    // full register + estimate replay: same md5/bin/shift pipeline
+    "q239_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        |      AS UBIGINT) AS BIGINT) AS hv
+        |  FROM events),
+        |rw AS (SELECT event_type,
+        |         hv // 4398046511104 AS bucket,
+        |         hv % 4398046511104 AS w
+        |       FROM h),
+        |regs AS (SELECT event_type, bucket,
+        |           max(CASE WHEN w = 0 THEN 43
+        |                    ELSE 43 - length(bin(w)) END) AS r
+        |         FROM rw GROUP BY event_type, bucket),
+        |f AS (SELECT event_type,
+        |        sum(CAST(1 AS BIGINT) << (43 - r)) AS s_occ,
+        |        count(*) AS n_occ
+        |      FROM regs GROUP BY event_type),
+        |e AS (SELECT event_type,
+        |        CAST(64 - n_occ AS BIGINT) AS zero_regs,
+        |        CAST(CAST(709 AS HUGEINT) * 4096 * 8796093022208
+        |          // (CAST(1000 AS HUGEINT) *
+        |              (s_occ + (64 - n_occ) * 8796093022208))
+        |          AS BIGINT) AS est
+        |      FROM f),
+        |t AS (SELECT event_type,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+        |      FROM events GROUP BY event_type)
+        |SELECT t.event_type, t.n_true, e.est, e.zero_regs
+        |FROM t JOIN e USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
     "q186_trend_ols" ->
       """WITH d AS (
         |  SELECT event_type, epoch_ms(ts) // 1000 AS x,
