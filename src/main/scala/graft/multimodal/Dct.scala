@@ -97,13 +97,12 @@ object Dct {
     (for (u <- 0 until 8; v <- 0 until 8)
       yield s"($u,$v,${quantStep(u, v, quality)})").mkString(", ")
 
-  /** Compiled round-trip kernel over one row-major 64-long block:
-    * returns (reconstructed block, nonzero quantized codes). Exact
-    * integers end to end — DctSpec pins equality with the relational
-    * form, the oracle replays the relational form in SQL.
+  /** Quantized code per coefficient, row-major 64 longs — the
+    * forward DCT + sign-guarded round-half-away quantizer shared by
+    * the round trip and the [[sizeBlock]] coding model.
     */
-  private[graft] def roundTripBlock(px: Array[Long],
-      quality: Int): (Array[Long], Int) = {
+  private[graft] def quantCodes(px: Array[Long],
+      quality: Int): Array[Long] = {
     require(px.length == 64, s"need 64 pixels, got ${px.length}")
     // forward: F[u][v] = Σ (p-128)·M[u][x]·M[v][y]   (scale 2^26)
     val f = Array.ofDim[Long](8, 8)
@@ -126,10 +125,7 @@ object Dct {
       }
       u += 1
     }
-    // quantize (sign-guarded round-half-away), dequantize to integer
-    // coefficients at scale 1
-    val coef = Array.ofDim[Long](8, 8)
-    var nnz = 0
+    val out = new Array[Long](64)
     u = 0
     while (u < 8) {
       var v = 0
@@ -137,8 +133,32 @@ object Dct {
         val d = quantStep(u, v, quality) * Scale2
         val a = math.abs(f(u)(v))
         val code = (a + d / 2) / d
+        out(u * 8 + v) = if (f(u)(v) < 0) -code else code
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Compiled round-trip kernel over one row-major 64-long block:
+    * returns (reconstructed block, nonzero quantized codes). Exact
+    * integers end to end — DctSpec pins equality with the relational
+    * form, the oracle replays the relational form in SQL.
+    */
+  private[graft] def roundTripBlock(px: Array[Long],
+      quality: Int): (Array[Long], Int) = {
+    val codes = quantCodes(px, quality)
+    // dequantize to integer coefficients at scale 1
+    val coef = Array.ofDim[Long](8, 8)
+    var nnz = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val code = codes(u * 8 + v)
         if (code != 0) nnz += 1
-        coef(u)(v) = (if (f(u)(v) < 0) -code else code) * quantStep(u, v, quality)
+        coef(u)(v) = code * quantStep(u, v, quality)
         v += 1
       }
       u += 1
@@ -168,6 +188,66 @@ object Dct {
       x += 1
     }
     (out, nnz)
+  }
+
+  /** The JPEG zigzag scan: position i → row-major coefficient
+    * index. 64 literals (ISO 10918-1 Figure 5), shared verbatim
+    * with the SQL twin via [[zigzagSqlValues]].
+    */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** SQL literal (i, u, v) of the zigzag walk. */
+  def zigzagSqlValues: String =
+    Zigzag.zipWithIndex
+      .map { case (rm, i) => s"($i,${rm / 8},${rm % 8})" }
+      .mkString(", ")
+
+  /** Coded-size model over one block's quantized codes — the
+    * entropy-coding STAGE of JPEG with the Huffman table replaced
+    * by fixed-width symbols, so the byte count is deterministic
+    * and engine-replayable (the Huffman-optimal size is data-
+    * dependent and not twin-verifiable; this model preserves the
+    * structure that drives it — zigzag order, zero runs, magnitude
+    * categories):
+    *   DC:            4 + cat(code) bits   (size nibble + magnitude)
+    *   each AC ≠ 0:   8 + cat(code) bits   (run/size byte + magnitude)
+    *   each 16-zero run before an AC ≠ 0:  8 bits (ZRL)
+    *   trailing zeros: 4 bits (EOB)
+    * with cat(v) = bit length of |v| (0 for 0). Returns
+    * (bits, nnz_ac).
+    */
+  private[graft] def sizeBlock(px: Array[Long],
+      quality: Int): (Long, Int) = {
+    val codes = quantCodes(px, quality)
+    val dc = codes(Zigzag(0))
+    var bits = 4L + cat(dc)
+    var nnz = 0
+    var run = 0
+    var i = 1
+    while (i < 64) {
+      val c = codes(Zigzag(i))
+      if (c == 0L) run += 1
+      else {
+        bits += 8L * (run / 16) + 8L + cat(c)
+        nnz += 1
+        run = 0
+      }
+      i += 1
+    }
+    if (run > 0) bits += 4L
+    (bits, nnz)
+  }
+
+  private def cat(v: Long): Int =
+    if (v == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(v))
+
+  /** Kernel UDF: block array → (bits, nnz_ac) of the size model. */
+  def sizeUdf(quality: Int) = udf { (px: Seq[Long]) =>
+    sizeBlock(px.toArray, quality)
   }
 
   /** Kernel UDF: block array → struct(recon array, nnz codes). */

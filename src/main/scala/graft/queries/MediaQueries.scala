@@ -340,6 +340,35 @@ object MediaQueries extends QueryPack {
       }.reduce(_ unionByName _).orderBy(col("quality"))
     }),
 
+    // Zigzag + run-length coded-size model over the q238 blocks
+    // (Dct.sizeUdf): the entropy-coding stage of JPEG with fixed-
+    // width symbols (DC 4+cat, AC 8+cat, ZRL 8, EOB 4 — Huffman's
+    // data-dependent table replaced so the byte count is exact and
+    // replayable). Per quality: blocks, total bits, nonzero AC
+    // codes, and bits-per-raw-bit e6 (raw = 512 bits/block) — the
+    // compression-ratio readout that completes the q238 transform+
+    // quantizer into a full size pipeline.
+    "q240_dct_size" -> ((s, dir) => {
+      import graft.multimodal.Dct
+      val blocks = table(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long").as("b"))
+        .withColumn("px", expr(
+          """transform(sequence(0L, 63L), i ->
+            |  (b*37 + (i div 8)*16 + (i % 8)*7 +
+            |   ((b+1)*((i div 8)+3)*((i % 8)+5)) % 31) % 256)"""
+            .stripMargin))
+      Seq(10, 50, 90).map { q =>
+        blocks.withColumn("sz", Dct.sizeUdf(q)(col("px")))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("sz._1")).as("total_bits"),
+            sum(col("sz._2").cast("long")).as("nnz_ac"))
+          .select(lit(q).as("quality"), col("n_blocks"),
+            col("total_bits"), col("nnz_ac"),
+            expr("total_bits * 1000000 div (n_blocks * 512)")
+              .as("ratio_e6"))
+      }.reduce(_ unionByName _).orderBy(col("quality"))
+    }),
+
     "q152_jpeg_roundtrip" -> ((s, dir) => {
       table(s, dir, "documents").filter(col("doc_id") < 200)
         // synthesize the 1008-cell pixel array ONCE per row (HOF
@@ -509,6 +538,65 @@ object MediaQueries extends QueryPack {
          |  CAST(max(nz.nnz) AS BIGINT) AS nnz
          |FROM err e JOIN nz ON nz.quality = e.quality
          |GROUP BY e.quality ORDER BY e.quality""".stripMargin
+    },
+    // q238's code CTEs + the zigzag VALUES walk, runs via lag over
+    // the nonzero positions, same fixed-width symbol model
+    "q240_dct_size" -> {
+      import graft.multimodal.Dct
+      val quantRows = Seq(10, 50, 90).flatMap { q =>
+        for (u <- 0 until 8; v <- 0 until 8)
+          yield s"($q,$u,$v,${Dct.quantStep(u, v, q)})"
+      }.mkString(", ")
+      s"""WITH m(u, x, c) AS (VALUES ${Dct.basisSqlValues}),
+         |qt(quality, u, v, q) AS (VALUES $quantRows),
+         |zig(i, u, v) AS (VALUES ${Dct.zigzagSqlValues}),
+         |b AS (SELECT CAST(doc_id AS BIGINT) AS bid FROM documents
+         |      WHERE doc_id < 64),
+         |pos AS (SELECT CAST(t1.range AS BIGINT) AS x,
+         |          CAST(t2.range AS BIGINT) AS y
+         |        FROM range(0, 8) t1 CROSS JOIN range(0, 8) t2),
+         |px AS (SELECT bid, x, y,
+         |         (bid*37 + x*16 + y*7 +
+         |          ((bid+1)*(x+3)*(y+5)) % 31) % 256 AS p
+         |       FROM b CROSS JOIN pos),
+         |fwd AS (SELECT px.bid, m1.u, m2.u AS v,
+         |          sum((px.p - 128) * m1.c * m2.c) AS f
+         |        FROM px JOIN m m1 ON m1.x = px.x
+         |                JOIN m m2 ON m2.x = px.y
+         |        GROUP BY px.bid, m1.u, m2.u),
+         |cf AS (SELECT qt.quality, fwd.bid, fwd.u, fwd.v,
+         |         (CASE WHEN fwd.f < 0 THEN -1 ELSE 1 END) *
+         |           ((abs(fwd.f) + (CAST(qt.q AS BIGINT) * 67108864) // 2)
+         |             // (CAST(qt.q AS BIGINT) * 67108864)) AS code
+         |       FROM fwd JOIN qt ON qt.u = fwd.u AND qt.v = fwd.v),
+         |zc AS (SELECT cf.quality, cf.bid, z.i, cf.code
+         |       FROM cf JOIN zig z ON z.u = cf.u AND z.v = cf.v),
+         |dc AS (SELECT quality, bid,
+         |         4 + CASE WHEN code = 0 THEN 0
+         |                  ELSE length(bin(abs(code))) END AS dbits
+         |       FROM zc WHERE i = 0),
+         |acnz AS (SELECT quality, bid, i, code,
+         |           coalesce(lag(i) OVER (PARTITION BY quality, bid
+         |             ORDER BY i), 0) AS prev
+         |         FROM zc WHERE i > 0 AND code <> 0),
+         |acb AS (SELECT quality, bid,
+         |          sum(8 * ((i - prev - 1) // 16) + 8 +
+         |            length(bin(abs(code)))) AS abits,
+         |          count(*) AS nnz, max(i) AS last_nz
+         |        FROM acnz GROUP BY quality, bid),
+         |per AS (SELECT d.quality, d.bid,
+         |          d.dbits + coalesce(a.abits, 0) +
+         |            CASE WHEN coalesce(a.last_nz, 0) < 63
+         |                 THEN 4 ELSE 0 END AS bits,
+         |          coalesce(a.nnz, 0) AS nnz
+         |        FROM dc d LEFT JOIN acb a
+         |          ON a.quality = d.quality AND a.bid = d.bid)
+         |SELECT quality, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(bits) AS BIGINT) AS total_bits,
+         |  CAST(sum(nnz) AS BIGINT) AS nnz_ac,
+         |  CAST(sum(bits) * 1000000 // (count(*) * 512) AS BIGINT)
+         |    AS ratio_e6
+         |FROM per GROUP BY quality ORDER BY quality""".stripMargin
     },
     "q143_media_headers" ->
       """SELECT doc_id,

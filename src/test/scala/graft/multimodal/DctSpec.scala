@@ -72,6 +72,30 @@ class DctSpec extends SparkSpec {
     assert(s90 < s10, "quality must actually buy fidelity on a textured block")
   }
 
+  test("size model: flat 128 block codes to exactly DC-zero + EOB = 8 bits") {
+    for (q <- Seq(10, 50, 90)) {
+      val (bits, nnz) = Dct.sizeBlock(Array.fill(64)(128L), q)
+      assert(bits == 8L && nnz == 0, s"q=$q bits=$bits nnz=$nnz")
+    }
+  }
+
+  test("size model: bits and nonzero AC codes grow with quality on texture") {
+    val px = randomBlock(11)
+    val readings = Seq(10, 50, 90).map(q => Dct.sizeBlock(px, q))
+    assert(readings.map(_._1) == readings.map(_._1).sorted,
+      s"bits not monotone: $readings")
+    assert(readings.map(_._2) == readings.map(_._2).sorted,
+      s"nnz not monotone: $readings")
+    assert(readings.last._1 > readings.head._1,
+      "quality must actually cost bits on a textured block")
+  }
+
+  test("size model: zigzag is a permutation of 0..63") {
+    assert(Dct.Zigzag.sorted.toSeq == (0 until 64))
+    // spot-pin the standard walk's first diagonal
+    assert(Dct.Zigzag.take(6).toSeq == Seq(0, 1, 8, 16, 9, 2))
+  }
+
   test("reconstruction is always clamped to 0..255") {
     val extreme = Array.tabulate(64)(i => if (i % 2 == 0) 0L else 255L)
     for (q <- Seq(5, 50, 95)) {
