@@ -90,4 +90,81 @@ object Registry {
     kept.write.mode(SaveMode.Append).insertInto(name)
     kept
   }
+
+  // ---- near-duplicate registry (SimHash-banded) ----
+
+  /** Create or replace an EMPTY near-dup registry: one row per
+    * (window, doc) — `w` the 15-bit simhash window index, `bucket`
+    * that window's value — bucketed on the bucket key so ingest
+    * probes join the stored side exchange-free.
+    */
+  def createNear(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    fs.mkdirs(p)
+    spark.sql(
+      s"""CREATE TABLE $name
+         |(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT)
+         |USING parquet
+         |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
+  }
+
+  /** The (w, bucket) window keys of a simhash — window t is the
+    * 15-bit slice at bits [60−15(t+1), 60−15t), the
+    * [[Dedup.bandedHammingPairs]] convention.
+    */
+  private def windowKeys(df: DataFrame, tables: Int): DataFrame =
+    df.select(col("doc_id"), col("simhash"),
+        explode(array((0 until tables).map(t => struct(
+          lit(t).as("w"),
+          shiftright(col("simhash"), 60 - 15 * (t + 1))
+            .bitwiseAND(lit(32767L)).as("bucket"))): _*)).as("__wb"))
+      .select(col("__wb.w").as("w"), col("__wb.bucket").as("bucket"),
+        col("doc_id"), col("simhash"))
+
+  /** Ingest one batch against the near-dup registry: a batch doc
+    * survives iff (a) it is its simhash's min-id representative
+    * within the batch (identical-simhash collapse — within-batch
+    * NEAR pairs with distinct simhashes land together by documented
+    * contract and are the next corpus pass's job), and (b) NO
+    * registered doc shares a 15-bit window AND sits within
+    * `maxHamming` (the banded-candidate match rule of
+    * [[Dedup.bandedHammingPairs]]: recall total below `tables`
+    * differing bits, the standard multi-table trade above). History
+    * TEXT is never read — 60-bit signatures are the whole state,
+    * ~16 bytes per registered doc per window. Survivors' window
+    * rows append bucket-aligned; returns (doc_id, simhash).
+    */
+  def nearIngest(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, tables: Int = 2,
+      maxHamming: Int = 20): DataFrame = {
+    val reps = batch
+      .select(Dedup.simhash60(
+          graft.text.TextFunctions.tokens(col(textCol))).as("simhash"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val probes = windowKeys(reps, tables)
+    val matched = probes
+      .join(spark.table(name)
+          .select(col("w"), col("bucket"), col("simhash").as("__rs")),
+        Seq("w", "bucket"))
+      .filter(Dedup.hammingDist(col("simhash"), col("__rs"))
+        <= maxHamming)
+      .select(col("doc_id")).distinct()
+    // pinned before the append — same refresh-by-path hazard as
+    // [[ingest]], same localCheckpoint cure
+    val kept = reps.join(matched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("simhash"))
+      .localCheckpoint()
+    windowKeys(kept, tables)
+      .select(col("w"), col("bucket"), col("doc_id"), col("simhash"))
+      .write.mode(SaveMode.Append).insertInto(name)
+    kept
+  }
 }

@@ -466,6 +466,40 @@ object DedupQueries extends QueryPack {
         .orderBy(col("batch_no"))
     }),
 
+    // Cross-run incremental NEAR-dup registry (Registry.nearIngest):
+    // q237's registry contract for NEAR duplicates — history is a
+    // bucketed (window, bucket, simhash) signature table, ~16 bytes
+    // per doc per window, and a new batch drops any doc whose
+    // simhash shares a 15-bit window with a registered one within
+    // hamming 20 (the q113 banded-candidate rule). History TEXT is
+    // never rescanned — signatures decide alone. Corpus = documents
+    // ∪ ' zz yy'-suffixed copies of doc_id<40 under id+300001 (the
+    // +1 pushes each copy into the NEXT batch cycle so near-matches
+    // genuinely cross the batch boundary); 3 batches by doc_id % 3
+    // ingest in order. Output (batch_no, n_in, n_kept).
+    "q241_near_registry" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val name = s"graft_near_reg_$tag"
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry_near/$tag"
+      Registry.createNear(s, name, path, buckets = 8)
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300001L).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text")))
+      val rows = (0 until 3).map { b =>
+        val batch = corpus.filter(col("doc_id") % 3 === b)
+        val nIn = batch.count()
+        val kept = Registry.nearIngest(s, name, batch, "doc_id", "text")
+        (b, nIn, kept.count())
+      }
+      import s.implicits._
+      rows.toDF("batch_no", "n_in", "n_kept")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_kept"))
+        .orderBy(col("batch_no"))
+    }),
+
     "q146_winnow_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val punct = d.filter(col("doc_id") < 30)
@@ -997,6 +1031,59 @@ object DedupQueries extends QueryPack {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM i LEFT JOIN k USING (batch_no)
         |ORDER BY i.batch_no""".stripMargin,
+    // sequential banded-rule replay: per-batch identical-simhash
+    // collapse, then survivor sets s0/s1/s2 chained by NOT EXISTS
+    // against the accumulated registry under the shared-window +
+    // hamming<=20 rule
+    "q241_near_registry" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300001, text || ' zz yy' FROM documents
+         |  WHERE doc_id < 40),
+         |tok AS (SELECT doc_id, unnest($toks) AS tk FROM corpus),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN ((strpos('0123456789abcdef',
+         |          substr(md5(tk), (i // 4) + 1, 1)) - 1) >> (i % 4)) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS vote
+         |  FROM tok, range(60) r(i) GROUP BY doc_id, i),
+         |sims AS (
+         |  SELECT doc_id, cast(sum(CASE WHEN vote > 0
+         |    THEN 1::BIGINT << i ELSE 0::BIGINT END) as bigint) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |sb AS (SELECT doc_id, simhash, CAST(doc_id % 3 AS INT) AS b
+         |       FROM sims),
+         |rep AS (SELECT b, simhash, min(doc_id) AS doc_id
+         |        FROM sb GROUP BY b, simhash),
+         |s0 AS (SELECT doc_id, simhash FROM rep WHERE b = 0),
+         |s1 AS (SELECT r.doc_id, r.simhash FROM rep r
+         |       WHERE r.b = 1 AND NOT EXISTS (
+         |         SELECT 1 FROM s0 g
+         |         WHERE (((g.simhash >> 45) & 32767)
+         |                  = ((r.simhash >> 45) & 32767)
+         |             OR ((g.simhash >> 30) & 32767)
+         |                  = ((r.simhash >> 30) & 32767))
+         |           AND bit_count(xor(g.simhash, r.simhash)) <= 20)),
+         |reg2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |s2 AS (SELECT r.doc_id, r.simhash FROM rep r
+         |       WHERE r.b = 2 AND NOT EXISTS (
+         |         SELECT 1 FROM reg2 g
+         |         WHERE (((g.simhash >> 45) & 32767)
+         |                  = ((r.simhash >> 45) & 32767)
+         |             OR ((g.simhash >> 30) & 32767)
+         |                  = ((r.simhash >> 30) & 32767))
+         |           AND bit_count(xor(g.simhash, r.simhash)) <= 20)),
+         |i AS (SELECT CAST(doc_id % 3 AS INT) AS batch_no,
+         |        count(*) AS n_in
+         |      FROM corpus GROUP BY 1),
+         |k AS (SELECT 0 AS batch_no, count(*) AS n_kept FROM s0
+         |      UNION ALL SELECT 1, count(*) FROM s1
+         |      UNION ALL SELECT 2, count(*) FROM s2)
+         |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept
+         |FROM i JOIN k ON i.batch_no = k.batch_no
+         |ORDER BY i.batch_no""".stripMargin,
     "q146_winnow_spans" -> {
       val punctSrc =
         """(SELECT doc_id, text FROM documents

@@ -64,6 +64,55 @@ class RegistrySpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
   }
 
+  test("nearIngest: exact and near copies drop against history, novel docs survive") {
+    val name = "graft_test_nreg_basic"
+    Registry.createNear(spark, name,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_nreg/basic", 4)
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val b0 = Seq((10L, long), (11L, other)).toDF("doc_id", "text")
+    val k0 = Registry.nearIngest(spark, name, b0, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(k0.keySet == Set(10L, 11L))
+    // batch 1: exact copy of 10, near copy of 10 (2 tokens swapped),
+    // and a novel doc
+    val near = ((1 to 58).map(i => s"tok$i") ++ Seq("aa", "bb"))
+      .mkString(" ")
+    val novel = (1 to 60).map(i => s"qqq$i").mkString(" ")
+    val b1 = Seq((20L, long), (21L, near), (22L, novel))
+      .toDF("doc_id", "text")
+    val k1 = Registry.nearIngest(spark, name, b1, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // the exact copy matches unconditionally (hamming 0 shares every
+    // window); the others follow the banded rule, replayed here from
+    // the published simhashes so the expectation IS the contract
+    def sims(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash60(
+        graft.text.TextFunctions.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val reg = sims(Seq(10L -> long, 11L -> other)).values.toSeq
+    def window(s: Long, t: Int) = (s >> (60 - 15 * (t + 1))) & 32767L
+    def drops(s: Long) = reg.exists(g =>
+      (0 until 2).exists(t => window(s, t) == window(g, t)) &&
+        java.lang.Long.bitCount(s ^ g) <= 20)
+    val b1Sims = sims(Seq(20L -> long, 21L -> near, 22L -> novel))
+    val expected = b1Sims.filterNot { case (_, s) => drops(s) }.keySet
+    assert(!k1.contains(20L), "exact copy must drop")
+    assert(k1.keySet == expected, s"kept ${k1.keySet} vs $expected")
+  }
+
+  test("nearIngest: identical-simhash docs collapse within a batch to the min id") {
+    val name = "graft_test_nreg_batch"
+    Registry.createNear(spark, name,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_nreg/batch", 4)
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = Seq((5L, t), (3L, t), (9L, "completely different words here " +
+      (1 to 40).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val kept = Registry.nearIngest(spark, name, b, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet == Set(3L, 9L))
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")
