@@ -43,13 +43,12 @@ object Concurrency {
       endCol: String,
       bandWidthUs: Long = 3600L * 1000000L): DataFrame = {
     require(bandWidthUs > 0, "bandWidthUs must be > 0")
-    // persisted: the delta relation is referenced FOUR times through
-    // the plan (carries + main join, each under both the peak
-    // aggregate and the earliest-peak filter) — unpersisted, the
-    // whole upstream interval build (q231: sessionization over
-    // events) would re-run per reference (the q191 re-inline trap;
-    // measured 2x on the bench). 2·|intervals| narrow rows — the
-    // session-bounded relation, safe to cache at any realistic SF.
+    // persisted: the delta relation feeds both the carry build and
+    // the main join — unpersisted, the whole upstream interval
+    // build (q231: sessionization over events) would re-run per
+    // reference (the q191 re-inline trap; measured 2x on the
+    // bench). 2·|intervals| narrow rows — the session-bounded
+    // relation, safe to cache at any realistic SF.
     val d = intervals
       .select(unix_micros(col(startCol)).as("t"), lit(1L).as("delta"))
       .unionByName(intervals
@@ -73,23 +72,20 @@ object Concurrency {
     val inBand = Window.partitionBy(col("__b"))
       .orderBy(col("t"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    // r is read twice (the peak aggregate and the earliest-peak
-    // filter): persisted so the carry build and the banded window
-    // run once, not per reference
     val r = d.join(broadcast(carries), "__b")
       .withColumn("running",
         col("__carry") + sum(col("delta")).over(inBand))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val peak = r.agg(max(col("running")).as("peak"))
-    val out = r.crossJoin(broadcast(peak))
-      .filter(col("running") === col("peak"))
-      .agg(min(col("t")).as("peak_at_us"),
-        max(col("peak")).as("peak"))
-      // every interval contributes exactly two delta rows, so the
-      // count reads the cache instead of re-deriving the intervals
-      .crossJoin(broadcast(
-        d.agg((count(lit(1)) / 2).cast("long").as("n_intervals"))))
-      .select(col("n_intervals"), col("peak"), col("peak_at_us"))
-    graft.ops.CacheRelease.afterFirstUse(out, d, r)
+    // ONE aggregate extracts everything: max(struct(running, -t))
+    // is lexicographic — the peak count, and among its ties the
+    // max of -t = the EARLIEST t (+1-first tie order makes the
+    // within-tie max the post-arrivals sum, so the pick is exact);
+    // n_intervals = delta rows / 2. r is referenced once, so no
+    // second scan, no peak broadcast, no cache of r.
+    val out = r.agg(
+        (count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(struct(col("running"), (-col("t")).as("__nt"))).as("__pk"))
+      .select(col("n_intervals"), col("__pk.running").as("peak"),
+        (-col("__pk.__nt")).as("peak_at_us"))
+    graft.ops.CacheRelease.afterFirstUse(out, d)
   }
 }
