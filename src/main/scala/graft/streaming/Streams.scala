@@ -476,6 +476,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming HLL maintenance — [[graft.ops.Hll]]'s ingestion
+    * twin: each micro-batch registers ONLY its own keys and
+    * max-merges with the prior version (the register monoid —
+    * merge == registers-of-union is HllSpec-pinned), so state stays
+    * ≤ |groups|·m rows regardless of stream length and the distinct
+    * estimate reads off the maintained registers at any point via
+    * [[graft.ops.Hll.estimate]]. StreamsSpec pins maintained ==
+    * from-scratch over the batches' union.
+    */
+  def hllMaintStream(events: DataFrame, keyCol: String,
+      groupCols: Seq[String], stateDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainVersioned(stateDir, id,
+          graft.ops.Hll.registers(batch, keyCol, groupCols))(
+          (prior, fresh) => graft.ops.Hll.merge(prior, fresh, groupCols))
+      }
+      .start()
+
   /** Streaming rollup maintenance — [[graft.ops.Incremental]] driven
     * by a stream: each micro-batch aggregates ONLY its own rows into
     * a mergeable state and merges with the previous state version;

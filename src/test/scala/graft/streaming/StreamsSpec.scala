@@ -596,6 +596,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllMaintStream: maintained registers == from-scratch; estimates agree") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val base = Files.createTempDirectory("graft-hll").toString
+    val stateDir = s"$base/state"
+    val q = Streams.hllMaintStream(
+      input.toDF().toDF("g", "k"), "k", Seq("g"), stateDir, s"$base/chk")
+    try {
+      val b1 = (1 to 400).map(i => ("a", s"u${i % 150}")) ++
+        (1 to 100).map(i => ("b", s"v$i"))
+      val b2 = (1 to 300).map(i => ("a", s"u${100 + i}")) ++
+        (1 to 50).map(i => ("b", s"v${i + 80}"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val maintained = spark.read.parquet(s"$stateDir/v1")
+      val scratch = graft.ops.Hll.registers(
+        (b1 ++ b2).toDF("g", "k"), "k", Seq("g"))
+      assert(maintained.as[(String, Int, Int)].collect().toSet ==
+        scratch.as[(String, Int, Int)].collect().toSet)
+      val estM = graft.ops.Hll.estimate(maintained, Seq("g"))
+        .as[(String, Long, Long)].collect().toSet
+      val estS = graft.ops.Hll.estimate(scratch, Seq("g"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(estM == estS)
+    } finally q.stop()
+  }
+
   test("cmsMaintStream: maintained sketch equals the from-scratch sketch; estimates agree") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
