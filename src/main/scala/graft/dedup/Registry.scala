@@ -167,4 +167,66 @@ object Registry {
       .write.mode(SaveMode.Append).insertInto(name)
     kept
   }
+
+  // ---- embedding near-duplicate registry (RHP-bucketed) ----
+
+  /** Create or replace an EMPTY vector registry: one row per
+    * registered vector, keyed by its random-hyperplane signature —
+    * bucketed on the signature so ingest probes join the stored
+    * side exchange-free.
+    */
+  def createVec(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    fs.mkdirs(p)
+    spark.sql(
+      s"""CREATE TABLE $name
+         |(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>)
+         |USING parquet
+         |CLUSTERED BY (sig) SORTED BY (sig) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
+  }
+
+  /** Ingest one batch of vectors: a vector survives iff (a) it is
+    * its exact embedding's min-id representative within the batch,
+    * and (b) NO registered vector shares its RHP signature with
+    * rounded cosine ≥ `threshold` (the [[graft.similarity.Ann
+    * .lshDupPairs]] rule: exact re-ingested copies share the
+    * signature by construction, so recall on true duplicates is
+    * total; near-but-rotated vectors follow the standard LSH
+    * trade). The registry holds (sig, id, embedding) — at vector
+    * corpora the embedding IS the signature payload, and probe
+    * candidates are signature-bucket-bounded, never all-pairs.
+    * Third member of the registry family: exact digests ([[ingest]]),
+    * text SimHash windows ([[nearIngest]]), vectors here — one
+    * O(batch) ingest contract across modalities.
+    */
+  def vecIngest(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, vecCol: String, planes: Int = 8,
+      threshold: Double = 0.99, roundTo: Int = 6): DataFrame = {
+    import graft.similarity.Ann
+    val reps = batch
+      .groupBy(col(vecCol).as("embedding"))
+      .agg(min(col(idCol).cast("long")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        Ann.rhpSignature(col("embedding"), planes).as("sig"))
+    val matched = reps
+      .join(spark.table(name)
+          .select(col("sig"), col("embedding").as("__rv")),
+        Seq("sig"))
+      .filter(round(Ann.dot(col("embedding"), col("__rv")) /
+        (Ann.norm(col("embedding")) * Ann.norm(col("__rv"))), roundTo)
+        >= threshold)
+      .select(col("vec_id")).distinct()
+    // same refresh-by-path hazard, same localCheckpoint cure
+    val kept = reps.join(matched, Seq("vec_id"), "left_anti")
+      .select(col("sig"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    kept.write.mode(SaveMode.Append).insertInto(name)
+    kept.select(col("vec_id"), col("sig"))
+  }
 }

@@ -111,6 +111,38 @@ object VectorQueries extends QueryPack {
     // cosine inside buckets. Injected exact copies hash to identical
     // signatures, so recall on true duplicates is total — the pair
     // set q80's all-pairs baseline finds for them is reproduced.
+    // Incremental VECTOR near-dup registry (Registry.vecIngest): the
+    // q237/q241 ingest contract for embeddings — history is a
+    // bucketed (sig, id, embedding) table keyed by the RHP
+    // signature, and a new batch drops any vector matching a
+    // registered one in its signature bucket at rounded cosine >=
+    // 0.99 (the q100 rule). Corpus = embeddings ∪ copies of
+    // vec_id<20 under id+100001 (the +1 pushes copies into a later
+    // batch cycle); 3 batches by vec_id % 3 ingest in order.
+    "q242_vec_registry" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val name = s"graft_vec_reg_$tag"
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry_vec/$tag"
+      Registry.createVec(s, name, path, buckets = 8)
+      val e = table(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100001L))
+      val rows = (0 until 3).map { b =>
+        val batch = corpus.filter(col("vec_id") % 3 === b)
+        val nIn = batch.count()
+        val kept = Registry.vecIngest(s, name, batch,
+          "vec_id", "embedding")
+        (b, nIn, kept.count())
+      }
+      import s.implicits._
+      rows.toDF("batch_no", "n_in", "n_kept")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_kept"))
+        .orderBy(col("batch_no"))
+    }),
+
     "q100_embed_dup_lsh" -> ((s, dir) => {
       Ann.lshDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
         planes = 8, threshold = 0.99)
@@ -519,6 +551,42 @@ object VectorQueries extends QueryPack {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s
          |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    // sequential RHP-bucket replay: within-batch exact-vector
+    // collapse, survivor chain under the shared-signature +
+    // cosine>=0.99 rule
+    "q242_vec_registry" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100001, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM u),
+         |sb AS (SELECT vec_id, v, CAST(vec_id % 3 AS INT) AS b FROM e),
+         |rep AS (SELECT b, v, min(vec_id) AS vec_id
+         |        FROM sb GROUP BY b, v),
+         |sg AS (SELECT b, vec_id, v, ${Fragments.rhpSigSql(8, "v")} AS sig
+         |       FROM rep),
+         |s0 AS (SELECT vec_id, v, sig FROM sg WHERE b = 0),
+         |s1 AS (SELECT r.vec_id, r.v, r.sig FROM sg r
+         |       WHERE r.b = 1 AND NOT EXISTS (
+         |         SELECT 1 FROM s0 g WHERE g.sig = r.sig
+         |           AND ${cosSql("g.v", "r.v")} >= 0.99)),
+         |reg2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |s2 AS (SELECT r.vec_id, r.v, r.sig FROM sg r
+         |       WHERE r.b = 2 AND NOT EXISTS (
+         |         SELECT 1 FROM reg2 g WHERE g.sig = r.sig
+         |           AND ${cosSql("g.v", "r.v")} >= 0.99)),
+         |i AS (SELECT CAST(vec_id % 3 AS INT) AS batch_no,
+         |        count(*) AS n_in
+         |      FROM u GROUP BY 1),
+         |k AS (SELECT 0 AS batch_no, count(*) AS n_kept FROM s0
+         |      UNION ALL SELECT 1, count(*) FROM s1
+         |      UNION ALL SELECT 2, count(*) FROM s2)
+         |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept
+         |FROM i JOIN k ON i.batch_no = k.batch_no
+         |ORDER BY i.batch_no""".stripMargin,
     "q100_embed_dup_lsh" ->
       s"""WITH u AS (
          |  SELECT vec_id, embedding FROM embeddings

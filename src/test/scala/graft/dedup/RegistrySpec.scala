@@ -113,6 +113,44 @@ class RegistrySpec extends SparkSpec {
     assert(kept.keySet == Set(3L, 9L))
   }
 
+  test("vecIngest: exact vector copies drop across batches, distinct vectors survive") {
+    val name = "graft_test_vreg"
+    Registry.createVec(spark, name,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/v1", 4)
+    val a = Array.tabulate(64)(i => 0.1f * i)
+    val b = Array.tabulate(64)(i => 1.0f - 0.02f * i)
+    val k0 = Registry.vecIngest(spark, name,
+      Seq((10L, a), (11L, b)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(k0 == Set(10L, 11L))
+    // batch 1: exact copy of a (drops — identical signature and
+    // cosine 1), near-parallel scale of b (cosine 1 after rounding,
+    // same signature — drops), and an orthogonal-ish novel vector
+    val bScaled = b.map(_ * 3f)
+    val novel = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val k1 = Registry.vecIngest(spark, name,
+      Seq((20L, a), (21L, bScaled), (22L, novel))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!k1.contains(20L), "exact copy must drop")
+    assert(!k1.contains(21L), "parallel rescale must drop (cos 1)")
+    assert(k1.contains(22L), "novel vector must survive")
+  }
+
+  test("vecIngest: identical embeddings collapse within a batch to the min id") {
+    val name = "graft_test_vreg2"
+    Registry.createVec(spark, name,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/v2", 4)
+    val v = Array.tabulate(64)(i => 0.5f + 0.01f * i)
+    val kept = Registry.vecIngest(spark, name,
+      Seq((7L, v), (4L, v)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")
