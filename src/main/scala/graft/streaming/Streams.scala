@@ -476,6 +476,40 @@ object Streams {
       }
       .start()
 
+  /** [[registryMaintStream]]'s NEAR-dup sibling: each micro-batch
+    * runs [[graft.dedup.Registry.nearIngest]] against the SimHash
+    * window registry — O(batch) per batch, signatures are the whole
+    * state, history text never rescanned. First-seen-wins across
+    * the stream (StreamsSpec pins the q241 survivor chain).
+    */
+  def nearRegistryMaintStream(docs: DataFrame, idCol: String,
+      textCol: String, registryName: String, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(graft.dedup.Registry.nearIngest(batch.sparkSession,
+          registryName, batch, idCol, textCol), id)
+      }
+      .start()
+
+  /** [[registryMaintStream]]'s VECTOR sibling: each micro-batch runs
+    * [[graft.dedup.Registry.vecIngest]] against the RHP-signature
+    * registry — the q242 contract driven by a stream.
+    */
+  def vecRegistryMaintStream(vecs: DataFrame, idCol: String,
+      vecCol: String, registryName: String, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(graft.dedup.Registry.vecIngest(batch.sparkSession,
+          registryName, batch, idCol, vecCol), id)
+      }
+      .start()
+
   /** Streaming HLL maintenance — [[graft.ops.Hll]]'s ingestion
     * twin: each micro-batch registers ONLY its own keys and
     * max-merges with the prior version (the register monoid —

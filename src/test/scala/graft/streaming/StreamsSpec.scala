@@ -624,6 +624,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearRegistryMaintStream: streamed near-dedup equals the sequential replay") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft-nreg-stream").toString
+    val name = "graft_stream_nreg_spec"
+    graft.dedup.Registry.createNear(spark, name, s"$base/reg", buckets = 4)
+    val q = Streams.nearRegistryMaintStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      name, s"$base/chk")()
+    try {
+      val long = (1 to 60).map(i => s"tk$i").mkString(" ")
+      val other = (1 to 60).map(i => s"yy$i").mkString(" ")
+      input.addData((10L, long), (11L, other)); q.processAllAvailable()
+      // batch 2: exact copy of 10 must be rejected by history
+      input.addData((20L, long)); q.processAllAvailable()
+      val reg = spark.table(name).select($"doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(reg == Set(10L, 11L))
+    } finally q.stop()
+  }
+
+  test("vecRegistryMaintStream: streamed vector dedup rejects re-ingested copies") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val base = Files.createTempDirectory("graft-vreg-stream").toString
+    val name = "graft_stream_vreg_spec"
+    graft.dedup.Registry.createVec(spark, name, s"$base/reg", buckets = 4)
+    val q = Streams.vecRegistryMaintStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      name, s"$base/chk")()
+    try {
+      val a = (0 until 64).map(i => 0.1f * i)
+      val b = (0 until 64).map(i => if (i % 2 == 0) 1f else -1f)
+      input.addData((10L, a)); q.processAllAvailable()
+      input.addData((20L, a), (21L, b)); q.processAllAvailable()
+      val reg = spark.table(name).select($"vec_id").distinct()
+        .as[Long].collect().toSet
+      assert(reg == Set(10L, 21L))
+    } finally q.stop()
+  }
+
   test("cmsMaintStream: maintained sketch equals the from-scratch sketch; estimates agree") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
