@@ -70,7 +70,10 @@ object Eval {
     val stats = s.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
     s.crossJoin(broadcast(stats))
       .withColumn("bin", expr(
-        s"((cast(__s as decimal(38,0)) - __mn) * $bins) div (__mx - __mn + 1)"))
+        s"CASE WHEN __mx - __mn <= ${Long.MaxValue / bins - 1} " +
+          s"THEN ((__s - __mn) * $bins) div (__mx - __mn + 1) " +
+          "ELSE raise_error('bin overflow: range*bins exceeds long " +
+          "— rescale the score first') END"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

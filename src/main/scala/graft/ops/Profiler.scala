@@ -71,7 +71,10 @@ object Profiler {
     */
   private def clampedBucket(buckets: Int) =
     least(lit(buckets - 1L), greatest(lit(0L),
-      expr(s"((cast(__fx as decimal(38,0)) - __mn) * $buckets) div (__mx - __mn + 1)")))
+      expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+          s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
+          s"ELSE raise_error('bin overflow: range*buckets exceeds " +
+          "long — quantize first (ksDriftBinned rule)') END")))
 
   private def driftTermE6(buckets: Int) = {
     val pr = (col("n_ref") + lit(1.0)) / (col("__tr") + lit(buckets))
@@ -220,7 +223,10 @@ object Profiler {
       max(col("__fx")).as("__mx"))
     val quantized = tagged.crossJoin(broadcast(stats))
       .withColumn("__b",
-        expr(s"((cast(__fx as decimal(38,0)) - __mn) * $buckets) div (__mx - __mn + 1)"))
+        expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+          s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
+          s"ELSE raise_error('bin overflow: range*buckets exceeds " +
+          "long — quantize first (ksDriftBinned rule)') END"))
     ksCore(sideCounts(quantized, col("__b")))
   }
 
@@ -338,7 +344,10 @@ object Profiler {
     df.select(fx(col(c)).as("__fx"))
       .crossJoin(broadcast(stats))
       .withColumn("bucket",
-        expr(s"((cast(__fx as decimal(38,0)) - __mn) * $buckets) div (__mx - __mn + 1)"))
+        expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+          s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
+          s"ELSE raise_error('bin overflow: range*buckets exceeds " +
+          "long — quantize first (ksDriftBinned rule)') END"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("__fx")).as("lo_fx"), max(col("__fx")).as("hi_fx"))
