@@ -30,20 +30,59 @@ import graft.text.TextFunctions
   */
 object Registry {
 
+  /** Underscore-prefixed, so Spark's file-listing treats it as
+    * metadata (like _SUCCESS) and never reads it as data. Its
+    * presence marks "a graft registry created this directory", which
+    * is what licenses the recursive delete on re-create.
+    */
+  private val Marker = "_graft_registry"
+
+  private val SafeName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Shared create-side guard (ADVICE r12): the table name is
+    * interpolated into SQL, so restrict it to a safe identifier; the
+    * recursive delete of `path` only proceeds when the directory is
+    * absent, empty, or carries the [[Marker]] from a prior create —
+    * a caller pointing at a directory of unrelated data gets an
+    * error, not silent data loss. Leaves `path` existing, empty but
+    * for the marker (the location must exist up front: scanning the
+    * still-empty table — the first batch's anti-join — lists it).
+    */
+  private def prepareLocation(spark: SparkSession, name: String,
+      path: String): Unit = {
+    require(SafeName.matches(name),
+      s"registry name must match ${SafeName.regex}; got '$name'")
+    require(!path.contains("'"),
+      s"registry path must not contain a quote; got '$path'")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p)
+      // _SUCCESS also licenses the clear: registries created before
+      // the marker existed carry it from their insertInto appends
+      // (and a Spark job OUTPUT is re-creatable by definition, unlike
+      // arbitrary user data)
+      require(entries.isEmpty ||
+        fs.exists(new org.apache.hadoop.fs.Path(p, Marker)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+        s"refusing to clear '$path': non-empty and not a graft " +
+          "registry (no marker file) — pass an empty or " +
+          "registry-owned directory")
+      // remove stale files from a previous registry at the same
+      // path — saveAsTable Append would otherwise resurrect them
+      fs.delete(p, true); ()
+    }
+    fs.mkdirs(p)
+    fs.create(new org.apache.hadoop.fs.Path(p, Marker)).close()
+  }
+
   /** Create or replace an EMPTY registry table `name` at `path`,
     * bucketed on the digest column `h`.
     */
   def create(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    // remove stale files from a previous registry at the same path —
-    // saveAsTable Append would otherwise resurrect them
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
-    // the location must exist up front: scanning the still-empty
-    // table (the first batch's anti-join) lists the directory
-    fs.mkdirs(p)
+    prepareLocation(spark, name, path)
     spark.sql(
       s"""CREATE TABLE $name (h STRING, keep_id BIGINT, batch_no INT)
          |USING parquet
@@ -100,11 +139,7 @@ object Registry {
     */
   def createNear(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
-    fs.mkdirs(p)
+    prepareLocation(spark, name, path)
     spark.sql(
       s"""CREATE TABLE $name
          |(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT)
@@ -177,11 +212,7 @@ object Registry {
     */
   def createVec(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
-    fs.mkdirs(p)
+    prepareLocation(spark, name, path)
     spark.sql(
       s"""CREATE TABLE $name
          |(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>)

@@ -49,9 +49,17 @@ object Concurrency {
     // reference (the q191 re-inline trap; measured 2x on the
     // bench). 2·|intervals| narrow rows — the session-bounded
     // relation, safe to cache at any realistic SF.
-    val d = intervals
+    // NULL convention (ADVICE r12): an interval with a NULL start OR
+    // end is excluded WHOLE — from n_intervals and from the sweep —
+    // before the delta split. The old behavior (filtering delta rows
+    // implicitly through the band equi-join) dropped only the NULL
+    // endpoint, leaving its partner as an unbalanced ±1 and an odd
+    // row count truncated by the /2.
+    val complete = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val d = complete
       .select(unix_micros(col(startCol)).as("t"), lit(1L).as("delta"))
-      .unionByName(intervals
+      .unionByName(complete
         .select(unix_micros(col(endCol)).as("t"),
           lit(-1L).as("delta")))
       // floor division correct for negative epochs too (pre-1970)

@@ -69,8 +69,13 @@ object Eval {
       col(labelCol).cast("long").as("__pos"))
     val stats = s.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
     s.crossJoin(broadcast(stats))
+      // try_subtract: wrap-safe range check — when min and max have
+      // opposite signs and the true range exceeds Long.MaxValue the
+      // plain subtraction wraps (or throws under ANSI); try_subtract
+      // yields NULL instead, the predicate is NULL, and the CASE
+      // falls through to the intended raise_error (ADVICE r12)
       .withColumn("bin", expr(
-        s"CASE WHEN __mx - __mn <= ${Long.MaxValue / bins - 1} " +
+        s"CASE WHEN try_subtract(__mx, __mn) <= ${Long.MaxValue / bins - 1} " +
           s"THEN ((__s - __mn) * $bins) div (__mx - __mn + 1) " +
           "ELSE raise_error('bin overflow: range*bins exceeds long " +
           "— rescale the score first') END"))

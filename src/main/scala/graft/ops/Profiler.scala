@@ -69,9 +69,14 @@ object Profiler {
     * IEEE expression: a re-derived copy that reorders one multiply
     * would break twin parity in a way only the spec would catch.
     */
+  // try_subtract in all three guards below: a min/max pair with
+  // opposite signs and a true range beyond Long.MaxValue would make
+  // the plain subtraction wrap (or throw under ANSI) and dodge the
+  // raise_error; try_subtract yields NULL → predicate NULL → the
+  // CASE falls through to the error as intended (ADVICE r12).
   private def clampedBucket(buckets: Int) =
     least(lit(buckets - 1L), greatest(lit(0L),
-      expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+      expr(s"CASE WHEN try_subtract(__mx, __mn) <= ${Long.MaxValue / buckets - 1} " +
           s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
           s"ELSE raise_error('bin overflow: range*buckets exceeds " +
           "long — quantize first (ksDriftBinned rule)') END")))
@@ -223,7 +228,7 @@ object Profiler {
       max(col("__fx")).as("__mx"))
     val quantized = tagged.crossJoin(broadcast(stats))
       .withColumn("__b",
-        expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+        expr(s"CASE WHEN try_subtract(__mx, __mn) <= ${Long.MaxValue / buckets - 1} " +
           s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
           s"ELSE raise_error('bin overflow: range*buckets exceeds " +
           "long — quantize first (ksDriftBinned rule)') END"))
@@ -344,7 +349,7 @@ object Profiler {
     df.select(fx(col(c)).as("__fx"))
       .crossJoin(broadcast(stats))
       .withColumn("bucket",
-        expr(s"CASE WHEN __mx - __mn <= ${Long.MaxValue / buckets - 1} " +
+        expr(s"CASE WHEN try_subtract(__mx, __mn) <= ${Long.MaxValue / buckets - 1} " +
           s"THEN ((__fx - __mn) * $buckets) div (__mx - __mn + 1) " +
           s"ELSE raise_error('bin overflow: range*buckets exceeds " +
           "long — quantize first (ksDriftBinned rule)') END"))

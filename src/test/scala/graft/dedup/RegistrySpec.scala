@@ -151,6 +151,38 @@ class RegistrySpec extends SparkSpec {
     assert(kept == Set(4L))
   }
 
+  test("create refuses a non-empty directory it does not own, accepts " +
+      "empty dirs and its own prior registries, rejects unsafe names") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_test_guard"
+    // (a) unrelated data at the path → refused, data intact
+    val victim = s"$base/victim"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(victim))
+    val precious = new org.apache.hadoop.fs.Path(s"$victim/precious.txt")
+    fs.create(precious).close()
+    val e = intercept[IllegalArgumentException] {
+      Registry.create(spark, "graft_test_guard_reg", victim, 4)
+    }
+    assert(e.getMessage.contains("refusing to clear"))
+    assert(fs.exists(precious), "unrelated data must survive the refusal")
+    // (b) empty dir → accepted; re-create over the marker → accepted
+    val ok = s"$base/ok"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ok))
+    Registry.create(spark, "graft_test_guard_ok", ok, 4)
+    Registry.ingest(spark, "graft_test_guard_ok",
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", 0)
+    Registry.createNear(spark, "graft_test_guard_ok2", ok, 4)
+    assert(spark.table("graft_test_guard_ok2").count() == 0L)
+    // (c) a name that would escape the identifier into SQL → rejected
+    intercept[IllegalArgumentException] {
+      Registry.create(spark, "bad name; drop", s"$base/badname", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Registry.createVec(spark, "okname", s"$base/it's", 4)
+    }
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")

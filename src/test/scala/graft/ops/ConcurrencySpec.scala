@@ -66,6 +66,19 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("peakConcurrency: an interval with a NULL endpoint is excluded " +
+      "whole — from the count and from the sweep") {
+    // (0,10) and (5,8) overlap → peak 2 at t=5; the NULL-ended rows
+    // must not contribute their non-null endpoint as a stray ±1
+    // (which would also leave an odd delta count truncated by /2)
+    val iv = Seq((Some(ts(0)), Some(ts(10))), (Some(ts(5)), Some(ts(8))),
+      (Some(ts(3)), None), (None, Some(ts(6))), (None, None))
+      .toDF("s", "e")
+    val out = Concurrency.peakConcurrency(iv, "s", "e")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((2L, 2L, 5000000L)))
+  }
+
   test("peakConcurrency: plan has no unpartitioned sort over delta rows") {
     val iv = Seq((ts(0), ts(10)), (ts(5), ts(8))).toDF("s", "e")
     val plan = Concurrency.peakConcurrency(iv, "s", "e")

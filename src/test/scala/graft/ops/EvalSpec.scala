@@ -91,6 +91,23 @@ class EvalSpec extends SparkSpec {
     assert(m0 == ((0L, 10L, 5L, 4L, 500000L)))
   }
 
+  test("calibrationBins: opposite-sign range beyond Long raises the " +
+      "bin-overflow error, never wrapped garbage bins") {
+    // min ≈ -2^62, max ≈ 2^62 → true range ≈ 2^63 overflows a long;
+    // the plain __mx - __mn would wrap negative and slip past the
+    // guard (ADVICE r12) — try_subtract makes the CASE fall through
+    // to raise_error instead
+    val df = Seq((-(1L << 62), 0L), (1L << 62, 1L)).toDF("s", "pos")
+    val e = intercept[Exception] {
+      Eval.calibrationBins(df, "s", "pos", bins = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bin overflow")),
+      s"expected the raise_error, got: $e")
+  }
+
   test("meters divide by the query's own exact-list size, not nominal k") {
     // query 1 has only TWO true neighbors; a perfect approximate
     // list must score full recall and full NDCG
