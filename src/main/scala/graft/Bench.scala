@@ -113,6 +113,24 @@ object Bench {
     // the cheapest honest encoding at this char budget
     val sentCs = sentinels.map(v => math.round(v * 100).toString)
       .mkString(""","sent_cs":[""", ",", "]")
+    // Sentinel-normalized total (r12 verdict #6): the last two
+    // rounds' gate readings were contended-host artifacts that took
+    // a manual adjudication each to dismiss. The median sentinel in
+    // centiseconds ("sent_med_cs") and the total rescaled to the
+    // canonical 50 cs sentinel ("value_norm" = value · 50/median)
+    // make that adjudication mechanical: value_norm is comparable
+    // ACROSS host phases, value remains the raw measurement.
+    // Median = upper-middle of the sorted series (2-4 entries
+    // per run; an exact tie rule matters more than interpolation).
+    val sentMedCs: Option[Long] =
+      if (sentinels.isEmpty) None
+      else {
+        val sorted = sentinels.sorted
+        Some(math.round(sorted(sorted.size / 2) * 100))
+      }
+    def normNote(total: Double): String = sentMedCs.filter(_ > 0).map(m =>
+      s""","sent_med_cs":$m,"value_norm":${f2(total * 50.0 / m)}""")
+      .getOrElse("")
     def mkLine(fmt: Double => String, dropQ: Boolean = false,
         minQ: Double = 0.0, qUnit: String = ""): String = {
       val qs = results.filter { case (_, v) => v >= minQ || v < 0 }
@@ -131,7 +149,7 @@ object Bench {
       val keyNote = (if (dropQ) ""","keys":"qNN sans q"""" else "") +
         (if (minQ > 0) s""","minq":$minQ""" else "") +
         (if (qUnit.nonEmpty) s""","q_unit":"$qUnit"""" else "")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"${normNote(total)},"queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt
@@ -166,6 +184,6 @@ object Bench {
     else if (line0.length <= cap) line0
     else if (lineCs.length <= cap) lineCs
     else lineMin.getOrElse(
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$sentCs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"${normNote(total)}$sentCs,"sf":"$sfDir"}""")
   }
 }

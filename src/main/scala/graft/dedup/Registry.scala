@@ -130,6 +130,44 @@ object Registry {
     kept
   }
 
+  /** Compact a registry table back to ONE file per bucket — the
+    * small-files cure for the append-only ingest path. Every
+    * [[ingest]]/[[nearIngest]]/[[vecIngest]] append lays one file
+    * per bucket, so after 10³ ingests a bucketed scan opens 10³
+    * files per bucket: same bytes, three orders of magnitude more
+    * opens/footers/scheduler tasks — the classic small-files cliff.
+    * Compaction rewrites the SAME rows in the SAME bucket layout
+    * (first-seen keepers preserved verbatim — this is a file-layout
+    * operation, not a dedup pass), so probe plans before and after
+    * are identical and the exchange-free join contract survives;
+    * only the file count changes. Works for all three registry
+    * families — pass the table's bucket column (`h`, `bucket`,
+    * `sig`) and its bucket count.
+    *
+    * Run it out-of-band (the compaction window a nightly table
+    * service owns): one scan + one hash exchange on the bucket
+    * column + one write of the registry — O(registry), never
+    * O(corpus), and the registry is the ~0.01%-of-corpus index.
+    *
+    * localCheckpoint before the overwrite for the same
+    * refresh-by-path reason as [[ingest]], made HARDER here by
+    * Overwrite mode: the insert truncates the table first, so a
+    * lazy plan would re-read an empty (or half-written) directory —
+    * the read must be fully materialized off the old files before
+    * the first delete. The repartition keys rows by the same
+    * hash(bucketCol) % buckets the bucket spec uses, so each of the
+    * `buckets` write tasks holds exactly one bucket's rows and lays
+    * exactly one file.
+    */
+  def compact(spark: SparkSession, name: String, bucketCol: String,
+      buckets: Int): Unit = {
+    val pinned = spark.table(name).localCheckpoint()
+    pinned.repartition(buckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite).insertInto(name)
+    pinned.unpersist()
+    ()
+  }
+
   // ---- near-duplicate registry (SimHash-banded) ----
 
   /** Create or replace an EMPTY near-dup registry: one row per

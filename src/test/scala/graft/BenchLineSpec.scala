@@ -60,6 +60,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"q99\":-1"))
   }
 
+  test("sentinel-normalized total: sent_med_cs is the upper-middle " +
+      "median, value_norm rescales to the 50 cs canon, absent without " +
+      "sentinels") {
+    val results = Map("q1_a" -> 2.0, "q2_b" -> 3.0) // total 5.00
+    // sorted (0.10, 0.20, 0.30) → median 0.20 s = 20 cs →
+    // value_norm = 5.00 * 50/20 = 12.50
+    val line = Bench.renderLine(results, Seq(0.3, 0.1, 0.2), "/x/sf0.1")
+    parse(line)
+    assert(line.contains("\"sent_med_cs\":20"), line)
+    assert(line.contains("\"value_norm\":12.50"), line)
+    // even count: upper-middle of (10, 40) cs is 40
+    val even = Bench.renderLine(results, Seq(0.4, 0.1), "/x/sf0.1")
+    assert(even.contains("\"sent_med_cs\":40"), even)
+    // no sentinels → both fields absent, line still parses
+    val none = Bench.renderLine(results, Nil, "/x/sf0.1")
+    parse(none)
+    assert(!none.contains("sent_med_cs") && !none.contains("value_norm"))
+    // the fields survive every ladder rung, including the map-less
+    // last resort
+    val slow = (1 to 300).map(i => s"q${i}_x" -> 1.5).toMap
+    val last = Bench.renderLine(slow, Seq(0.1), "/x/sf0.1")
+    assert(last.length <= Cap)
+    assert(last.contains("\"sent_med_cs\":10"), last)
+    assert(last.contains("\"value_norm\":"), last)
+  }
+
   test("at today's 237-query shape the minq cut keeps every heavy entry") {
     // r11's real line already rides the cs-unit minq rung — what
     // must hold is that the cut is declared, stays at a low rung,

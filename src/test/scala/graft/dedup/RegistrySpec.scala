@@ -183,6 +183,84 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  private def partFiles(path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("part-"))
+  }
+
+  test("compact: one file per bucket afterwards, identical rows, " +
+      "identical dedupBatch verdicts, bucketed join layout intact") {
+    val name = "graft_test_reg_compact"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/compact"
+    Registry.create(spark, name, path, buckets = 4)
+    // 5 appends → file count grows with ingest count (the cliff)
+    (0 until 5).foreach { b =>
+      Registry.ingest(spark, name,
+        (1L to 20L).map(i => (b * 100L + i, s"text ${b * 100L + i}"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", b)
+    }
+    val before = partFiles(path)
+    assert(before > 4, s"appends should lay files per ingest: $before")
+    val rowsBefore = spark.table(name)
+      .as[(String, Long, Int)].collect().toSet
+    val probe = (90L to 130L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val verdictBefore = Registry.dedupBatch(spark, name, probe,
+      "doc_id", "text").as[(String, Long)].collect().toSet
+
+    Registry.compact(spark, name, "h", buckets = 4)
+
+    assert(partFiles(path) == 4,
+      s"expected one file per bucket, got ${partFiles(path)}")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rowsBefore, "compaction must not change a single row")
+    val after = Registry.dedupBatch(spark, name, probe, "doc_id", "text")
+    assert(after.as[(String, Long)].collect().toSet == verdictBefore)
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+    // and ingest keeps working against the compacted table
+    assert(Registry.ingest(spark, name,
+      Seq((999L, "novel text")).toDF("doc_id", "text"),
+      "doc_id", "text", 9).count() == 1L)
+  }
+
+  test("compact: near and vec registries compact on their bucket keys") {
+    val nname = "graft_test_nreg_compact"
+    val npath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_nreg/compact"
+    Registry.createNear(spark, nname, npath, buckets = 4)
+    (0 until 3).foreach { b =>
+      Registry.nearIngest(spark, nname,
+        Seq((b * 10L, (1 to 40).map(i => s"w${b}_$i").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    val nRows = spark.table(nname).count()
+    Registry.compact(spark, nname, "bucket", buckets = 4)
+    assert(partFiles(npath) <= 4)
+    assert(spark.table(nname).count() == nRows)
+
+    val vname = "graft_test_vreg_compact"
+    val vpath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/compact"
+    Registry.createVec(spark, vname, vpath, buckets = 4)
+    (0 until 3).foreach { b =>
+      Registry.vecIngest(spark, vname,
+        Seq((b * 10L, Array.tabulate(16)(i => (b + 1) * 0.1f + i)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    val vRows = spark.table(vname).count()
+    Registry.compact(spark, vname, "sig", buckets = 4)
+    assert(partFiles(vpath) <= 4)
+    assert(spark.table(vname).count() == vRows)
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")
