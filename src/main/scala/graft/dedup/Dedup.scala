@@ -455,6 +455,67 @@ object Dedup {
       .orderBy(col(idCol), col("span_start"))
   }
 
+  /** Span-level KEEPER selection — the removal decision exact-
+    * substring dedup (Lee et al. 2022) applies after
+    * [[duplicateSpanExtents]] locates the spans: every duplicated
+    * `n`-token window keeps exactly ONE occurrence corpus-wide (its
+    * lexicographically first (doc, position) — deterministic on any
+    * partitioning, the [[keepFirstParagraphs]] rule at window
+    * granularity) and CUTS all others. Occurrences merge into
+    * maximal per-doc spans separately by verdict; output one row per
+    * span: (id, span_start, span_end, span_tokens, keep), 1-based
+    * inclusive token positions — `keep = false` rows are the cut
+    * list a remover applies verbatim, `keep = true` rows are the
+    * surviving canonical copies (which the remover must NOT touch
+    * where the two overlap).
+    *
+    * Duplication here is TOTAL occurrence count ≥ 2 — intra-doc
+    * repeats count, unlike [[duplicateSpanExtents]]'s ≥ 2 distinct
+    * docs — because the keeper guarantee ("after the cuts, no
+    * n-window occurs twice on its original positions") needs every
+    * repeat, wherever it lives, to lose all but one copy
+    * (DedupSpec pins exactly that post-cut property).
+    *
+    * Scale shape identical to [[duplicateSpanExtents]]: one explode,
+    * one digest exchange serving both per-hash windows (count +
+    * keeper min-struct), islands per (doc, verdict) — doc-length-
+    * bounded; nothing global, no join back to the corpus.
+    */
+  def duplicateSpanCuts(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(idCol),
+        posexplode(TextFunctions.ngramsFast(
+          TextFunctions.tokens(col(textCol)), n)))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        md5(col("col")).as("__h"))
+      .repartition(col("__h"))
+    val ch = Window.partitionBy(col("__h"))
+    val dup = w
+      .withColumn("__ct", count(lit(1)).over(ch))
+      .withColumn("__k", min(struct(col(idCol), col("pos"))).over(ch))
+      .filter(col("__ct") > 1)
+      .withColumn("keep",
+        col(idCol) === col("__k")(idCol) && col("pos") === col("__k")("pos"))
+      .select(col(idCol), col("pos"), col("keep"))
+    val byVerdict = Window.partitionBy(col(idCol), col("keep"))
+      .orderBy(col("pos"))
+    dup
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byVerdict) > n, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        byVerdict.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("keep"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"))
+      .withColumn("span_tokens",
+        col("span_end") - col("span_start") + 1L)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"), col("keep"))
+      .orderBy(col(idCol), col("span_start"), col("keep"))
+  }
+
   /** Cross-corpus n-gram-overlap contamination report (the GPT-3 /
     * PaLM decontamination method: a training doc is contaminated to
     * the degree its `n`-token windows appear anywhere in the

@@ -54,6 +54,23 @@ object CurationQueries extends QueryPack {
         n = 13)
     }),
 
+    // Span-level keeper selection over the SAME spliced corpus —
+    // the removal decision after q236 locates the extents: every
+    // duplicated 13-token window keeps exactly its first (doc, pos)
+    // occurrence; occurrences merge into maximal per-doc spans
+    // separately by verdict. keep=false rows are the cut list a
+    // remover applies verbatim (DedupSpec pins that applying them
+    // leaves no twice-occurring window).
+    "q243_dup_span_cuts" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = T.tokens(col("text"))
+      val spliced = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(toks, lit(11), size(toks)), " ").as("text"))
+      Dedup.duplicateSpanCuts(d.unionByName(spliced), "doc_id", "text",
+        n = 13)
+    }),
+
     // Gopher repetition rules: fraction of characters taken by the
     // single most frequent 2-/3-/4-gram (ties broken by gram text).
     // A per-document statistic, so it is computed ENTIRELY map-side
@@ -1108,6 +1125,43 @@ object CurationQueries extends QueryPack {
          |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens
          |FROM si GROUP BY doc_id, isl
          |ORDER BY doc_id, span_start""".stripMargin,
+    // q243 — same corpus, then the keeper rule replayed: among ALL
+    // occurrences of a window hash (total count >= 2, intra-doc
+    // repeats included), the first by (doc_id, pos) keeps;
+    // gaps-and-islands merge runs per (doc, verdict)
+    "q243_dup_span_cuts" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS l FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, l FROM tk
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         string_split(array_to_string(l[11:len(l)], ' '), ' ')
+         |  FROM tk WHERE doc_id < 30),
+         |g AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(l) - 12)) AS pos, l
+         |      FROM corpus),
+         |hh AS (SELECT doc_id, pos,
+         |         md5(array_to_string(l[pos:pos+12], ' ')) AS h FROM g),
+         |c AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY h) AS ct,
+         |        row_number() OVER (PARTITION BY h
+         |          ORDER BY doc_id, pos) AS rn
+         |      FROM hh),
+         |d AS (SELECT doc_id, pos, (rn = 1) AS keep FROM c WHERE ct > 1),
+         |i AS (SELECT doc_id, pos, keep,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id, keep
+         |               ORDER BY pos) > 13 THEN 1 ELSE 0 END AS flag
+         |      FROM d),
+         |si AS (SELECT doc_id, pos, keep,
+         |         sum(flag) OVER (PARTITION BY doc_id, keep ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS isl
+         |       FROM i)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 12 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens,
+         |  keep
+         |FROM si GROUP BY doc_id, keep, isl
+         |ORDER BY doc_id, span_start, keep""".stripMargin,
     "q107_top_ngram" -> {
       def topCte(n: Int) =
         s"""t$n AS (

@@ -417,6 +417,53 @@ class DedupSpec extends SparkSpec {
     assert(got == cover)
   }
 
+  test("duplicateSpanCuts: keeper is the first (doc, pos) occurrence; " +
+      "applying the cut list leaves no n-window occurring twice") {
+    val n = 3
+    // cross-doc shared run (c0..c7), an intra-doc repeat inside doc
+    // 3, and unique filler — keeper must be doc 1's copy (min id),
+    // and doc 3's first intra-doc occurrence beats its second
+    val shared = (0 until 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4 a5"),
+      (2L, s"b1 b2 b3 $shared b4 b5"),
+      (3L, s"$shared d1 d2 d3 d4 $shared")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpanCuts(docs, "doc_id", "text", n)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    // every shared window's first occurrence is in doc 1 (positions
+    // 3..8 → merged keep-span [3, 10]); docs 2 and 3 carry only cuts
+    assert(spans.filter(_._5).map(s => (s._1, s._2, s._3))
+      == List((1L, 3L, 10L)))
+    assert(spans.filterNot(_._5).forall(s => s._1 == 2L || s._1 == 3L))
+
+    // APPLY the cuts: removed = cut coverage minus keep coverage per
+    // doc; a window survives iff all n of its tokens survive
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val byDoc = spans.groupBy(_._1)
+    def coverage(id: Long, keep: Boolean): Set[Long] =
+      byDoc.getOrElse(id, Nil).filter(_._5 == keep)
+        .flatMap(s => s._2 to s._3).toSet
+    val survivors = toks.toSeq.flatMap { case (id, ts) =>
+      val removed = coverage(id, keep = false) -- coverage(id, keep = true)
+      ts.sliding(n).zipWithIndex.filter(_._1.size == n).collect {
+        case (w, i) if (i + 1 until i + 1 + n)
+          .forall(p => !removed.contains(p.toLong)) =>
+          (id, i + 1, w.mkString(" "))
+      }.toSeq
+    }
+    val byText = survivors.groupBy(_._3)
+    assert(byText.values.forall(_.size == 1),
+      s"windows still duplicated: ${byText.filter(_._2.size > 1).keys}")
+    // and every originally-duplicated window retains its keeper copy
+    val allWins = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq }
+    val dupTexts = allWins.groupBy(identity).filter(_._2.size > 1).keySet
+    dupTexts.foreach(w => assert(byText.contains(w),
+      s"duplicated window '$w' lost ALL copies"))
+  }
+
   test("editDistancePairs: same-prefix small edits found, big edits cut by threshold") {
     val prefix = "shared forty-character document prefix xx "
     val docs = Seq(
