@@ -112,7 +112,22 @@ object Registry {
     * appends nothing and returns zero rows.
     */
   def ingest(spark: SparkSession, name: String, batch: DataFrame,
-      idCol: String, textCol: String, batchNo: Int): DataFrame = {
+      idCol: String, textCol: String, batchNo: Int): DataFrame =
+    ingestDigests(spark, name,
+      batch.select(col(idCol).cast("long").as("keep_id"),
+          TextFunctions.contentHash(col(textCol)).as("h"))
+        .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id")),
+      batchNo)
+
+  /** [[ingest]] over PRECOMPUTED batch digests — `digests` must be
+    * (h, keep_id), one row per digest (the batch's min-id
+    * representative). This is the entry a single-scan pipeline uses
+    * ([[graft.pipeline.Pipelines.ingestBatch]]): the caller derives
+    * every text-dependent column in one projection and each registry
+    * stage consumes its slice without re-reading the text.
+    */
+  def ingestDigests(spark: SparkSession, name: String,
+      digests: DataFrame, batchNo: Int): DataFrame = {
     // the survivor set must be pinned BEFORE the append, and plain
     // persist() is NOT enough: the insert refreshes the table by
     // path, which invalidates every cached plan referencing it —
@@ -120,7 +135,8 @@ object Registry {
     // the just-updated registry and vanish. localCheckpoint severs
     // the lineage (the plan becomes an RDD scan with no table
     // reference), so the refresh cannot touch it.
-    val kept = dedupBatch(spark, name, batch, idCol, textCol)
+    val kept = digests
+      .join(spark.table(name).select(col("h")), Seq("h"), "left_anti")
       .withColumn("batch_no", lit(batchNo))
       .select(col("h"), col("keep_id"), col("batch_no"))
       .localCheckpoint()
@@ -215,11 +231,21 @@ object Registry {
     */
   def nearIngest(spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, tables: Int = 2,
-      maxHamming: Int = 20): DataFrame = {
-    val reps = batch
-      .select(Dedup.simhash60(
+      maxHamming: Int = 20): DataFrame =
+    nearIngestSims(spark, name,
+      batch.select(Dedup.simhash60(
           graft.text.TextFunctions.tokens(col(textCol))).as("simhash"),
-        col(idCol).cast("long").as("doc_id"))
+        col(idCol).cast("long").as("doc_id")),
+      tables, maxHamming)
+
+  /** [[nearIngest]] over PRECOMPUTED signatures — `sims` must be
+    * (doc_id, simhash), one row per batch doc (duplicates by doc id
+    * are the caller's bug). Same single-scan rationale as
+    * [[ingestDigests]].
+    */
+  def nearIngestSims(spark: SparkSession, name: String,
+      sims: DataFrame, tables: Int = 2, maxHamming: Int = 20): DataFrame = {
+    val reps = sims
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("doc_id"))
     val probes = windowKeys(reps, tables)

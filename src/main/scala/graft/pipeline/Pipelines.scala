@@ -176,6 +176,118 @@ object Pipelines {
       .drop("__rn")
   }
 
+  /** What one [[ingestBatch]] call did, stage by stage: input rows,
+    * quality survivors, exact-registry survivors, near-registry
+    * survivors, vector-registry survivors (= nNear when no vector
+    * lane is configured), and decontamination survivors. `survivors`
+    * is the final (doc_id, h, simhash) relation — the rows a caller
+    * appends to the corpus.
+    */
+  final case class IngestBatchResult(survivors: DataFrame,
+      nIn: Long, nQuality: Long, nExact: Long, nNear: Long,
+      nVec: Long, nClean: Long)
+
+  /** Incremental-curate driver — ONE new batch through the whole
+    * registry family in one call: quality floor → exact-digest
+    * registry ([[graft.dedup.Registry.ingestDigests]]) → SimHash
+    * near-dup registry ([[graft.dedup.Registry.nearIngestSims]]) →
+    * optional vector registry ([[graft.dedup.Registry.vecIngest]])
+    * → n-gram decontamination against a benchmark corpus. This is
+    * the operator a continuously-fed 100 TB corpus actually calls:
+    * the per-modality registries (q237/q241/q242) each dedup a
+    * batch alone; a real ingest chains them so every stage's input
+    * is the previous stage's survivors, and replaying batches in
+    * order equals a from-scratch curate of the union under the
+    * (batch_no, id) tie rule (the q244 oracle replays exactly that).
+    *
+    * The batch TEXT is read ONCE: the first projection derives every
+    * text-dependent column — length, content digest, simhash,
+    * distinct `n`-grams — and is pinned with localCheckpoint, so the
+    * registry appends' refresh-by-path cannot re-trigger the scan
+    * and no later stage touches `textCol` again (IngestBatchSpec
+    * pins one scan in the executed plan). History is never read at
+    * all — each registry probe joins its bucketed index table.
+    *
+    * Stage order is a documented choice: registries record their
+    * stage's survivors BEFORE decontamination, so a future copy of a
+    * contaminated document drops cheaply at the exact stage instead
+    * of re-running the gate; the contaminated original still never
+    * reaches `survivors`.
+    *
+    * The optional vector lane (`vecCol` naming an embedding column
+    * on `batch`, `vecReg` a [[graft.dedup.Registry.createVec]]
+    * table) catches semantic duplicates whose TEXT the near-dup lane
+    * missed — re-encoded or paraphrased copies sharing an embedding.
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, exactReg: String, nearReg: String,
+      bench: DataFrame, benchTextCol: String, batchNo: Int,
+      minChars: Int = 100, n: Int = 3,
+      vecReg: Option[String] = None, vecCol: Option[String] = None,
+      tables: Int = 2, maxHamming: Int = 20): IngestBatchResult = {
+    import graft.dedup.Registry
+    require(vecReg.isDefined == vecCol.isDefined,
+      "vecReg and vecCol come together (the vector lane needs both)")
+    val toks = TextFunctions.tokens(col(textCol))
+    // THE one batch-text scan: every text-derived column in one
+    // projection, eagerly pinned (localCheckpoint severs lineage, so
+    // the registry appends' table refreshes cannot reach back here)
+    val derived = batch.select(
+      (col(idCol).cast("long").as("doc_id") +:
+        length(col(textCol)).as("__len") +:
+        TextFunctions.contentHash(col(textCol)).as("h") +:
+        Dedup.simhash60(toks).as("simhash") +:
+        array_distinct(TextFunctions.ngramsFast(toks, n)).as("__grams") +:
+        vecCol.toSeq.map(c => col(c).as("__vec"))): _*)
+      .localCheckpoint()
+    val nIn = derived.count()
+
+    val quality = derived.filter(col("__len") >= minChars)
+    val nQuality = quality.count()
+
+    val keptDigests = Registry.ingestDigests(spark, exactReg,
+      quality.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")),
+      batchNo)
+    val exact = quality.join(
+      keptDigests.select(col("h"), col("keep_id").as("doc_id")),
+      Seq("doc_id", "h"), "left_semi")
+    val nExact = exact.count()
+
+    val keptNear = Registry.nearIngestSims(spark, nearReg,
+      exact.select(col("doc_id"), col("simhash")), tables, maxHamming)
+    val near = exact.join(keptNear.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nNear = near.count()
+
+    val vec = vecReg match {
+      case Some(reg) =>
+        val keptVec = Registry.vecIngest(spark, reg,
+          near.select(col("doc_id"), col("__vec")), "doc_id", "__vec")
+        near.join(keptVec.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => near
+    }
+    val nVec = vec.count()
+
+    // decontamination: any shared distinct n-gram with the benchmark
+    // flags the doc; the benchmark side is benchmark-bounded and
+    // broadcasts (the q94 shape — a Bloom filter takes over when it
+    // stops fitting, decontaminateBloom)
+    val benchGrams = broadcast(bench
+      .select(explode(array_distinct(TextFunctions.ngramsFast(
+        TextFunctions.tokens(col(benchTextCol)), n))).as("__g"))
+      .distinct())
+    val contaminated = vec
+      .select(col("doc_id"), explode(col("__grams")).as("__g"))
+      .join(benchGrams, Seq("__g"))
+      .select(col("doc_id")).distinct()
+    val clean = vec.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("h"), col("simhash"))
+    val nClean = clean.count()
+
+    IngestBatchResult(clean, nIn, nQuality, nExact, nNear, nVec, nClean)
+  }
+
   /** Temperature-based mixture resampling (the α=0.5 data-mixing
     * rule used when assembling multilingual / multi-source training
     * sets): class c's share of the `budget` is proportional to

@@ -272,6 +272,58 @@ object PipelineQueries extends QueryPack {
         .select(col("split"), col("n_docs"), col("n_sources"),
           col("n_leaky_sources"))
         .orderBy(col("split"))
+    }),
+
+    // Incremental-curate driver (Pipelines.ingestBatch): THREE
+    // batches chained through quality floor → exact-digest registry
+    // → SimHash near-dup registry → vector registry → trigram
+    // decontam vs a benchmark slice, each batch's text scanned ONCE.
+    // Corpus = documents⋈embeddings ∪ near-copies (' zz yy' suffix,
+    // same embedding, id+300001 — the near lane's catch) ∪ vec-twins
+    // (id-salted unrelated text, same embedding, id+600001 — text
+    // lanes pass them, the VECTOR registry catches them); both
+    // offsets ≡ +1 mod 3, so every copy probes a LATER batch than
+    // its source. Output one row per batch with the full stage
+    // funnel; the oracle replays the whole chain from scratch.
+    "q244_ingest_pipeline" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry_ing/$tag"
+      val (exName, nrName, vcName) = (s"graft_ing_ex_$tag",
+        s"graft_ing_nr_$tag", s"graft_ing_vc_$tag")
+      Registry.create(s, exName, s"$base/ex", buckets = 8)
+      Registry.createNear(s, nrName, s"$base/nr", buckets = 8)
+      Registry.createVec(s, vcName, s"$base/vc", buckets = 8)
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val b0 = d.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val nearCopies = b0.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300001L).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text"), col("embedding"))
+      val vecTwins = b0.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 600001L).as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(30)),
+            i => concat(lit("vt"), col("doc_id").cast("string"),
+              lit("x"), i.cast("string"))), " ").as("text"),
+          col("embedding"))
+      val corpus = b0.unionByName(nearCopies).unionByName(vecTwins)
+      val bench = d.filter(col("doc_id") < 5)
+      val rows = (0 until 3).map { b =>
+        val r = graft.pipeline.Pipelines.ingestBatch(s,
+          corpus.filter(col("doc_id") % 3 === b), "doc_id", "text",
+          exName, nrName, bench, "text", b, minChars = 100,
+          vecReg = Some(vcName), vecCol = Some("embedding"))
+        (b, r.nIn, r.nQuality, r.nExact, r.nNear, r.nVec, r.nClean)
+      }
+      import s.implicits._
+      rows.toDF("batch_no", "n_in", "n_q", "n_exact", "n_near",
+          "n_vec", "n_clean")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_q"),
+          col("n_exact"), col("n_near"), col("n_vec"), col("n_clean"))
+        .orderBy(col("batch_no"))
     })
   )
 
@@ -535,6 +587,128 @@ object PipelineQueries extends QueryPack {
         |  cast(count(DISTINCT source) as bigint) AS n_sources,
         |  l.n_leaky_sources
         |FROM d, leaky l GROUP BY split, l.n_leaky_sources
-        |ORDER BY split""".stripMargin
+        |ORDER BY split""".stripMargin,
+    // from-scratch replay of the full ingest chain: quality filter,
+    // first-seen exact keepers, batch-chained banded-simhash rule
+    // (the q241 pattern over exact survivors), batch-chained
+    // RHP-signature+cosine rule (the q242 pattern over near
+    // survivors), trigram decontam. AS MATERIALIZED throughout —
+    // DuckDB inlines CTEs per reference and the stage relations are
+    // each read 2-4 times.
+    "q244_ingest_pipeline" -> {
+      val nearRule =
+        """(((g.simhash >> 45) & 32767) = ((r.simhash >> 45) & 32767)
+          | OR ((g.simhash >> 30) & 32767) = ((r.simhash >> 30) & 32767))
+          | AND bit_count(xor(g.simhash, r.simhash)) <= 20""".stripMargin
+      def cos(a: String, b: String) =
+        s"round(list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |corpus AS MATERIALIZED (
+         |  SELECT doc_id, text, embedding FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 300001, text || ' zz yy', embedding
+         |  FROM base WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 600001,
+         |    array_to_string(list_transform(range(1, 31),
+         |      i -> 'vt' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' '),
+         |    embedding
+         |  FROM base WHERE doc_id < 40),
+         |q AS MATERIALIZED (
+         |  SELECT doc_id, text, embedding, CAST(doc_id % 3 AS INT) AS b
+         |  FROM corpus WHERE length(text) >= 100),
+         |dig AS (SELECT doc_id, b, md5(text) AS h FROM q),
+         |found AS (SELECT h, min(b) AS fb FROM dig GROUP BY h),
+         |ek AS MATERIALIZED (
+         |  SELECT d.h, d.b, min(d.doc_id) AS doc_id
+         |  FROM dig d JOIN found f ON d.h = f.h AND d.b = f.fb
+         |  GROUP BY d.h, d.b),
+         |ekd AS MATERIALIZED (
+         |  SELECT ek.doc_id, ek.b, q.text, q.embedding
+         |  FROM ek JOIN q USING (doc_id)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+         |        FROM ekd),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN ((strpos('0123456789abcdef',
+         |          substr(md5(tk), (i // 4) + 1, 1)) - 1) >> (i % 4)) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS vote
+         |  FROM tok, range(60) r(i) GROUP BY doc_id, i),
+         |sims AS MATERIALIZED (
+         |  SELECT doc_id, cast(sum(CASE WHEN vote > 0
+         |    THEN 1::BIGINT << i ELSE 0::BIGINT END) as bigint) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |sb AS (SELECT s.doc_id, s.simhash, e.b
+         |       FROM sims s JOIN ekd e USING (doc_id)),
+         |nrep AS MATERIALIZED (SELECT b, simhash, min(doc_id) AS doc_id
+         |        FROM sb GROUP BY b, simhash),
+         |s0 AS MATERIALIZED (SELECT doc_id, simhash FROM nrep WHERE b = 0),
+         |s1 AS MATERIALIZED (SELECT r.doc_id, r.simhash FROM nrep r
+         |      WHERE r.b = 1 AND NOT EXISTS (
+         |        SELECT 1 FROM s0 g WHERE $nearRule)),
+         |nreg2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |s2 AS MATERIALIZED (SELECT r.doc_id, r.simhash FROM nrep r
+         |      WHERE r.b = 2 AND NOT EXISTS (
+         |        SELECT 1 FROM nreg2 g WHERE $nearRule)),
+         |ns AS MATERIALIZED (SELECT doc_id FROM s0
+         |      UNION ALL SELECT doc_id FROM s1
+         |      UNION ALL SELECT doc_id FROM s2),
+         |vv AS MATERIALIZED (
+         |  SELECT e.doc_id, e.b, e.text,
+         |    list_transform(e.embedding, x -> x::DOUBLE) AS v
+         |  FROM ekd e JOIN ns USING (doc_id)),
+         |vrep AS MATERIALIZED (SELECT b, v, min(doc_id) AS doc_id
+         |        FROM vv GROUP BY b, v),
+         |vsg AS MATERIALIZED (SELECT b, doc_id, v,
+         |        ${Fragments.rhpSigSql(8, "v")} AS sig FROM vrep),
+         |v0 AS MATERIALIZED (SELECT doc_id, v, sig FROM vsg WHERE b = 0),
+         |v1 AS MATERIALIZED (SELECT r.doc_id, r.v, r.sig FROM vsg r
+         |      WHERE r.b = 1 AND NOT EXISTS (
+         |        SELECT 1 FROM v0 g WHERE g.sig = r.sig
+         |          AND ${cos("g.v", "r.v")} >= 0.99)),
+         |vreg2 AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+         |v2 AS MATERIALIZED (SELECT r.doc_id, r.v, r.sig FROM vsg r
+         |      WHERE r.b = 2 AND NOT EXISTS (
+         |        SELECT 1 FROM vreg2 g WHERE g.sig = r.sig
+         |          AND ${cos("g.v", "r.v")} >= 0.99)),
+         |vs AS MATERIALIZED (SELECT doc_id FROM v0
+         |      UNION ALL SELECT doc_id FROM v1
+         |      UNION ALL SELECT doc_id FROM v2),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(${trigrams("l")}) AS g
+         |  FROM (SELECT $toks AS l FROM documents WHERE doc_id < 5)),
+         |vd AS MATERIALIZED (
+         |  SELECT vv.doc_id, vv.b, $toks AS l
+         |  FROM vv JOIN vs USING (doc_id)),
+         |tg AS (SELECT doc_id, b, unnest(${trigrams("l")}) AS g FROM vd),
+         |hit AS MATERIALIZED (SELECT DISTINCT doc_id
+         |      FROM tg JOIN bg USING (g)),
+         |ci AS (SELECT CAST(doc_id % 3 AS INT) AS batch_no,
+         |         count(*) AS n_in FROM corpus GROUP BY 1),
+         |cq AS (SELECT b AS batch_no, count(*) AS n_q FROM q GROUP BY b),
+         |ce AS (SELECT b AS batch_no, count(*) AS n_exact
+         |       FROM ek GROUP BY b),
+         |cn AS (SELECT 0 AS batch_no, count(*) AS n_near FROM s0
+         |       UNION ALL SELECT 1, count(*) FROM s1
+         |       UNION ALL SELECT 2, count(*) FROM s2),
+         |cv AS (SELECT 0 AS batch_no, count(*) AS n_vec FROM v0
+         |       UNION ALL SELECT 1, count(*) FROM v1
+         |       UNION ALL SELECT 2, count(*) FROM v2),
+         |cc AS (SELECT b AS batch_no, count(*) AS n_clean FROM vd
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM hit) GROUP BY b)
+         |SELECT ci.batch_no, CAST(ci.n_in AS BIGINT) AS n_in,
+         |  CAST(coalesce(cq.n_q, 0) AS BIGINT) AS n_q,
+         |  CAST(coalesce(ce.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(cn.n_near, 0) AS BIGINT) AS n_near,
+         |  CAST(coalesce(cv.n_vec, 0) AS BIGINT) AS n_vec,
+         |  CAST(coalesce(cc.n_clean, 0) AS BIGINT) AS n_clean
+         |FROM ci LEFT JOIN cq USING (batch_no)
+         |  LEFT JOIN ce USING (batch_no) LEFT JOIN cn USING (batch_no)
+         |  LEFT JOIN cv USING (batch_no) LEFT JOIN cc USING (batch_no)
+         |ORDER BY ci.batch_no""".stripMargin
+    }
   )
 }

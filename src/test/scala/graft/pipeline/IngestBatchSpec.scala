@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Registry
+
+/** The incremental-curate driver's contract: every stage drops
+  * exactly the docs its registry/gate owns, replaying batches equals
+  * the documented first-seen rule, and the batch TEXT is scanned
+  * once — the registry appends and later stages never re-read it.
+  */
+class IngestBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = System.getProperty("java.io.tmpdir")
+
+  private def freshRegs(tag: String): (String, String, String) = {
+    val (ex, nr, vc) = (s"graft_ib_ex_$tag", s"graft_ib_nr_$tag",
+      s"graft_ib_vc_$tag")
+    Registry.create(spark, ex, s"$tmp/graft_ib/$tag/ex", 4)
+    Registry.createNear(spark, nr, s"$tmp/graft_ib/$tag/nr", 4)
+    Registry.createVec(spark, vc, s"$tmp/graft_ib/$tag/vc", 4)
+    (ex, nr, vc)
+  }
+
+  // ≥100 chars, 30+ tokens, all id-salted so docs are unrelated
+  private def longText(salt: String): String =
+    (1 to 30).map(i => s"tk${salt}x$i").mkString(" ")
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(16)(i => seed * 0.37f + i * 0.11f)
+
+  test("each stage drops exactly the docs it owns, across two batches") {
+    val (ex, nr, vc) = freshRegs("funnel")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val a = longText("aa")
+    // batch 0: A survives everything; B fails quality; C = exact
+    //          copy of A (same-batch exact collapse, higher id loses)
+    val b0 = Seq(
+      (10L, a, vec(1)),
+      (11L, "too short", vec(2)),
+      (12L, a, vec(3))
+    ).toDF("doc_id", "text", "embedding")
+    val r0 = Pipelines.ingestBatch(spark, b0, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 0, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert((r0.nIn, r0.nQuality, r0.nExact, r0.nNear, r0.nVec, r0.nClean)
+      == ((3L, 2L, 1L, 1L, 1L, 1L)))
+    assert(r0.survivors.select($"doc_id").as[Long].collect().toSet
+      == Set(10L))
+
+    // batch 1: D = exact copy of A (exact-registry drop), E = A's
+    // tokens REVERSED — new digest, but simhash votes are order-
+    // independent so the signature is identical: a GUARANTEED
+    // near-registry drop (hamming 0, every window shared). F = vec
+    // twin (unrelated text, A's embedding → VECTOR-registry drop),
+    // G = contaminated (bench trigrams inside → decontam drop),
+    // H = novel clean survivor
+    val e = a.split(" ").reverse.mkString(" ")
+    val g = longText("gg") + " " + longText("bench")
+    val b1 = Seq(
+      (20L, a, vec(4)),
+      (21L, e, vec(5)),
+      (22L, longText("ff"), vec(1)),
+      (23L, g, vec(6)),
+      (24L, longText("hh"), vec(7))
+    ).toDF("doc_id", "text", "embedding")
+    val r1 = Pipelines.ingestBatch(spark, b1, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 1, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert((r1.nIn, r1.nQuality, r1.nExact, r1.nNear, r1.nVec, r1.nClean)
+      == ((5L, 5L, 4L, 3L, 2L, 1L)),
+      s"funnel was (${r1.nIn}, ${r1.nQuality}, ${r1.nExact}, " +
+        s"${r1.nNear}, ${r1.nVec}, ${r1.nClean})")
+    assert(r1.survivors.select($"doc_id").as[Long].collect().toSet
+      == Set(24L))
+  }
+
+  test("the vector lane is optional: without it nVec echoes nNear") {
+    val (ex, nr, _) = freshRegs("novec")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val b = Seq((1L, longText("p1")), (2L, longText("p2")))
+      .toDF("doc_id", "text")
+    val r = Pipelines.ingestBatch(spark, b, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 0, minChars = 100)
+    assert((r.nNear, r.nVec, r.nClean) == ((2L, 2L, 2L)))
+  }
+
+  test("batch text is scanned ONCE: later stages and a survivor " +
+      "re-read never re-evaluate the text column") {
+    val (ex, nr, vc) = freshRegs("onescan")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val reads = spark.sparkContext.longAccumulator("text_reads")
+    val counting = udf { (t: String) => reads.add(1L); t }
+    val b = (1L to 50L).map(i => (i, longText(s"d$i"), vec(i.toInt)))
+      .toDF("doc_id", "raw", "embedding")
+      .withColumn("text", counting(col("raw")))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val r = Pipelines.ingestBatch(spark, b, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 0, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    // the one derivation projection may reference the column a few
+    // times within its single pass; without the localCheckpoint pin
+    // every one of the ~8 downstream actions re-runs the scan
+    // (measured ≥ 10× rows). The bound pins "once", not "per stage".
+    val afterIngest = reads.value
+    assert(afterIngest <= 6L * 50L,
+      s"text evaluated $afterIngest times for 50 rows — re-scanned")
+    // consuming the survivors again must not touch the text at all
+    r.survivors.collect()
+    assert(reads.value == afterIngest,
+      "survivor re-read re-evaluated the batch text")
+  }
+
+  test("replaying batches equals the from-scratch first-seen rule " +
+      "on the union (ids increasing across batches)") {
+    val (ex, nr, vc) = freshRegs("replay")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val texts = (1 to 9).map(i => longText(s"u$i"))
+    // batch 0: docs 1-3; batch 1: docs 4-6 where 4 duplicates 1 and
+    // 5 duplicates 6's text within-batch... keep it exact-only so
+    // from-scratch is the plain min-id dedup
+    val all = Seq(
+      (1L, texts(0), vec(1)), (2L, texts(1), vec(2)), (3L, texts(2), vec(3)),
+      (4L, texts(0), vec(4)), (5L, texts(4), vec(5)), (6L, texts(4), vec(6)),
+      (7L, texts(6), vec(7)), (8L, texts(1), vec(8)), (9L, texts(8), vec(9)))
+    val batches = all.grouped(3).toSeq
+    val kept = batches.zipWithIndex.flatMap { case (rows, b) =>
+      Pipelines.ingestBatch(spark,
+        rows.toDF("doc_id", "text", "embedding"), "doc_id", "text",
+        ex, nr, bench, "text", b, minChars = 100,
+        vecReg = Some(vc), vecCol = Some("embedding"))
+        .survivors.select($"doc_id").as[Long].collect()
+    }.toSet
+    // from scratch: min id per distinct text (ids increase with
+    // batch order, so first-seen == min id); all texts pass quality,
+    // are non-near (distinct salts), distinct vectors, clean
+    val scratch = all.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(kept == scratch)
+  }
+}
