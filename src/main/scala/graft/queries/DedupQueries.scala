@@ -500,6 +500,59 @@ object DedupQueries extends QueryPack {
         .orderBy(col("batch_no"))
     }),
 
+    // Recall meter for the banded-hamming rule the near-dup registry
+    // (q241) and simhashNearPairs run on: TRUTH = every pair at
+    // hamming <= 20 (exact all-pairs over a BOUNDED slice — the
+    // q145 discipline: the meter pays O(n²) so the production
+    // operator doesn't have to), FOUND(t) = the pairs the ACTUAL
+    // operator (bandedHammingPairs at t tables) returns. Broken out
+    // by hamming band, because the single number conflates the two
+    // regimes the trade is ABOUT: d < tables is guaranteed total
+    // (pigeonhole — the 00-05 row at tables=4 reads 1e6), while far
+    // pairs are intentionally sampled at ~t/2^15 — what the cheaper
+    // tables=2 state costs is the band-by-band gap to tables=4.
+    "q245_near_recall_meter" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+      val corpus = d.unionByName(d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300001L).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text")))
+      val sims = corpus.select(col("doc_id"),
+          Dedup.simhash60(T.tokens(col("text"))).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count()
+      val a = sims.select(col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      val b = sims.select(col("doc_id").as("id_b"),
+        col("simhash").as("sim_b"))
+      val h = Dedup.hammingDist(col("sim_a"), col("sim_b"))
+      val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("__h", h).filter(col("__h") <= 20)
+        .withColumn("ham_band", when(col("__h") <= 5, "00-05")
+          .when(col("__h") <= 12, "06-12").otherwise("13-20"))
+        .select(col("id_a"), col("id_b"), col("ham_band"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      truth.count()
+      import s.implicits._
+      val rows = Seq(2, 4).flatMap { t =>
+        val found = Dedup.bandedHammingPairs(sims, "doc_id", "simhash",
+            totalBits = 60, width = 15, tables = t, maxHamming = 20)
+          .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+        truth.join(found, Seq("id_a", "id_b"), "left")
+          .groupBy(col("ham_band"))
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+          .as[(String, Long, Long)].collect().toSeq
+          .map { case (band, nt, nf) =>
+            (t, band, nt, nf, nf * 1000000L / nt) }
+      }
+      sims.unpersist(); truth.unpersist()
+      rows.toDF("tables", "ham_band", "n_truth", "n_found", "recall_e6")
+        .select(col("tables").cast("int"), col("ham_band"),
+          col("n_truth"), col("n_found"), col("recall_e6"))
+        .orderBy(col("tables"), col("ham_band"))
+    }),
+
     "q146_winnow_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val punct = d.filter(col("doc_id") < 30)
@@ -1084,6 +1137,48 @@ object DedupQueries extends QueryPack {
          |  CAST(k.n_kept AS BIGINT) AS n_kept
          |FROM i JOIN k ON i.batch_no = k.batch_no
          |ORDER BY i.batch_no""".stripMargin,
+    // all-pairs truth bucketed by hamming band + per-t window-share
+    // counts, exact integer recall; windows read at shifts
+    // 60-15(t+1) like the Spark side
+    "q245_near_recall_meter" -> {
+      def share(ts: Seq[Int]) = ts.map(t =>
+        s"((sa >> ${60 - 15 * (t + 1)}) & 32767) " +
+          s"= ((sb >> ${60 - 15 * (t + 1)}) & 32767)").mkString(" OR ")
+      def meter(t: Int) =
+        s"""SELECT $t AS tables, ham_band,
+           |  count(*) AS n_truth,
+           |  count(*) FILTER (WHERE ${share(0 until t)}) AS n_found
+           |FROM p GROUP BY ham_band""".stripMargin
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 300001, text || ' zz yy' FROM documents
+         |  WHERE doc_id < 40),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+         |        FROM corpus),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN ((strpos('0123456789abcdef',
+         |          substr(md5(tk), (i // 4) + 1, 1)) - 1) >> (i % 4)) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS vote
+         |  FROM tok, range(60) r(i) GROUP BY doc_id, i),
+         |sims AS MATERIALIZED (
+         |  SELECT doc_id, cast(sum(CASE WHEN vote > 0
+         |    THEN 1::BIGINT << i ELSE 0::BIGINT END) as bigint) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |p AS MATERIALIZED (
+         |  SELECT sa, sb, CASE WHEN h <= 5 THEN '00-05'
+         |    WHEN h <= 12 THEN '06-12' ELSE '13-20' END AS ham_band
+         |  FROM (SELECT a.simhash AS sa, b.simhash AS sb,
+         |          bit_count(xor(a.simhash, b.simhash)) AS h
+         |        FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+         |  WHERE h <= 20),
+         |m AS (${meter(2)} UNION ALL ${meter(4)})
+         |SELECT tables, ham_band, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_e6
+         |FROM m ORDER BY tables, ham_band""".stripMargin
+    },
     "q146_winnow_spans" -> {
       val punctSrc =
         """(SELECT doc_id, text FROM documents

@@ -146,6 +146,16 @@ object Ann {
     (cents, assigned)
   }
 
+  /** Assign a batch to FROZEN centroids — the incremental-index path
+    * ([[IndexStore.appendIvf]]): new vectors join the inverted file
+    * under the nearest existing centroid (same rounded ranking as
+    * the build), no retrain, no corpus rescan. Returns inverted-file
+    * rows (neighbor_id, cent_id, v, vn).
+    */
+  def ivfAssign(cents: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, roundTo: Int = 6): DataFrame =
+    nearestCents(batch, idCol, vecCol, cents, "neighbor_id", 1, roundTo)
+
   /** Probe a PREBUILT IVF index: rank each query's nProbe nearest
     * centroids, equi-join the probed clusters' inverted lists, score
     * and keep top-k. The corpus is never rescanned — `assigned` (as

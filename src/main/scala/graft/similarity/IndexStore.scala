@@ -88,4 +88,43 @@ object IndexStore {
     Ann.ivfProbe(cents, assigned, queries, idCol, vecCol, nProbe, k,
       roundTo)
   }
+
+  /** Append a NEW batch to a saved PQ artifact without retraining:
+    * encode with the SAVED codebooks and parameters
+    * ([[Pq.encodeWith]]) and append the codes, keeping the
+    * (__s, __cid) write layout so probe joins read the same shape.
+    * O(batch) — the existing codes are never read, the corpus never
+    * rescanned. Batch ids must be new (an id appearing twice in the
+    * code table double-counts in ADC — the caller's dedup registry
+    * owns that guarantee). Probe-through-appended equals a rebuild
+    * that encodes old∪new with the same codebooks (IndexStoreSpec).
+    */
+  def appendPq(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cents = spark.read.parquet(s"$path/codebooks")
+    val newCodes = Pq.encodeWith(cents, batch, idCol, vecCol,
+      meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
+      meta.getAs[Double]("quant_scale"))
+    newCodes.repartition(col("__s"), col("__cid"))
+      .write.mode(SaveMode.Append).parquet(s"$path/codes")
+    newCodes
+  }
+
+  /** Append a NEW batch to a saved IVF artifact without retraining:
+    * assign to the SAVED centroids with the saved rounding
+    * ([[Ann.ivfAssign]]) and append to the inverted file,
+    * cluster-partitioned like the build. Same O(batch) and new-ids
+    * contract as [[appendPq]].
+    */
+  def appendIvf(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = Ann.ivfAssign(cents, batch, idCol, vecCol,
+      meta.getAs[Int]("round_to"))
+    assigned.repartition(col("cent_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/inverted")
+    assigned
+  }
 }

@@ -125,6 +125,24 @@ object Pq {
     (cents, codes)
   }
 
+  /** Encode a batch with FROZEN codebooks — the incremental-index
+    * path ([[IndexStore.appendPq]]): a corpus that grows daily must
+    * not retrain per batch, so new vectors take the nearest centroid
+    * of the SAVED codebooks, exactly the assignment [[trainEncode]]'s
+    * final pass runs. Centroids drift from the ideal as the
+    * distribution moves — the standard trade, measured by the
+    * staleness meter — but probe results over appended codes equal a
+    * rebuild that encodes everything with the same codebooks
+    * (IndexStoreSpec pins it). Returns (__id, __s, __cid).
+    */
+  def encodeWith(cents: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int,
+      quantScale: Double = 1e6): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    assign(subvectors(batch, idCol, vecCol, m, dim / m, quantScale), cents)
+      .select(col("__id"), col("__s"), col("__cid"))
+  }
+
   /** ADC top-k: approximate nearest neighbors of each query vector,
     * scored as the sum over subspaces of the exact-integer distance
     * from the query's slice to the centroid the neighbor's code names.

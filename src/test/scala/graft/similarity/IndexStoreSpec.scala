@@ -57,6 +57,72 @@ class IndexStoreSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("appendPq: probe through the appended artifact equals a rebuild " +
+      "that encodes old∪new with the SAME codebooks") {
+    val path = tmp("pq_append")
+    val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
+      dim = 4, m = 2, k = 2, iters = 2)
+    IndexStore.savePq(cents, codes, path, dim = 4, m = 2,
+      quantScale = 1e6)
+    val batch = (20 until 30).map(i =>
+      (i.toLong, Array(10f - i * 0.02f, 10f, 0.5f, 0f))).toDF("id", "vec")
+    IndexStore.appendPq(spark, path, batch, "id", "vec")
+    val queries = blobs.filter($"id" < 2)
+    // topK past the same-code tie block: with k=2 codebooks every
+    // same-cluster vector shares a code, adist ties break by id, and
+    // the 8 older cluster members outrank any appended id at k=5
+    val viaAppend = IndexStore.pqTopK(spark, path, queries, "id", "vec",
+        topK = 15)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    // rebuild: same frozen codebooks, encode everything in one pass
+    val rebuilt = Pq.encodeWith(cents, blobs.unionByName(batch),
+      "id", "vec", dim = 4, m = 2)
+    val viaRebuild = Pq.adcTopKWith(cents, rebuilt, queries, "id", "vec",
+        dim = 4, m = 2, topK = 15)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(viaAppend == viaRebuild)
+    // the appended vectors actually rank (nearest blob to id 0)
+    assert(viaAppend.exists(_._2 >= 20L))
+  }
+
+  test("appendIvf: probe through the appended artifact equals a rebuild " +
+      "assigning old∪new to the SAME centroids; append plan is O(batch)") {
+    val corpus = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(5f, 0f, 1f) else Array(0f, 5f, 1f)
+      (i.toLong, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val (cents, assigned) =
+      Ann.ivfIndex(corpus, "vec_id", "embedding", nCentroids = 2)
+    val path = tmp("ivf_append")
+    IndexStore.saveIvf(cents, assigned, path, roundTo = 6)
+    val batch = (30 until 40).map(i =>
+      (i.toLong, Array(4.5f, 0.2f * (i % 3), 1f))).toDF("vec_id", "embedding")
+    // O(batch): the append's plan reads NEITHER the corpus source
+    // nor the existing inverted file
+    val appendPlan = Ann.ivfAssign(
+      spark.read.parquet(s"$path/centroids"), batch,
+      "vec_id", "embedding", 6).queryExecution.executedPlan.toString
+    assert(!appendPlan.contains("inverted"), appendPlan.take(1200))
+    IndexStore.appendIvf(spark, path, batch, "vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" >= 20)
+    // k past the 11 near-1.0-cosine original cluster members, so the
+    // slightly-off appended vectors can show up at all
+    val viaAppend = IndexStore.ivfTopK(spark, path, queries,
+        "vec_id", "embedding", nProbe = 1, k = 15)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    val rebuilt = Ann.ivfAssign(cents, corpus.unionByName(batch),
+      "vec_id", "embedding", 6)
+    val viaRebuild = Ann.ivfProbe(cents, rebuilt, queries,
+        "vec_id", "embedding", nProbe = 1, k = 15)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.exists(_._2 >= 30L))
+  }
+
   test("artifact probe plan scans the index parquet, never the corpus source") {
     val path = tmp("pq_plan")
     val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
