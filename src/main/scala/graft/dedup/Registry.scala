@@ -299,9 +299,24 @@ object Registry {
     * Third member of the registry family: exact digests ([[ingest]]),
     * text SimHash windows ([[nearIngest]]), vectors here — one
     * O(batch) ingest contract across modalities.
+    *
+    * SIZE `planes` TO THE CORPUS — the O(batch) contract holds only
+    * while signature buckets stay bounded: expected candidates per
+    * probe ≈ registry_rows / 2^planes, so ingest cost grows
+    * LINEARLY with the registry once 2^planes is small against it.
+    * Measured (PERF.md r13): at planes=8 (256 buckets) a 5k-vector
+    * ingest degraded 4.3 s → 137 s as the registry grew 5k → 510k;
+    * at planes=16 the same sweep is flat. Rule: planes ≳
+    * log2(expected corpus) + a few bits of slack — and it is FROZEN
+    * at create time (the stored sig encodes it), so size for the
+    * corpus you'll have, not the one you start with. Exact
+    * duplicates share the signature at ANY planes (identical input
+    * → identical hyperplane signs), so raising planes never costs
+    * recall on true copies — only on near-but-rotated vectors, the
+    * standard LSH trade.
     */
   def vecIngest(spark: SparkSession, name: String, batch: DataFrame,
-      idCol: String, vecCol: String, planes: Int = 8,
+      idCol: String, vecCol: String, planes: Int = 16,
       threshold: Double = 0.99, roundTo: Int = 6): DataFrame = {
     import graft.similarity.Ann
     val reps = batch

@@ -36,9 +36,13 @@ private[queries] object Fragments {
   }
 
   def rhpSigSql(planes: Int, v: String): String =
+    // quadratic pair-hash weights (k = j·1024 + d) — must stay
+    // bit-identical to Ann.hyperplane/rhpSigUdf; the affine form it
+    // replaced made planes near-parallel (PERF.md r13)
     (0 until planes).map { j =>
       s"""(CASE WHEN list_sum(list_transform(range(0, 64), d ->
-         |  $v[d+1] * ((((d * 2654435761 + ${j.toLong * 40503L + 17L}) % 1000 + 1000) % 1000)
+         |  $v[d+1] * ((((d + ${j.toLong * 1024L + 1L}) * (d + ${j.toLong * 1024L + 2L}) % 1000000)
+         |             * 2654435761) % 1000
          |            / 500.0 - 1.0))) > 0
          | THEN 1::BIGINT << $j ELSE 0::BIGINT END)""".stripMargin
     }.mkString(" + ")

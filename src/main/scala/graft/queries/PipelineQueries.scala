@@ -663,7 +663,7 @@ object PipelineQueries extends QueryPack {
          |vrep AS MATERIALIZED (SELECT b, v, min(doc_id) AS doc_id
          |        FROM vv GROUP BY b, v),
          |vsg AS MATERIALIZED (SELECT b, doc_id, v,
-         |        ${Fragments.rhpSigSql(8, "v")} AS sig FROM vrep),
+         |        ${Fragments.rhpSigSql(16, "v")} AS sig FROM vrep),
          |v0 AS MATERIALIZED (SELECT doc_id, v, sig FROM vsg WHERE b = 0),
          |v1 AS MATERIALIZED (SELECT r.doc_id, r.v, r.sig FROM vsg r
          |      WHERE r.b = 1 AND NOT EXISTS (

@@ -565,7 +565,7 @@ object VectorQueries extends QueryPack {
          |sb AS (SELECT vec_id, v, CAST(vec_id % 3 AS INT) AS b FROM e),
          |rep AS (SELECT b, v, min(vec_id) AS vec_id
          |        FROM sb GROUP BY b, v),
-         |sg AS (SELECT b, vec_id, v, ${Fragments.rhpSigSql(8, "v")} AS sig
+         |sg AS (SELECT b, vec_id, v, ${Fragments.rhpSigSql(16, "v")} AS sig
          |       FROM rep),
          |s0 AS (SELECT vec_id, v, sig FROM sg WHERE b = 0),
          |s1 AS (SELECT r.vec_id, r.v, r.sig FROM sg r

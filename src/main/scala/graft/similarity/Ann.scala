@@ -234,10 +234,25 @@ object Ann {
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): integer-hash mapped to [-1, 1). Exactly reproducible in
     * any engine (pure integer arithmetic + one division).
+    *
+    * The hash must be NONLINEAR in the combined (plane, dim) index:
+    * the original affine form (`d·M + j·c` mod 1000) made every
+    * plane a constant SHIFT of the same weight walk, so planes at
+    * small shift distance were near-parallel — measured r13: 16
+    * "planes" yielded only 149 distinct signatures over 55k uniform
+    * vectors (hot bucket 17k), which broke every RHP bucket-bounding
+    * claim. The quadratic pair-hash below — k = j·1024 + d,
+    * m = ((k+1)(k+2) mod 10⁶)·2654435761 mod 1000 — has no shift
+    * structure between planes (plane deltas vary with d), restoring
+    * ~2^planes effective buckets (17.4k distinct sigs, hot bucket 96
+    * on the same sweep). Supports dims < 1024, planes < 63; all
+    * intermediates < 2^63 (ANSI-safe).
     */
-  def hyperplane(j: Int, d: Column): Column =
-    (((d * 2654435761L + lit(j.toLong * 40503L + 17L)) % 1000L + 1000L) % 1000L)
+  def hyperplane(j: Int, d: Column): Column = {
+    val k = d.cast("long") + lit(j.toLong * 1024L)
+    (((k + 1L) * (k + 2L) % 1000000L) * 2654435761L % 1000L)
       .cast("double") / 500.0 - 1.0
+  }
 
   /** Random-hyperplane LSH signature: bit j = sign(v · h_j), packed
     * into a long. Buckets with equal signatures are cosine-similar
@@ -257,8 +272,8 @@ object Ann {
       var acc = 0d
       var d = 0
       while (d < v.length) {
-        val m = ((d.toLong * 2654435761L + (j.toLong * 40503L + 17L))
-          % 1000L + 1000L) % 1000L
+        val k = j.toLong * 1024L + d
+        val m = ((k + 1L) * (k + 2L) % 1000000L) * 2654435761L % 1000L
         acc += v(d).toDouble * (m.toDouble / 500.0 - 1.0)
         d += 1
       }

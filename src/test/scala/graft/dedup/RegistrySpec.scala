@@ -183,6 +183,31 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("ingest probes read only index columns — history text can never " +
+      "enter a plan (O(batch) contract, RegistryScaling measures it)") {
+    val (name, _) = freshReg("oschema")
+    Registry.ingest(spark, name,
+      (1L to 30L).map(i => (i, s"doc body $i")).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+    // the exact registry's scan projects the digest alone
+    val plan = Registry.dedupBatch(spark, name,
+      (20L to 40L).map(i => (i, s"doc body $i")).toDF("doc_id", "text"),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<h:string>"), plan.take(1500))
+    // structurally: no registry family stores text at all — the
+    // stored state is digests / signatures (+ embeddings for vec)
+    assert(spark.table(name).schema.fieldNames.toSet
+      == Set("h", "keep_id", "batch_no"))
+    Registry.createNear(spark, "graft_test_reg_oschema_nr",
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/oschema_nr", 4)
+    assert(spark.table("graft_test_reg_oschema_nr").schema.fieldNames.toSet
+      == Set("w", "bucket", "doc_id", "simhash"))
+    Registry.createVec(spark, "graft_test_reg_oschema_vc",
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/oschema_vc", 4)
+    assert(spark.table("graft_test_reg_oschema_vc").schema.fieldNames.toSet
+      == Set("sig", "vec_id", "embedding"))
+  }
+
   private def partFiles(path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)

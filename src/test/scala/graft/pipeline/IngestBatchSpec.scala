@@ -28,8 +28,16 @@ class IngestBatchSpec extends SparkSpec {
   private def longText(salt: String): String =
     (1 to 30).map(i => s"tk${salt}x$i").mkString(" ")
 
-  private def vec(seed: Int): Array[Float] =
-    Array.tabulate(16)(i => seed * 0.37f + i * 0.11f)
+  // seeded-PRNG components: distinct seeds give well-separated
+  // directions. Two earlier fixtures (an affine ramp, then a linear
+  // integer hash) made some seed PAIRS near-parallel — cos ≥ 0.99,
+  // so the vec registry CORRECTLY dropped them as semantic dups and
+  // broke the expected funnel; any value linear in the seed shares
+  // the flaw (constant-shift structure).
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(16)(r.nextFloat() - 0.5f)
+  }
 
   test("each stage drops exactly the docs it owns, across two batches") {
     val (ex, nr, vc) = freshRegs("funnel")
