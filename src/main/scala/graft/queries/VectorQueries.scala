@@ -270,6 +270,41 @@ object VectorQueries extends QueryPack {
         queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
         dim = 64, m = 4, k = 4, iters = 2, topK = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF index staleness meter — the health readout for the
+    // incremental-append path (IndexStore.appendIvf): new batches
+    // take the FROZEN centroids, so as the distribution drifts the
+    // assigned-cluster radius (1 − cos to the owning centroid)
+    // grows. Fixture: a +0.25-per-component drifted copy of
+    // vec_id<100 assigned via Ann.ivfAssign; per centroid, base vs
+    // appended member counts and mean radius (floor e6 per row,
+    // exact integer mean). A widening gap is the retrain signal.
+    "q246_ivf_staleness" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val (cents, assigned) = Ann.ivfIndex(e, "vec_id", "embedding",
+        nCentroids = 8)
+      val drifted = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 700001L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+      val fresh = Ann.ivfAssign(cents, drifted, "vec_id", "embedding")
+      def meter(a: DataFrame, tag: String) = a
+        .join(broadcast(cents), "cent_id")
+        .withColumn("__r_e6", floor(greatest(lit(0.0),
+          lit(1.0) - Ann.dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+          * 1000000.0).cast("long"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          expr("cast(sum(cast(__r_e6 as decimal(38,0))) div count(1) " +
+            "as bigint)").as(s"mean_radius_${tag}_e6"))
+      meter(assigned, "base")
+        .join(meter(fresh, "new"), Seq("cent_id"), "left")
+        .select(col("cent_id").cast("long").as("cent_id"), col("n_base"),
+          col("mean_radius_base_e6"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("mean_radius_new_e6"))
+        .orderBy(col("cent_id"))
     })
   )
 
@@ -652,6 +687,43 @@ object VectorQueries extends QueryPack {
          |win AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |          ORDER BY votes DESC, label) AS rn FROM votes)
          |SELECT query_id, label AS pred_label, votes
-         |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin
+         |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // base/appended assignment replay (argmax rounded cos, the q79
+    // rule) + per-row floor-e6 radius, exact integer means. The
+    // drifted copy adds 0.25 per component in FLOAT arithmetic
+    // before widening to double, matching the Spark float add.
+    "q246_ivf_staleness" -> {
+      def assign(src: String) =
+        s"""SELECT vec_id, cent_id, v FROM (
+           |  SELECT s.vec_id, c.cent_id, s.v,
+           |    row_number() OVER (PARTITION BY s.vec_id
+           |      ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cent_id) AS rn
+           |  FROM $src s CROSS JOIN cents c) WHERE rn = 1""".stripMargin
+      def radius(a: String) =
+        s"""SELECT a.cent_id, count(*) AS n,
+           |  CAST(sum(CAST(floor(greatest(0.0,
+           |      1.0 - list_dot_product(a.v, c.cv) /
+           |        (sqrt(list_dot_product(a.v, a.v))
+           |         * sqrt(list_dot_product(c.cv, c.cv)))) * 1000000)
+           |    AS HUGEINT)) // count(*) AS BIGINT) AS mr
+           |FROM $a a JOIN cents c USING (cent_id) GROUP BY a.cent_id""".stripMargin
+      s"""WITH $cosineCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |          WHERE vec_id < 8),
+         |d AS (SELECT vec_id + 700001 AS vec_id,
+         |        list_transform(embedding,
+         |          x -> ((x + 0.25::FLOAT)::FLOAT)::DOUBLE) AS v
+         |      FROM embeddings WHERE vec_id < 100),
+         |ab AS MATERIALIZED (${assign("e")}),
+         |an AS MATERIALIZED (${assign("d")}),
+         |mb AS (${radius("ab")}),
+         |mn AS (${radius("an")})
+         |SELECT mb.cent_id, CAST(mb.n AS BIGINT) AS n_base,
+         |  mb.mr AS mean_radius_base_e6,
+         |  CAST(coalesce(mn.n, 0) AS BIGINT) AS n_new,
+         |  mn.mr AS mean_radius_new_e6
+         |FROM mb LEFT JOIN mn ON mb.cent_id = mn.cent_id
+         |ORDER BY mb.cent_id""".stripMargin
+    }
   )
 }
