@@ -303,11 +303,17 @@ object PipelineQueries extends QueryPack {
       val nearCopies = b0.filter(col("doc_id") < 40)
         .select((col("doc_id") + 300001L).as("doc_id"),
           concat(col("text"), lit(" zz yy")).as("text"), col("embedding"))
+      // text FIRST, id shift in a separate select: inside one select
+      // list, Spark resolves col("doc_id") in a LATER item against the
+      // EARLIER item's alias (lateral column alias), so combining them
+      // built "vt600014x…" texts while the oracle built "vt13x…" — a
+      // one-doc n_near divergence that only surfaced at sf0.1
       val vecTwins = b0.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 600001L).as("doc_id"),
+        .withColumn("text",
           array_join(transform(sequence(lit(1), lit(30)),
             i => concat(lit("vt"), col("doc_id").cast("string"),
-              lit("x"), i.cast("string"))), " ").as("text"),
+              lit("x"), i.cast("string"))), " "))
+        .select((col("doc_id") + 600001L).as("doc_id"), col("text"),
           col("embedding"))
       val corpus = b0.unionByName(nearCopies).unionByName(vecTwins)
       val bench = d.filter(col("doc_id") < 5)
