@@ -77,19 +77,78 @@ object Registry {
     fs.create(new org.apache.hadoop.fs.Path(p, Marker)).close()
   }
 
+  private val ExactDdl = "(h STRING, keep_id BIGINT, batch_no INT)"
+  private val NearDdl = "(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT)"
+  private val VecDdl = "(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>)"
+
+  private def createTable(spark: SparkSession, name: String,
+      path: String, buckets: Int, ddl: String, bucketCol: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $name $ddl
+         |USING parquet
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
+  }
+
+  /** ATTACH an existing registry into THIS session's catalog without
+    * touching its data — the true cross-run entry: Spark's default
+    * in-memory catalog forgets tables when the session ends, so a
+    * later job (the next day's ingest) must re-register the table
+    * over the surviving files. Requires the [[Marker]] a prior
+    * create left (attaching a random directory is refused); the
+    * `buckets` count MUST match the create (it is physical layout —
+    * a mismatch silently breaks the exchange-free join, so record it
+    * with the path). RegistrySpec pins attach-then-ingest equals
+    * same-session continuation.
+    */
+  private def attachTable(spark: SparkSession, name: String,
+      path: String, buckets: Int, ddl: String, bucketCol: String): Unit = {
+    require(SafeName.matches(name),
+      s"registry name must match ${SafeName.regex}; got '$name'")
+    require(!path.contains("'"),
+      s"registry path must not contain a quote; got '$path'")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(p, Marker)),
+      s"'$path' is not a graft registry (no marker) — create() it first")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    createTable(spark, name, path, buckets, ddl, bucketCol)
+  }
+
   /** Create or replace an EMPTY registry table `name` at `path`,
     * bucketed on the digest column `h`.
     */
   def create(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
     prepareLocation(spark, name, path)
-    spark.sql(
-      s"""CREATE TABLE $name (h STRING, keep_id BIGINT, batch_no INT)
-         |USING parquet
-         |CLUSTERED BY (h) SORTED BY (h) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
-    ()
+    createTable(spark, name, path, buckets, ExactDdl, "h")
   }
+
+  /** Whether `path` holds a graft registry (any family) — the
+    * create-or-attach decision a scheduled ingest job makes.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(p, Marker))
+  }
+
+  /** [[attachTable]] for the exact-digest registry. */
+  def attach(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit =
+    attachTable(spark, name, path, buckets, ExactDdl, "h")
+
+  /** [[attachTable]] for the near-dup registry. */
+  def attachNear(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit =
+    attachTable(spark, name, path, buckets, NearDdl, "bucket")
+
+  /** [[attachTable]] for the vector registry. */
+  def attachVec(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit =
+    attachTable(spark, name, path, buckets, VecDdl, "sig")
 
   /** The batch rows that survive against the current registry:
     * digests never seen before, one keeper per digest (min id
@@ -194,13 +253,7 @@ object Registry {
   def createNear(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
     prepareLocation(spark, name, path)
-    spark.sql(
-      s"""CREATE TABLE $name
-         |(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT)
-         |USING parquet
-         |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
-    ()
+    createTable(spark, name, path, buckets, NearDdl, "bucket")
   }
 
   /** The (w, bucket) window keys of a simhash — window t is the
@@ -277,13 +330,7 @@ object Registry {
   def createVec(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
     prepareLocation(spark, name, path)
-    spark.sql(
-      s"""CREATE TABLE $name
-         |(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>)
-         |USING parquet
-         |CLUSTERED BY (sig) SORTED BY (sig) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
-    ()
+    createTable(spark, name, path, buckets, VecDdl, "sig")
   }
 
   /** Ingest one batch of vectors: a vector survives iff (a) it is

@@ -382,7 +382,7 @@ object Pipelines {
 object PipelineDriver {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank|labelprop> <in> <out>")
+      "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank|labelprop|ingest> <in> <out>")
     val Array(name, in, out) = args.take(3)
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
@@ -478,6 +478,44 @@ object PipelineDriver {
         val v2 = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_IN2",
           sys.error("snapdiff needs SPARK_GRAFT_IN2=<v2 path>")))
         graft.ops.Snapshots.diff(docs, v2, "doc_id", "text")
+      case "ingest" =>
+        // one incremental-curate batch against PERSISTENT registries
+        // (SPARK_GRAFT_REG base dir; created on first run, attached —
+        // data untouched — on every later run: the cross-run loop).
+        // SPARK_GRAFT_BATCHNO tags the batch; SPARK_GRAFT_BENCH is
+        // the decontamination corpus (defaults to the q94 slice).
+        import graft.dedup.Registry
+        val regBase = sys.env.getOrElse("SPARK_GRAFT_REG",
+          s"$out.registries")
+        val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
+        val batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt
+        def ensure(nm: String, p: String,
+            create: (String, String) => Unit,
+            attach: (String, String) => Unit): Unit =
+          if (Registry.exists(spark, p)) attach(nm, p) else create(nm, p)
+        ensure("graft_cli_ex", s"$regBase/ex",
+          Registry.create(spark, _, _, buckets),
+          Registry.attach(spark, _, _, buckets))
+        ensure("graft_cli_nr", s"$regBase/nr",
+          Registry.createNear(spark, _, _, buckets),
+          Registry.attachNear(spark, _, _, buckets))
+        val hasVec = docs.columns.contains("embedding")
+        if (hasVec) ensure("graft_cli_vc", s"$regBase/vc",
+          Registry.createVec(spark, _, _, buckets),
+          Registry.attachVec(spark, _, _, buckets))
+        val bench = sys.env.get("SPARK_GRAFT_BENCH")
+          .map(spark.read.parquet(_))
+          .getOrElse(docs.filter(col("doc_id") < 5))
+        val r = Pipelines.ingestBatch(spark, docs, "doc_id", "text",
+          "graft_cli_ex", "graft_cli_nr", bench, "text", batchNo,
+          minChars = 100,
+          vecReg = if (hasVec) Some("graft_cli_vc") else None,
+          vecCol = if (hasVec) Some("embedding") else None)
+        spark.sparkContext.setLogLevel("WARN")
+        println(s"[ingest] batch=$batchNo in=${r.nIn} q=${r.nQuality} " +
+          s"exact=${r.nExact} near=${r.nNear} vec=${r.nVec} " +
+          s"clean=${r.nClean}")
+        r.survivors
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)

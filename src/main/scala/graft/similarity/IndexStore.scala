@@ -111,6 +111,31 @@ object IndexStore {
     newCodes
   }
 
+  /** Compact a PQ artifact's code table: each [[appendPq]] lays a
+    * file set per batch, so a daily-append index walks into the
+    * small-files cliff exactly like a registry ([[graft.dedup
+    * .Registry.compact]]); compaction rewrites the codes in the
+    * same (__s, __cid) probe-aligned layout, one pass over the
+    * INDEX (never the corpus). localCheckpoint pins the rows before
+    * the overwrite truncates the directory being read.
+    */
+  def compactPq(spark: SparkSession, path: String): Unit = {
+    val codes = spark.read.parquet(s"$path/codes").localCheckpoint()
+    codes.repartition(col("__s"), col("__cid"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    codes.unpersist()
+    ()
+  }
+
+  /** [[compactPq]] for an IVF artifact's inverted file. */
+  def compactIvf(spark: SparkSession, path: String): Unit = {
+    val inv = spark.read.parquet(s"$path/inverted").localCheckpoint()
+    inv.repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/inverted")
+    inv.unpersist()
+    ()
+  }
+
   /** Append a NEW batch to a saved IVF artifact without retraining:
     * assign to the SAVED centroids with the saved rounding
     * ([[Ann.ivfAssign]]) and append to the inverted file,

@@ -510,6 +510,33 @@ object Streams {
       }
       .start()
 
+  /** The FULL incremental-curate chain as an ingestion stream — the
+    * per-modality maintenance streams above composed the way a
+    * production feed runs them: each micro-batch flows through
+    * [[graft.pipeline.Pipelines.ingestBatch]] (quality → exact
+    * registry → near registry → optional vector registry → n-gram
+    * decontam), batch text scanned once, history never; the handler
+    * receives the per-stage funnel plus the surviving rows to
+    * append to the corpus. Micro-batch ids are the batch numbers,
+    * so replaying the stream equals the sequential batch replay
+    * (StreamsSpec pins it against direct ingestBatch calls).
+    */
+  def ingestStream(docs: DataFrame, idCol: String, textCol: String,
+      exactReg: String, nearReg: String, bench: DataFrame,
+      benchTextCol: String, checkpoint: String, minChars: Int = 100,
+      vecReg: Option[String] = None, vecCol: Option[String] = None)(
+      handler: (graft.pipeline.Pipelines.IngestBatchResult, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(graft.pipeline.Pipelines.ingestBatch(
+          batch.sparkSession, batch, idCol, textCol, exactReg, nearReg,
+          bench, benchTextCol, id.toInt, minChars,
+          vecReg = vecReg, vecCol = vecCol), id)
+      }
+      .start()
+
   /** Streaming HLL maintenance — [[graft.ops.Hll]]'s ingestion
     * twin: each micro-batch registers ONLY its own keys and
     * max-merges with the prior version (the register monoid —

@@ -286,6 +286,42 @@ class RegistrySpec extends SparkSpec {
     assert(spark.table(vname).count() == vRows)
   }
 
+  test("attach re-registers an existing registry across sessions: data " +
+      "intact, ingest continues first-seen, bucketed plan preserved; " +
+      "non-registry paths refused") {
+    val name = "graft_test_reg_attach"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/attach"
+    Registry.create(spark, name, path, buckets = 4)
+    Registry.ingest(spark, name,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+    // simulate the next day's session: the in-memory catalog forgot
+    // the table, the files survive
+    spark.sql(s"DROP TABLE $name")
+    Registry.attach(spark, name, path, buckets = 4)
+    assert(spark.table(name).count() == 2L)
+    // first-seen continues against the attached history
+    val kept = Registry.ingest(spark, name,
+      Seq((9L, "alpha"), (10L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", 1)
+    assert(kept.select($"keep_id").as[Long].collect().toSet == Set(10L))
+    val plan = Registry.dedupBatch(spark, name,
+      Seq((5L, "beta")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // a directory without the marker is not attachable
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bare =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/notareg"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bare))
+    intercept[IllegalArgumentException] {
+      Registry.attach(spark, "graft_test_reg_attach2", bare, 4)
+    }
+    assert(Registry.exists(spark, path) && !Registry.exists(spark, bare))
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")

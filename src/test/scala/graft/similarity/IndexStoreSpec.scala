@@ -123,6 +123,62 @@ class IndexStoreSpec extends SparkSpec {
     assert(viaAppend.exists(_._2 >= 30L))
   }
 
+  test("compactPq/compactIvf: fewer files, identical probes") {
+    def files(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val path = tmp("pq_compact")
+    val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
+      dim = 4, m = 2, k = 2, iters = 1)
+    IndexStore.savePq(cents, codes, path, dim = 4, m = 2,
+      quantScale = 1e6)
+    (0 until 3).foreach { b =>
+      IndexStore.appendPq(spark, path,
+        (100 + b * 10 until 110 + b * 10).map(i =>
+          (i.toLong, Array(10f, 10f - i * 0.01f, 0f, 0f))).toDF("id", "vec"),
+        "id", "vec")
+    }
+    val queries = blobs.filter($"id" < 2)
+    val before = IndexStore.pqTopK(spark, path, queries, "id", "vec", 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    val nBefore = files(s"$path/codes")
+    IndexStore.compactPq(spark, path)
+    assert(files(s"$path/codes") < nBefore,
+      s"${files(s"$path/codes")} !< $nBefore")
+    val after = IndexStore.pqTopK(spark, path, queries, "id", "vec", 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(after == before)
+
+    val ipath = tmp("ivf_compact")
+    val corpus = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(5f, 0f, 1f) else Array(0f, 5f, 1f)
+      (i.toLong, base.map(_ + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val (ic, ia) = Ann.ivfIndex(corpus, "vec_id", "embedding", 2)
+    IndexStore.saveIvf(ic, ia, ipath, roundTo = 6)
+    (0 until 3).foreach { b =>
+      IndexStore.appendIvf(spark, ipath,
+        (50 + b * 10 until 60 + b * 10).map(i =>
+          (i.toLong, Array(4.5f, 0.1f * (i % 4), 1f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    val iq = corpus.filter($"vec_id" >= 20)
+    val ibefore = IndexStore.ivfTopK(spark, ipath, iq,
+        "vec_id", "embedding", 1, 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    val inBefore = files(s"$ipath/inverted")
+    IndexStore.compactIvf(spark, ipath)
+    assert(files(s"$ipath/inverted") < inBefore)
+    val iafter = IndexStore.ivfTopK(spark, ipath, iq,
+        "vec_id", "embedding", 1, 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    assert(iafter == ibefore)
+  }
+
   test("artifact probe plan scans the index parquet, never the corpus source") {
     val path = tmp("pq_plan")
     val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",

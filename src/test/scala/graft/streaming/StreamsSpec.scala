@@ -596,6 +596,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: streamed batches equal direct sequential " +
+      "ingestBatch calls, funnel counts included") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft-ingest-stream").toString
+    def long(salt: String) = (1 to 30).map(i => s"ig${salt}x$i").mkString(" ")
+    graft.dedup.Registry.create(spark, "graft_ingstr_ex", s"$base/ex", 4)
+    graft.dedup.Registry.createNear(spark, "graft_ingstr_nr", s"$base/nr", 4)
+    val bench = Seq((0L, long("bench"))).toDF("doc_id", "text")
+    val funnels =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.ingestStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "graft_ingstr_ex", "graft_ingstr_nr",
+      bench, "text", s"$base/chk") { (r, id) =>
+      funnels += ((id, r.nIn, r.nNear, r.nClean))
+      survivors ++= r.survivors.select($"doc_id").as[Long].collect()
+    }
+    try {
+      // b0: A + short + contaminated; b1: exact copy of A + reversed
+      // A (near drop) + novel
+      val a = long("aa")
+      input.addData((1L, a), (2L, "too short"),
+        (3L, long("cc") + " " + long("bench")))
+      q.processAllAvailable()
+      input.addData((10L, a), (11L, a.split(" ").reverse.mkString(" ")),
+        (12L, long("dd")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(funnels.toList == List((0L, 3L, 2L, 1L), (1L, 3L, 1L, 1L)),
+      funnels.toList.toString)
+    assert(survivors.toSet == Set(1L, 12L))
+  }
+
   test("hllMaintStream: maintained registers == from-scratch; estimates agree") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
