@@ -503,9 +503,13 @@ object PipelineDriver {
         if (hasVec) ensure("graft_cli_vc", s"$regBase/vc",
           Registry.createVec(spark, _, _, buckets),
           Registry.attachVec(spark, _, _, buckets))
+        // decontamination only when a benchmark corpus is GIVEN —
+        // defaulting to a slice of the input would flag the batch
+        // against itself and drop everything (an empty benchmark
+        // makes the gate a no-op: zero grams, zero hits)
         val bench = sys.env.get("SPARK_GRAFT_BENCH")
           .map(spark.read.parquet(_))
-          .getOrElse(docs.filter(col("doc_id") < 5))
+          .getOrElse(docs.limit(0))
         val r = Pipelines.ingestBatch(spark, docs, "doc_id", "text",
           "graft_cli_ex", "graft_cli_nr", bench, "text", batchNo,
           minChars = 100,
