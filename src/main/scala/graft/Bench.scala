@@ -176,7 +176,7 @@ object Bench {
     // still lands in "value"; "minq" records the cut) at the
     // smallest threshold that fits — a partial per-query map beats
     // none.
-    lazy val lineMin = Seq(0.05, 0.1, 0.2, 0.5, 1.0).iterator
+    lazy val lineMin = Seq(0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 1.0).iterator
       .map(m => mkLine(fcs, dropQ = true, minQ = m, qUnit = "cs"))
       .find(_.length <= cap)
     if (line2.length <= cap) line2

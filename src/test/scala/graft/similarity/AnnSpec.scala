@@ -42,6 +42,28 @@ class AnnSpec extends SparkSpec {
     assert(sigs(1L) == sigs(3L)) // same direction → same bucket
   }
 
+  test("hyperplane family stays diverse: no near-parallel planes " +
+      "(the r13 affine-hash regression)") {
+    // the original affine-in-j weight hash made planes constant
+    // shifts of one walk — 16 "planes" produced ~149 distinct
+    // signatures over 55k uniform vectors. Pin the diversity: over
+    // 2000 seeded-PRNG vectors at 16 planes, the signature space
+    // must stay close to saturated and no bucket may go hot. Any
+    // future "simplification" of Ann.hyperplane that reintroduces
+    // shift structure fails these bounds immediately.
+    val vecs = (0 until 2000).map { s =>
+      val r = new scala.util.Random(s)
+      (s.toLong, Array.fill(16)(r.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val sigs = vecs.select(Ann.rhpSignature($"embedding", 16).as("sig"))
+      .groupBy($"sig").count()
+      .as[(Long, Long)].collect()
+    assert(sigs.length >= 1500,
+      s"only ${sigs.length} distinct signatures for 2000 vectors")
+    assert(sigs.map(_._2).max <= 20,
+      s"hot bucket of ${sigs.map(_._2).max} vectors")
+  }
+
   test("lshTopK finds the parallel neighbor inside its bucket") {
     val out = Ann.lshTopK(vecs, "vec_id", "embedding", planes = 8, k = 2)
       .select("query_id", "neighbor_id", "cos")
