@@ -61,15 +61,21 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("sentinel-normalized total: sent_med_cs is the upper-middle " +
-      "median, value_norm rescales to the 50 cs canon, absent without " +
-      "sentinels") {
+      "median, value_norm DISCOUNTS contended readings only, absent " +
+      "without sentinels") {
     val results = Map("q1_a" -> 2.0, "q2_b" -> 3.0) // total 5.00
-    // sorted (0.10, 0.20, 0.30) → median 0.20 s = 20 cs →
-    // value_norm = 5.00 * 50/20 = 12.50
-    val line = Bench.renderLine(results, Seq(0.3, 0.1, 0.2), "/x/sf0.1")
+    // sorted (0.60, 0.80, 1.00) → median 0.80 s = 80 cs →
+    // value_norm = 5.00 * 50/80 = 3.13 (discounted)
+    val line = Bench.renderLine(results, Seq(1.0, 0.6, 0.8), "/x/sf0.1")
     parse(line)
-    assert(line.contains("\"sent_med_cs\":20"), line)
-    assert(line.contains("\"value_norm\":12.50"), line)
+    assert(line.contains("\"sent_med_cs\":80"), line)
+    assert(line.contains("\"value_norm\":3.13"), line)
+    // a CALM median (below the 50 cs canon) must never inflate the
+    // total — norm == raw (r13: flat raw totals under a 2.7×
+    // sentinel swing proved up-scaling is fiction)
+    val calm = Bench.renderLine(results, Seq(0.3, 0.1, 0.2), "/x/sf0.1")
+    assert(calm.contains("\"sent_med_cs\":20"), calm)
+    assert(calm.contains("\"value_norm\":5.00"), calm)
     // even count: upper-middle of (10, 40) cs is 40
     val even = Bench.renderLine(results, Seq(0.4, 0.1), "/x/sf0.1")
     assert(even.contains("\"sent_med_cs\":40"), even)
