@@ -49,7 +49,7 @@ object Registry {
     * still-empty table — the first batch's anti-join — lists it).
     */
   private def prepareLocation(spark: SparkSession, name: String,
-      path: String): Unit = {
+      path: String, family: String, buckets: Int): Unit = {
     require(SafeName.matches(name),
       s"registry name must match ${SafeName.regex}; got '$name'")
     require(!path.contains("'"),
@@ -74,7 +74,26 @@ object Registry {
       fs.delete(p, true); ()
     }
     fs.mkdirs(p)
-    fs.create(new org.apache.hadoop.fs.Path(p, Marker)).close()
+    // the marker carries (family, buckets) so [[attachTable]] can
+    // validate instead of trusting the caller: attaching a NEAR
+    // directory as an exact registry, or with a different bucket
+    // count, would silently corrupt the layout contract
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, Marker))
+    out.write(s"$family $buckets\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, Int)] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(p, Marker))
+    try {
+      val content = scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      content.split("\\s+") match {
+        case Array(f, b) if b.forall(_.isDigit) => Some((f, b.toInt))
+        case _ => None // legacy empty marker (pre-stamp creates)
+      }
+    } finally in.close()
   }
 
   private val ExactDdl = "(h STRING, keep_id BIGINT, batch_no INT)"
@@ -104,7 +123,8 @@ object Registry {
     * same-session continuation.
     */
   private def attachTable(spark: SparkSession, name: String,
-      path: String, buckets: Int, ddl: String, bucketCol: String): Unit = {
+      path: String, buckets: Int, ddl: String, bucketCol: String,
+      family: String): Unit = {
     require(SafeName.matches(name),
       s"registry name must match ${SafeName.regex}; got '$name'")
     require(!path.contains("'"),
@@ -113,6 +133,15 @@ object Registry {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(p, Marker)),
       s"'$path' is not a graft registry (no marker) — create() it first")
+    // the create stamped (family, buckets) into the marker; a
+    // mismatch means the caller is attaching the wrong registry or
+    // breaking the physical bucket layout — both silent corruptions
+    // without this check (legacy empty markers skip it)
+    readMarker(fs, p).foreach { case (f, b) =>
+      require(f == family && b == buckets,
+        s"'$path' is a $f registry with $b buckets; " +
+          s"attach requested $family/$buckets")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $name")
     createTable(spark, name, path, buckets, ddl, bucketCol)
   }
@@ -122,7 +151,7 @@ object Registry {
     */
   def create(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    prepareLocation(spark, name, path)
+    prepareLocation(spark, name, path, "exact", buckets)
     createTable(spark, name, path, buckets, ExactDdl, "h")
   }
 
@@ -138,17 +167,17 @@ object Registry {
   /** [[attachTable]] for the exact-digest registry. */
   def attach(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, ExactDdl, "h")
+    attachTable(spark, name, path, buckets, ExactDdl, "h", "exact")
 
   /** [[attachTable]] for the near-dup registry. */
   def attachNear(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, NearDdl, "bucket")
+    attachTable(spark, name, path, buckets, NearDdl, "bucket", "near")
 
   /** [[attachTable]] for the vector registry. */
   def attachVec(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, VecDdl, "sig")
+    attachTable(spark, name, path, buckets, VecDdl, "sig", "vec")
 
   /** The batch rows that survive against the current registry:
     * digests never seen before, one keeper per digest (min id
@@ -252,7 +281,7 @@ object Registry {
     */
   def createNear(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    prepareLocation(spark, name, path)
+    prepareLocation(spark, name, path, "near", buckets)
     createTable(spark, name, path, buckets, NearDdl, "bucket")
   }
 
@@ -329,7 +358,7 @@ object Registry {
     */
   def createVec(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    prepareLocation(spark, name, path)
+    prepareLocation(spark, name, path, "vec", buckets)
     createTable(spark, name, path, buckets, VecDdl, "sig")
   }
 

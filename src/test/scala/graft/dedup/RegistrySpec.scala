@@ -320,6 +320,16 @@ class RegistrySpec extends SparkSpec {
       Registry.attach(spark, "graft_test_reg_attach2", bare, 4)
     }
     assert(Registry.exists(spark, path) && !Registry.exists(spark, bare))
+    // the marker stamps (family, buckets): a bucket-count mismatch
+    // (would silently break the exchange-free join layout) and a
+    // family mismatch (schema corruption) are both refused
+    val wrongB = intercept[IllegalArgumentException] {
+      Registry.attach(spark, "graft_test_reg_attach3", path, 8)
+    }
+    assert(wrongB.getMessage.contains("exact registry with 4 buckets"))
+    intercept[IllegalArgumentException] {
+      Registry.attachNear(spark, "graft_test_reg_attach4", path, 4)
+    }
   }
 
   test("survivors returned by ingest are pinned before the append (not vanished)") {
