@@ -216,6 +216,11 @@ object Registry {
     */
   def ingestDigests(spark: SparkSession, name: String,
       digests: DataFrame, batchNo: Int): DataFrame = {
+    // NULL digests (md5 of a NULL text) are excluded WHOLE: a null
+    // key never matches the anti-join, so without this filter every
+    // batch would re-append its null-text rows as "fresh" forever —
+    // the same join-null-semantics hazard as the Concurrency r12 fix
+    val nonNull = digests.filter(col("h").isNotNull)
     // the survivor set must be pinned BEFORE the append, and plain
     // persist() is NOT enough: the insert refreshes the table by
     // path, which invalidates every cached plan referencing it —
@@ -223,7 +228,7 @@ object Registry {
     // the just-updated registry and vanish. localCheckpoint severs
     // the lineage (the plan becomes an RDD scan with no table
     // reference), so the refresh cannot touch it.
-    val kept = digests
+    val kept = nonNull
       .join(spark.table(name).select(col("h")), Seq("h"), "left_anti")
       .withColumn("batch_no", lit(batchNo))
       .select(col("h"), col("keep_id"), col("batch_no"))
@@ -395,7 +400,11 @@ object Registry {
       idCol: String, vecCol: String, planes: Int = 16,
       threshold: Double = 0.99, roundTo: Int = 6): DataFrame = {
     import graft.similarity.Ann
-    val reps = batch
+    // NULL embeddings are excluded WHOLE (documented convention):
+    // they carry no signature — the RHP kernel has nothing to hash —
+    // and a null signature key would dodge every probe join forever
+    // (the ingestDigests null-h hazard in vector form)
+    val reps = batch.filter(col(vecCol).isNotNull)
       .groupBy(col(vecCol).as("embedding"))
       .agg(min(col(idCol).cast("long")).as("vec_id"))
       .select(col("vec_id"), col("embedding"),

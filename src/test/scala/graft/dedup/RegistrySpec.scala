@@ -332,6 +332,31 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("NULL text and NULL embeddings are excluded whole, not " +
+      "re-appended forever through join null-semantics") {
+    val (name, _) = freshReg("nulls")
+    val b = Seq((1L, "real"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // twice: without the guard the null digest never matches the
+    // anti-join and re-appends every batch
+    assert(Registry.ingest(spark, name, b, "doc_id", "text", 0)
+      .count() == 1L)
+    assert(Registry.ingest(spark, name, b, "doc_id", "text", 1)
+      .count() == 0L)
+    assert(spark.table(name).count() == 1L)
+
+    val vname = "graft_test_vreg_nulls"
+    Registry.createVec(spark, vname,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/nulls", 4)
+    val vb = Seq((1L, Array(0.1f, 0.2f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding")
+      .count() == 1L)
+    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding")
+      .count() == 0L)
+    assert(spark.table(vname).count() == 1L)
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")
