@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,78 +28,231 @@ import graft.text.TextFunctions
   * appended (each append lays one file per bucket — the reader
   * keeps the exchange-free join; per-file sort metadata is
   * per-append, which bucketed scans tolerate).
+  *
+  * == Batch-number contract (replay safety) ==
+  * Every ingest stamps its rows with the caller's `batchNo`, and the
+  * probe EXCLUDES rows this same batch number already wrote. Batch
+  * numbers must therefore be unique per LOGICAL batch (a scheduler's
+  * monotone counter, a stream's micro-batch id); re-using a number
+  * means "this is the same batch again — a replay". Under that
+  * contract every ingest is idempotent at the SURVIVOR level, not
+  * just the digest level: an at-least-once scheduler (foreachBatch,
+  * a retried cron job) that re-runs a batch — after a crash anywhere
+  * between the registry append and the downstream corpus append —
+  * gets back the ORIGINAL survivor set, and the append heals any
+  * partially-committed rows instead of duplicating them. Survivors
+  * are a pure function of (batch, registry-state-minus-this-batch),
+  * so replay == first attempt as long as prior batches' rows are
+  * unchanged (the single-writer lease below guarantees exactly that).
+  *
+  * == Single-writer lease ==
+  * Two concurrent ingests against one registry would both anti-join
+  * the same old snapshot and both append — duplicate digests would
+  * survive silently. Every mutating call (ingest, compact, rekey)
+  * therefore takes a lease file (`<path>.lock`, a sibling of the
+  * registry directory so compaction's directory swap cannot disturb
+  * it) for its duration and fails LOUDLY if another writer holds it.
+  * A lease older than `staleMs` (default 30 min — longer than any
+  * sane ingest, shorter than a scheduler retry cycle) is presumed
+  * abandoned by a crashed writer and taken over. Lease acquisition
+  * is atomic create-no-overwrite — atomic on local/HDFS semantics;
+  * object stores without atomic create need an external lock
+  * service, the documented deployment caveat.
   */
 object Registry {
 
   /** Underscore-prefixed, so Spark's file-listing treats it as
     * metadata (like _SUCCESS) and never reads it as data. Its
     * presence marks "a graft registry created this directory", which
-    * is what licenses the recursive delete on re-create.
+    * is what licenses the recursive delete on re-create. The marker
+    * body stamps the physical contract that must survive the session
+    * boundary: `family buckets [key=value ...]` — bucket count
+    * (layout), row-schema version, and for the vec family the RHP
+    * plane count and hyperplane-hash version (both baked into every
+    * stored signature, so a mismatch silently re-admits duplicates).
     */
   private val Marker = "_graft_registry"
 
+  /** Rows carry batch_no (replay safety). Near/vec registries
+    * created before this stamp lack the column and must be rebuilt
+    * (or re-keyed) — attach refuses them rather than letting null
+    * batch stamps silently disable the probe's self-exclusion.
+    */
+  private val SchemaVersion = 2
+
+  /** The RHP hyperplane family every stored vec signature was signed
+    * with — the quadratic pair-hash of [[graft.similarity.Ann
+    * .rhpSignature]]. Bumped if the hash kernel ever changes; attach
+    * and ingest validate it so a binary with a DIFFERENT kernel can
+    * never probe (its signatures would match nothing and every
+    * duplicate would be silently re-admitted).
+    */
+  val RhpHashVersion = "qph1"
+
   private val SafeName = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
-  /** Shared create-side guard (ADVICE r12): the table name is
+  private final case class MarkerInfo(family: String, buckets: Int,
+      extras: Map[String, String])
+
+  /** Shared create-side guard (ADVICE r12/r13): the table name is
     * interpolated into SQL, so restrict it to a safe identifier; the
     * recursive delete of `path` only proceeds when the directory is
     * absent, empty, or carries the [[Marker]] from a prior create —
     * a caller pointing at a directory of unrelated data gets an
-    * error, not silent data loss. Leaves `path` existing, empty but
-    * for the marker (the location must exist up front: scanning the
+    * error, not silent data loss. (A bare _SUCCESS no longer
+    * licenses the clear: every Spark job output carries one, so it
+    * guarded nothing — a mispointed create() would have destroyed a
+    * curated corpus. Legacy pre-marker registries migrate via
+    * [[stampMarker]].) Leaves `path` existing, empty but for the
+    * marker (the location must exist up front: scanning the
     * still-empty table — the first batch's anti-join — lists it).
     */
   private def prepareLocation(spark: SparkSession, name: String,
-      path: String, family: String, buckets: Int): Unit = {
+      path: String, family: String, buckets: Int,
+      extras: Map[String, String]): Unit = {
     require(SafeName.matches(name),
       s"registry name must match ${SafeName.regex}; got '$name'")
     require(!path.contains("'"),
       s"registry path must not contain a quote; got '$path'")
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       val entries = fs.listStatus(p)
-      // _SUCCESS also licenses the clear: registries created before
-      // the marker existed carry it from their insertInto appends
-      // (and a Spark job OUTPUT is re-creatable by definition, unlike
-      // arbitrary user data)
-      require(entries.isEmpty ||
-        fs.exists(new org.apache.hadoop.fs.Path(p, Marker)) ||
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      require(entries.isEmpty || fs.exists(new Path(p, Marker)),
         s"refusing to clear '$path': non-empty and not a graft " +
           "registry (no marker file) — pass an empty or " +
-          "registry-owned directory")
+          "registry-owned directory (stampMarker migrates legacy " +
+          "registries)")
       // remove stale files from a previous registry at the same
       // path — saveAsTable Append would otherwise resurrect them
       fs.delete(p, true); ()
     }
     fs.mkdirs(p)
-    // the marker carries (family, buckets) so [[attachTable]] can
-    // validate instead of trusting the caller: attaching a NEAR
-    // directory as an exact registry, or with a different bucket
-    // count, would silently corrupt the layout contract
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, Marker))
-    out.write(s"$family $buckets\n".getBytes("UTF-8"))
+    writeMarker(fs, p, family, buckets, extras)
+  }
+
+  private def writeMarker(fs: FileSystem, p: Path, family: String,
+      buckets: Int, extras: Map[String, String]): Unit = {
+    val tail = extras.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    val out = fs.create(new Path(p, Marker))
+    out.write(s"$family $buckets $tail".trim.concat("\n").getBytes("UTF-8"))
     out.close()
   }
 
-  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[(String, Int)] = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(p, Marker))
+  private def readMarker(fs: FileSystem, p: Path): Option[MarkerInfo] = {
+    val in = fs.open(new Path(p, Marker))
     try {
       val content = scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim
-      content.split("\\s+") match {
-        case Array(f, b) if b.forall(_.isDigit) => Some((f, b.toInt))
+      content.split("\\s+").toList match {
+        case f :: b :: rest if b.forall(_.isDigit) =>
+          Some(MarkerInfo(f, b.toInt,
+            rest.flatMap(_.split("=", 2) match {
+              case Array(k, v) => Some(k -> v)
+              case _ => None
+            }).toMap))
         case _ => None // legacy empty marker (pre-stamp creates)
       }
     } finally in.close()
   }
 
+  /** One-time migration helper for registries created before the
+    * marker existed: stamps ownership + layout into `path` so
+    * [[attach]] and create-over accept it. Refuses to re-stamp a
+    * directory that already carries a marker (edit deliberately, not
+    * by accident) and refuses a directory with no parquet files at
+    * all (nothing to migrate — use create).
+    */
+  def stampMarker(spark: SparkSession, path: String, family: String,
+      buckets: Int, extras: Map[String, String] = Map.empty): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"'$path' does not exist")
+    require(!fs.exists(new Path(p, Marker)),
+      s"'$path' already carries a registry marker")
+    require(fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")),
+      s"'$path' holds no part- files — create() a fresh registry instead")
+    writeMarker(fs, p, family, buckets, extras)
+  }
+
+  // ---- single-writer lease ----
+
+  /** Default stale-lease horizon: 30 min — longer than any sane
+    * single-batch ingest or compaction, so a live writer is never
+    * usurped; short enough that a crashed writer's lease clears
+    * before the next scheduled run.
+    */
+  val DefaultLeaseMs: Long = 30L * 60L * 1000L
+
+  private def lockPath(dir: Path): Path =
+    new Path(dir.getParent, dir.getName + ".lock")
+
+  /** Acquire the registry's single-writer lease or fail loudly.
+    * Atomic create-no-overwrite of the sibling `<dir>.lock` file; if
+    * the lease exists and is younger than `staleMs` the second
+    * writer gets an IllegalStateException naming the holder — the
+    * concurrent-ingest hazard surfaced as an error instead of
+    * silently-duplicated digests. A lease older than `staleMs` is
+    * presumed crashed and taken over (one retry).
+    */
+  def acquireLock(spark: SparkSession, path: String,
+      staleMs: Long = DefaultLeaseMs): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lk = lockPath(dir)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lk, false)
+        out.write((s"pid=${ProcessHandle.current().pid()} " +
+          s"t=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try {
+        System.currentTimeMillis() - fs.getFileStatus(lk).getModificationTime
+      } catch { case _: java.io.IOException => Long.MaxValue }
+      // the holder vanished between create and stat → retry covers it
+      if (age > staleMs) { fs.delete(lk, false); () }
+      if (age <= staleMs || !tryCreate())
+        throw new IllegalStateException(
+          s"registry at '$path' is locked by another writer " +
+            s"($lk, age ${age / 1000}s) — registries are " +
+            "single-writer; serialize ingests or remove a stale lock")
+    }
+  }
+
+  /** Release the single-writer lease (idempotent — a missing lock
+    * file is not an error, so crash-recovery paths can call it
+    * unconditionally).
+    */
+  def releaseLock(spark: SparkSession, path: String): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lockPath(dir), false)
+    ()
+  }
+
+  private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    acquireLock(spark, path)
+    try body finally releaseLock(spark, path)
+  }
+
+  /** The table's physical location — the registry directory every
+    * lease, marker and compaction swap is anchored to.
+    */
+  private def tableLocation(spark: SparkSession, name: String): Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
   private val ExactDdl = "(h STRING, keep_id BIGINT, batch_no INT)"
-  private val NearDdl = "(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT)"
-  private val VecDdl = "(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>)"
+  private val NearDdl =
+    "(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT, batch_no INT)"
+  private val VecDdl =
+    "(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>, batch_no INT)"
 
   private def createTable(spark: SparkSession, name: String,
       path: String, buckets: Int, ddl: String, bucketCol: String): Unit = {
@@ -124,26 +278,32 @@ object Registry {
     */
   private def attachTable(spark: SparkSession, name: String,
       path: String, buckets: Int, ddl: String, bucketCol: String,
-      family: String): Unit = {
+      family: String, requireSchemaV2: Boolean): MarkerInfo = {
     require(SafeName.matches(name),
       s"registry name must match ${SafeName.regex}; got '$name'")
     require(!path.contains("'"),
       s"registry path must not contain a quote; got '$path'")
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(p, Marker)),
+    require(fs.exists(new Path(p, Marker)),
       s"'$path' is not a graft registry (no marker) — create() it first")
     // the create stamped (family, buckets) into the marker; a
     // mismatch means the caller is attaching the wrong registry or
     // breaking the physical bucket layout — both silent corruptions
     // without this check (legacy empty markers skip it)
-    readMarker(fs, p).foreach { case (f, b) =>
-      require(f == family && b == buckets,
-        s"'$path' is a $f registry with $b buckets; " +
-          s"attach requested $family/$buckets")
-    }
+    val info = readMarker(fs, p)
+      .getOrElse(MarkerInfo(family, buckets, Map.empty))
+    require(info.family == family && info.buckets == buckets,
+      s"'$path' is a ${info.family} registry with ${info.buckets} " +
+        s"buckets; attach requested $family/$buckets")
+    if (requireSchemaV2)
+      require(info.extras.get("schema").contains(SchemaVersion.toString),
+        s"'$path' is a legacy $family registry without per-row batch " +
+          "stamps (schema < 2) — replay-safe ingest cannot probe it; " +
+          "rebuild it (or rekeyVec for the vec family)")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     createTable(spark, name, path, buckets, ddl, bucketCol)
+    info
   }
 
   /** Create or replace an EMPTY registry table `name` at `path`,
@@ -151,7 +311,8 @@ object Registry {
     */
   def create(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    prepareLocation(spark, name, path, "exact", buckets)
+    prepareLocation(spark, name, path, "exact", buckets,
+      Map("schema" -> SchemaVersion.toString))
     createTable(spark, name, path, buckets, ExactDdl, "h")
   }
 
@@ -159,25 +320,42 @@ object Registry {
     * create-or-attach decision a scheduled ingest job makes.
     */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(p, Marker))
+    fs.exists(new Path(p, Marker))
   }
 
-  /** [[attachTable]] for the exact-digest registry. */
+  /** [[attachTable]] for the exact-digest registry (schema'd with
+    * batch_no since v1 — legacy exact registries attach fine).
+    */
   def attach(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, ExactDdl, "h", "exact")
+      buckets: Int): Unit = {
+    attachTable(spark, name, path, buckets, ExactDdl, "h", "exact",
+      requireSchemaV2 = false)
+    ()
+  }
 
   /** [[attachTable]] for the near-dup registry. */
   def attachNear(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, NearDdl, "bucket", "near")
+      buckets: Int): Unit = {
+    attachTable(spark, name, path, buckets, NearDdl, "bucket", "near",
+      requireSchemaV2 = true)
+    ()
+  }
 
-  /** [[attachTable]] for the vector registry. */
+  /** [[attachTable]] for the vector registry — additionally
+    * validates the hyperplane-hash version so a binary with a
+    * different RHP kernel can never ingest unmatched signatures.
+    */
   def attachVec(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit =
-    attachTable(spark, name, path, buckets, VecDdl, "sig", "vec")
+      buckets: Int): Unit = {
+    val info = attachTable(spark, name, path, buckets, VecDdl, "sig",
+      "vec", requireSchemaV2 = true)
+    info.extras.get("hash").foreach(h => require(h == RhpHashVersion,
+      s"'$path' was signed with hyperplane-hash '$h'; this binary " +
+        s"signs '$RhpHashVersion' — signatures would never match " +
+        "(every duplicate silently re-admitted); rekeyVec to migrate"))
+  }
 
   /** The batch rows that survive against the current registry:
     * digests never seen before, one keeper per digest (min id
@@ -195,9 +373,12 @@ object Registry {
   }
 
   /** Ingest one batch: append its surviving digests (tagged
-    * `batchNo`) to the registry and return them. Idempotent at the
-    * DIGEST level — re-ingesting an already-registered batch
-    * appends nothing and returns zero rows.
+    * `batchNo`) to the registry and return them. Replay-idempotent
+    * under the batch-number contract: re-ingesting the same batch
+    * under a NEW number appends nothing and returns zero rows (its
+    * digests are history now); re-ingesting under the SAME number is
+    * a replay — it returns the original survivors and appends only
+    * whatever a crashed first attempt failed to commit.
     */
   def ingest(spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, batchNo: Int): DataFrame =
@@ -213,30 +394,77 @@ object Registry {
     * ([[graft.pipeline.Pipelines.ingestBatch]]): the caller derives
     * every text-dependent column in one projection and each registry
     * stage consumes its slice without re-reading the text.
+    *
+    * Replay safety (see the object doc): the probe anti-joins the
+    * registry MINUS this batch's own prior rows (null-safe, so a
+    * legacy null stamp still counts as "someone else's"), making the
+    * survivor set a pure function of (batch, everyone-else's state);
+    * the append then skips rows a crashed attempt already committed.
     */
   def ingestDigests(spark: SparkSession, name: String,
       digests: DataFrame, batchNo: Int): DataFrame = {
-    // NULL digests (md5 of a NULL text) are excluded WHOLE: a null
-    // key never matches the anti-join, so without this filter every
-    // batch would re-append its null-text rows as "fresh" forever —
-    // the same join-null-semantics hazard as the Concurrency r12 fix
-    val nonNull = digests.filter(col("h").isNotNull)
-    // the survivor set must be pinned BEFORE the append, and plain
-    // persist() is NOT enough: the insert refreshes the table by
-    // path, which invalidates every cached plan referencing it —
-    // including the survivors, which would lazily recompute against
-    // the just-updated registry and vanish. localCheckpoint severs
-    // the lineage (the plan becomes an RDD scan with no table
-    // reference), so the refresh cannot touch it.
-    val kept = nonNull
-      .join(spark.table(name).select(col("h")), Seq("h"), "left_anti")
-      .withColumn("batch_no", lit(batchNo))
-      .select(col("h"), col("keep_id"), col("batch_no"))
-      .localCheckpoint()
-    // insertInto keeps the table's bucket spec: rows hash to their
-    // bucket files on write, so the layout contract survives appends
-    kept.write.mode(SaveMode.Append).insertInto(name)
-    kept
+    val loc = tableLocation(spark, name)
+    withLock(spark, loc.toString) {
+      // NULL digests (md5 of a NULL text) are excluded WHOLE: a null
+      // key never matches the anti-join, so without this filter every
+      // batch would re-append its null-text rows as "fresh" forever —
+      // the same join-null-semantics hazard as the Concurrency r12 fix
+      val nonNull = digests.filter(col("h").isNotNull)
+      val others = spark.table(name)
+        .filter(!(col("batch_no") <=> lit(batchNo))).select(col("h"))
+      val own = spark.table(name)
+        .filter(col("batch_no") <=> lit(batchNo)).select(col("h"))
+      // the survivor set must be pinned BEFORE the append, and plain
+      // persist() is NOT enough: the insert refreshes the table by
+      // path, which invalidates every cached plan referencing it —
+      // including the survivors, which would lazily recompute against
+      // the just-updated registry and vanish. localCheckpoint severs
+      // the lineage (the plan becomes an RDD scan with no table
+      // reference), so the refresh cannot touch it.
+      val kept = nonNull
+        .join(others, Seq("h"), "left_anti")
+        .withColumn("batch_no", lit(batchNo))
+        .select(col("h"), col("keep_id"), col("batch_no"))
+        .localCheckpoint()
+      // a replay only appends what the crashed attempt missed
+      val fresh = kept.join(own, Seq("h"), "left_anti").localCheckpoint()
+      // insertInto keeps the table's bucket spec: rows hash to their
+      // bucket files on write, so the layout contract survives appends
+      fresh.write.mode(SaveMode.Append).insertInto(name)
+      fresh.unpersist()
+      kept
+    }
+  }
+
+  /** Files-per-bucket statistics — the compaction trigger a nightly
+    * table service checks: every append lays one file per bucket, so
+    * `maxFilesPerBucket` grows one per ingest until [[compact]]
+    * resets it to 1. Documented threshold: compact when it exceeds
+    * ~32 (a bucketed scan then opens 32× the necessary footers —
+    * noticeable; past a few hundred it dominates). O(listing), never
+    * reads data.
+    */
+  final case class FileStats(buckets: Int, files: Int,
+      maxFilesPerBucket: Int, bytes: Long)
+
+  /** Suggested [[FileStats.maxFilesPerBucket]] ceiling before a
+    * [[compact]] is due.
+    */
+  val CompactThreshold = 32
+
+  def fileStats(spark: SparkSession, name: String): FileStats = {
+    val loc = tableLocation(spark, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(loc)
+      .filter(_.getPath.getName.startsWith("part-"))
+    val bucketOf = "_(\\d{5})\\.".r
+    val perBucket = parts.groupBy(p =>
+      bucketOf.findFirstMatchIn(p.getPath.getName).map(_.group(1))
+        .getOrElse("?"))
+    val buckets = readMarker(fs, loc).map(_.buckets).getOrElse(0)
+    FileStats(buckets, parts.length,
+      if (perBucket.isEmpty) 0 else perBucket.values.map(_.length).max,
+      parts.map(_.getLen).sum)
   }
 
   /** Compact a registry table back to ONE file per bucket — the
@@ -244,7 +472,8 @@ object Registry {
     * [[ingest]]/[[nearIngest]]/[[vecIngest]] append lays one file
     * per bucket, so after 10³ ingests a bucketed scan opens 10³
     * files per bucket: same bytes, three orders of magnitude more
-    * opens/footers/scheduler tasks — the classic small-files cliff.
+    * opens/footers/scheduler tasks — the classic small-files cliff
+    * ([[fileStats]] + [[CompactThreshold]] are the trigger).
     * Compaction rewrites the SAME rows in the SAME bucket layout
     * (first-seen keepers preserved verbatim — this is a file-layout
     * operation, not a dedup pass), so probe plans before and after
@@ -258,23 +487,78 @@ object Registry {
     * column + one write of the registry — O(registry), never
     * O(corpus), and the registry is the ~0.01%-of-corpus index.
     *
-    * localCheckpoint before the overwrite for the same
-    * refresh-by-path reason as [[ingest]], made HARDER here by
-    * Overwrite mode: the insert truncates the table first, so a
-    * lazy plan would re-read an empty (or half-written) directory —
-    * the read must be fully materialized off the old files before
-    * the first delete. The repartition keys rows by the same
-    * hash(bucketCol) % buckets the bucket spec uses, so each of the
-    * `buckets` write tasks holds exactly one bucket's rows and lays
-    * exactly one file.
+    * CRASH-SAFE (r13 advisory #1): the rewrite lands in a staging
+    * sibling (`<dir>.compact-tmp`) — a bucketed twin table over a
+    * scratch location, marker copied in, so the staged directory is
+    * itself a complete registry — and only then swaps via two
+    * renames (live → `.compact-old`, staged → live). A crash at any
+    * point before the first rename leaves the live registry
+    * untouched; between the renames both full copies exist on disk
+    * (`.compact-old` + staged) — a metadata-only window, recoverable
+    * by renaming either back. The old truncate-in-place Overwrite
+    * held the only row copy in unreplicated localCheckpoint state —
+    * a JVM crash mid-write destroyed the registry. The repartition
+    * keys rows by the same hash(bucketCol) % buckets the bucket spec
+    * uses, so each of the `buckets` write tasks holds exactly one
+    * bucket's rows and lays exactly one file.
     */
   def compact(spark: SparkSession, name: String, bucketCol: String,
-      buckets: Int): Unit = {
-    val pinned = spark.table(name).localCheckpoint()
-    pinned.repartition(buckets, col(bucketCol))
-      .write.mode(SaveMode.Overwrite).insertInto(name)
-    pinned.unpersist()
-    ()
+      buckets: Int): Unit =
+    compactImpl(spark, name, bucketCol, buckets, crashBeforeSwap = false)
+
+  /** [[compact]] with a crash-injection point for RegistrySpec:
+    * `crashBeforeSwap = true` stops after the staged write — the
+    * exact state a process death mid-compact leaves behind.
+    */
+  private[graft] def compactImpl(spark: SparkSession, name: String,
+      bucketCol: String, buckets: Int, crashBeforeSwap: Boolean): Unit = {
+    val live = tableLocation(spark, name)
+    require(!live.toString.contains("'"),
+      s"registry location must not contain a quote; got '$live'")
+    withLock(spark, live.toString) {
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(live.getParent, live.getName + ".compact-tmp")
+      fs.delete(tmp, true)
+      fs.mkdirs(tmp) // CREATE TABLE LIKE does not create the location
+      val tmpName = s"${name}__compact"
+      require(SafeName.matches(tmpName), s"unsafe table name '$tmpName'")
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      // LIKE copies schema + bucket spec, LOCATION points it at the
+      // staging dir; the insert never touches the live files (no
+      // truncation — the crash-safety point) and writes the staged
+      // copy. The rows are pinned off the bucketed scan first: fed
+      // the table scan directly, the writer's task partitioning
+      // stops aligning with the bucket hash (observed: each task
+      // writes a file into SEVERAL buckets — the small-files state
+      // compaction exists to cure); off an RDD-pinned source the
+      // repartition lands one task per bucket, one file each.
+      spark.sql(s"CREATE TABLE $tmpName LIKE $name LOCATION '$tmp'")
+      val pinned = spark.table(name).localCheckpoint()
+      pinned.repartition(buckets, col(bucketCol))
+        .write.mode(SaveMode.Append).insertInto(tmpName)
+      pinned.unpersist()
+      spark.sql(s"DROP TABLE $tmpName") // catalog only — files stay
+      // staged dir becomes a complete registry: marker travels too
+      val markerBytes = {
+        val in = fs.open(new Path(live, Marker))
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toByteArray
+        } finally in.close()
+      }
+      val out = fs.create(new Path(tmp, Marker))
+      out.write(markerBytes); out.close()
+      if (!crashBeforeSwap) {
+        val bak = new Path(live.getParent, live.getName + ".compact-old")
+        fs.delete(bak, true)
+        require(fs.rename(live, bak), s"rename $live -> $bak failed")
+        require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+        fs.delete(bak, true)
+        spark.sql(s"REFRESH TABLE $name")
+        ()
+      }
+    }
   }
 
   // ---- near-duplicate registry (SimHash-banded) ----
@@ -286,7 +570,8 @@ object Registry {
     */
   def createNear(spark: SparkSession, name: String, path: String,
       buckets: Int): Unit = {
-    prepareLocation(spark, name, path, "near", buckets)
+    prepareLocation(spark, name, path, "near", buckets,
+      Map("schema" -> SchemaVersion.toString))
     createTable(spark, name, path, buckets, NearDdl, "bucket")
   }
 
@@ -315,43 +600,59 @@ object Registry {
     * TEXT is never read — 60-bit signatures are the whole state,
     * ~16 bytes per registered doc per window. Survivors' window
     * rows append bucket-aligned; returns (doc_id, simhash).
+    * `batchNo` follows the object-level batch-number contract.
     */
   def nearIngest(spark: SparkSession, name: String, batch: DataFrame,
-      idCol: String, textCol: String, tables: Int = 2,
+      idCol: String, textCol: String, batchNo: Int, tables: Int = 2,
       maxHamming: Int = 20): DataFrame =
     nearIngestSims(spark, name,
       batch.select(Dedup.simhash60(
           graft.text.TextFunctions.tokens(col(textCol))).as("simhash"),
         col(idCol).cast("long").as("doc_id")),
-      tables, maxHamming)
+      batchNo, tables, maxHamming)
 
   /** [[nearIngest]] over PRECOMPUTED signatures — `sims` must be
     * (doc_id, simhash), one row per batch doc (duplicates by doc id
     * are the caller's bug). Same single-scan rationale as
-    * [[ingestDigests]].
+    * [[ingestDigests]], same replay-safe self-exclusion: the probe
+    * ignores rows stamped with THIS batch number, so a replayed
+    * batch sees the registry exactly as its first attempt did.
     */
   def nearIngestSims(spark: SparkSession, name: String,
-      sims: DataFrame, tables: Int = 2, maxHamming: Int = 20): DataFrame = {
-    val reps = sims
-      .groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val probes = windowKeys(reps, tables)
-    val matched = probes
-      .join(spark.table(name)
-          .select(col("w"), col("bucket"), col("simhash").as("__rs")),
-        Seq("w", "bucket"))
-      .filter(Dedup.hammingDist(col("simhash"), col("__rs"))
-        <= maxHamming)
-      .select(col("doc_id")).distinct()
-    // pinned before the append — same refresh-by-path hazard as
-    // [[ingest]], same localCheckpoint cure
-    val kept = reps.join(matched, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("simhash"))
-      .localCheckpoint()
-    windowKeys(kept, tables)
-      .select(col("w"), col("bucket"), col("doc_id"), col("simhash"))
-      .write.mode(SaveMode.Append).insertInto(name)
-    kept
+      sims: DataFrame, batchNo: Int, tables: Int = 2,
+      maxHamming: Int = 20): DataFrame = {
+    val loc = tableLocation(spark, name)
+    withLock(spark, loc.toString) {
+      val reps = sims
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val probes = windowKeys(reps, tables)
+      val others = spark.table(name)
+        .filter(!(col("batch_no") <=> lit(batchNo)))
+      val matched = probes
+        .join(others.select(col("w"), col("bucket"),
+            col("simhash").as("__rs")),
+          Seq("w", "bucket"))
+        .filter(Dedup.hammingDist(col("simhash"), col("__rs"))
+          <= maxHamming)
+        .select(col("doc_id")).distinct()
+      // pinned before the append — same refresh-by-path hazard as
+      // [[ingest]], same localCheckpoint cure
+      val kept = reps.join(matched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("simhash"))
+        .localCheckpoint()
+      val own = spark.table(name)
+        .filter(col("batch_no") <=> lit(batchNo))
+        .select(col("w"), col("doc_id"))
+      val fresh = windowKeys(kept, tables)
+        .join(own, Seq("w", "doc_id"), "left_anti")
+        .select(col("w"), col("bucket"), col("doc_id"), col("simhash"),
+          lit(batchNo).as("batch_no"))
+        .localCheckpoint()
+      fresh.write.mode(SaveMode.Append).insertInto(name)
+      fresh.unpersist()
+      kept
+    }
   }
 
   // ---- embedding near-duplicate registry (RHP-bucketed) ----
@@ -359,11 +660,29 @@ object Registry {
   /** Create or replace an EMPTY vector registry: one row per
     * registered vector, keyed by its random-hyperplane signature —
     * bucketed on the signature so ingest probes join the stored
-    * side exchange-free.
+    * side exchange-free. `planes` is stamped into the marker along
+    * with the hyperplane-hash version ([[RhpHashVersion]]): both are
+    * baked into every stored signature, so [[vecIngest]] reads them
+    * back from the marker instead of trusting a caller default — an
+    * attach-then-ingest with a different plane count would otherwise
+    * sign probes that match nothing and re-admit every duplicate.
+    *
+    * SIZE `planes` TO THE CORPUS — the O(batch) contract holds only
+    * while signature buckets stay bounded: expected candidates per
+    * probe ≈ registry_rows / 2^planes, so ingest cost grows
+    * LINEARLY with the registry once 2^planes is small against it.
+    * Measured (PERF.md r13): at planes=8 (256 buckets) a 5k-vector
+    * ingest degraded 4.3 s → 137 s as the registry grew 5k → 510k;
+    * at planes=16 the same sweep is flat. Rule: planes ≳
+    * log2(expected corpus) + a few bits of slack. A corpus that
+    * outgrows its create-time sizing migrates via [[rekeyVec]] —
+    * one O(registry) pass, no corpus access.
     */
   def createVec(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit = {
-    prepareLocation(spark, name, path, "vec", buckets)
+      buckets: Int, planes: Int = 16): Unit = {
+    prepareLocation(spark, name, path, "vec", buckets,
+      Map("schema" -> SchemaVersion.toString,
+        "planes" -> planes.toString, "hash" -> RhpHashVersion))
     createTable(spark, name, path, buckets, VecDdl, "sig")
   }
 
@@ -379,49 +698,89 @@ object Registry {
     * candidates are signature-bucket-bounded, never all-pairs.
     * Third member of the registry family: exact digests ([[ingest]]),
     * text SimHash windows ([[nearIngest]]), vectors here — one
-    * O(batch) ingest contract across modalities.
-    *
-    * SIZE `planes` TO THE CORPUS — the O(batch) contract holds only
-    * while signature buckets stay bounded: expected candidates per
-    * probe ≈ registry_rows / 2^planes, so ingest cost grows
-    * LINEARLY with the registry once 2^planes is small against it.
-    * Measured (PERF.md r13): at planes=8 (256 buckets) a 5k-vector
-    * ingest degraded 4.3 s → 137 s as the registry grew 5k → 510k;
-    * at planes=16 the same sweep is flat. Rule: planes ≳
-    * log2(expected corpus) + a few bits of slack — and it is FROZEN
-    * at create time (the stored sig encodes it), so size for the
-    * corpus you'll have, not the one you start with. Exact
-    * duplicates share the signature at ANY planes (identical input
-    * → identical hyperplane signs), so raising planes never costs
-    * recall on true copies — only on near-but-rotated vectors, the
-    * standard LSH trade.
+    * O(batch) ingest contract across modalities. The plane count and
+    * hash version come FROM THE MARKER the create stamped (r13
+    * advisory #3) — exact duplicates share the signature at ANY
+    * planes, but only if probe and history were signed identically.
+    * `batchNo` follows the object-level batch-number contract.
     */
   def vecIngest(spark: SparkSession, name: String, batch: DataFrame,
-      idCol: String, vecCol: String, planes: Int = 16,
+      idCol: String, vecCol: String, batchNo: Int,
       threshold: Double = 0.99, roundTo: Int = 6): DataFrame = {
     import graft.similarity.Ann
-    // NULL embeddings are excluded WHOLE (documented convention):
-    // they carry no signature — the RHP kernel has nothing to hash —
-    // and a null signature key would dodge every probe join forever
-    // (the ingestDigests null-h hazard in vector form)
-    val reps = batch.filter(col(vecCol).isNotNull)
-      .groupBy(col(vecCol).as("embedding"))
-      .agg(min(col(idCol).cast("long")).as("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        Ann.rhpSignature(col("embedding"), planes).as("sig"))
-    val matched = reps
-      .join(spark.table(name)
-          .select(col("sig"), col("embedding").as("__rv")),
-        Seq("sig"))
-      .filter(round(Ann.dot(col("embedding"), col("__rv")) /
-        (Ann.norm(col("embedding")) * Ann.norm(col("__rv"))), roundTo)
-        >= threshold)
-      .select(col("vec_id")).distinct()
-    // same refresh-by-path hazard, same localCheckpoint cure
-    val kept = reps.join(matched, Seq("vec_id"), "left_anti")
-      .select(col("sig"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    kept.write.mode(SaveMode.Append).insertInto(name)
-    kept.select(col("vec_id"), col("sig"))
+    val loc = tableLocation(spark, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val info = readMarker(fs, loc)
+    info.flatMap(_.extras.get("hash")).foreach(h =>
+      require(h == RhpHashVersion,
+        s"vec registry at '$loc' signed with '$h'; this binary signs " +
+          s"'$RhpHashVersion' — rekeyVec to migrate"))
+    // legacy pre-stamp markers fall back to the historical default
+    val planes = info.flatMap(_.extras.get("planes")).map(_.toInt)
+      .getOrElse(16)
+    withLock(spark, loc.toString) {
+      // NULL embeddings are excluded WHOLE (documented convention):
+      // they carry no signature — the RHP kernel has nothing to hash —
+      // and a null signature key would dodge every probe join forever
+      // (the ingestDigests null-h hazard in vector form)
+      val reps = batch.filter(col(vecCol).isNotNull)
+        .groupBy(col(vecCol).as("embedding"))
+        .agg(min(col(idCol).cast("long")).as("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          Ann.rhpSignature(col("embedding"), planes).as("sig"))
+      val others = spark.table(name)
+        .filter(!(col("batch_no") <=> lit(batchNo)))
+      val matched = reps
+        .join(others.select(col("sig"), col("embedding").as("__rv")),
+          Seq("sig"))
+        .filter(round(Ann.dot(col("embedding"), col("__rv")) /
+          (Ann.norm(col("embedding")) * Ann.norm(col("__rv"))), roundTo)
+          >= threshold)
+        .select(col("vec_id")).distinct()
+      // same refresh-by-path hazard, same localCheckpoint cure
+      val kept = reps.join(matched, Seq("vec_id"), "left_anti")
+        .select(col("sig"), col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val own = spark.table(name)
+        .filter(col("batch_no") <=> lit(batchNo)).select(col("vec_id"))
+      // explicit re-select after the join: the join key leads the
+      // join output, and insertInto binds by POSITION — without this
+      // the sig column would silently receive vec_id values
+      val fresh = kept.join(own, Seq("vec_id"), "left_anti")
+        .select(col("sig"), col("vec_id"), col("embedding"),
+          lit(batchNo).as("batch_no"))
+        .localCheckpoint()
+      fresh.write.mode(SaveMode.Append).insertInto(name)
+      fresh.unpersist()
+      kept.select(col("vec_id"), col("sig"))
+    }
+  }
+
+  /** Migrate a vector registry to a HIGHER plane count — the escape
+    * hatch for a corpus that outgrew its create-time sizing (r13
+    * verdict #3): the O(batch) ingest contract decays once
+    * 2^planes is small against the registry, and planes is frozen
+    * into every stored signature. The registry already stores the
+    * embeddings, so migration is ONE pass over the registry — never
+    * the corpus: re-sign every stored embedding at `newPlanes` into
+    * a fresh registry at `newPath` (marker stamped with the new
+    * count by [[createVec]]), preserving vec_id, embedding and
+    * batch_no verbatim. Historical keep/drop verdicts are preserved
+    * BY CONSTRUCTION (rows are copied, not re-adjudicated); future
+    * ingests probe at the new plane count. Exact duplicates share
+    * signatures at any plane count, so recall on true copies is
+    * unchanged; near-but-rotated recall follows the standard
+    * narrower-bucket LSH trade.
+    */
+  def rekeyVec(spark: SparkSession, name: String, newName: String,
+      newPath: String, buckets: Int, newPlanes: Int): Unit = {
+    import graft.similarity.Ann
+    createVec(spark, newName, newPath, buckets, planes = newPlanes)
+    withLock(spark, tableLocation(spark, newName).toString) {
+      spark.table(name)
+        .select(Ann.rhpSignature(col("embedding"), newPlanes).as("sig"),
+          col("vec_id"), col("embedding"), col("batch_no"))
+        .write.mode(SaveMode.Append).insertInto(newName)
+    }
   }
 }

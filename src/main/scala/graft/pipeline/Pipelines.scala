@@ -218,6 +218,18 @@ object Pipelines {
     * on `batch`, `vecReg` a [[graft.dedup.Registry.createVec]]
     * table) catches semantic duplicates whose TEXT the near-dup lane
     * missed — re-encoded or paraphrased copies sharing an embedding.
+    * Rows with a NULL embedding skip the lane and survive on their
+    * text verdicts alone (documented convention, r13 advisory #1).
+    *
+    * REPLAY-IDEMPOTENT under the registry batch-number contract
+    * ([[graft.dedup.Registry]]): re-running a batch under the SAME
+    * `batchNo` — an at-least-once scheduler retry, a foreachBatch
+    * replay — returns the ORIGINAL survivor set and funnel counts,
+    * and the registry appends heal rather than duplicate (every
+    * stage's probe excludes this batch's own prior rows; the
+    * decontamination gate is a pure function). A crash anywhere
+    * between the first registry append and the caller's corpus
+    * append is therefore recoverable by simply re-running the batch.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, exactReg: String, nearReg: String,
@@ -254,17 +266,27 @@ object Pipelines {
     val nExact = exact.count()
 
     val keptNear = Registry.nearIngestSims(spark, nearReg,
-      exact.select(col("doc_id"), col("simhash")), tables, maxHamming)
+      exact.select(col("doc_id"), col("simhash")), batchNo, tables,
+      maxHamming)
     val near = exact.join(keptNear.select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val nNear = near.count()
 
     val vec = vecReg match {
       case Some(reg) =>
+        // a doc with a NULL embedding cannot probe the vector lane
+        // (vecIngest excludes nulls whole), but it must NOT vanish
+        // from the corpus (r13 advisory #1): only non-null rows pass
+        // through the vec gate; null-embedding near-survivors rejoin
+        // the survivor set unchanged — unique TEXT with a missing
+        // embedding stays a survivor, documented convention
+        val withV = near.filter(col("__vec").isNotNull)
         val keptVec = Registry.vecIngest(spark, reg,
-          near.select(col("doc_id"), col("__vec")), "doc_id", "__vec")
-        near.join(keptVec.select(col("vec_id").as("doc_id")),
-          Seq("doc_id"), "left_semi")
+          withV.select(col("doc_id"), col("__vec")), "doc_id", "__vec",
+          batchNo)
+        withV.join(keptVec.select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .unionByName(near.filter(col("__vec").isNull))
       case None => near
     }
     val nVec = vec.count()
@@ -484,11 +506,32 @@ object PipelineDriver {
         // data untouched — on every later run: the cross-run loop).
         // SPARK_GRAFT_BATCHNO tags the batch; SPARK_GRAFT_BENCH is
         // the decontamination corpus (defaults to the q94 slice).
+        //
+        // EXACTLY-ONCE (r13 verdict #7): a committed-batches ledger
+        // (`<regBase>/_committed/batch_<n>`, stamped only AFTER the
+        // survivors parquet lands) makes a scheduler retry of a
+        // COMPLETED batch a no-op end-to-end; a retry of a CRASHED
+        // batch — anywhere between the first registry append and the
+        // output commit — re-runs ingestBatch, which is
+        // replay-idempotent under the same batch number, and lands
+        // the identical survivors before stamping. Registry AND
+        // output are therefore consistent under at-least-once
+        // scheduling with no coordination beyond the ledger.
         import graft.dedup.Registry
         val regBase = sys.env.getOrElse("SPARK_GRAFT_REG",
           s"$out.registries")
         val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
         val batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt
+        val committed = new org.apache.hadoop.fs.Path(
+          s"$regBase/_committed/batch_$batchNo")
+        val fs = committed.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(committed)) {
+          println(s"[ingest] batch=$batchNo already committed — " +
+            "no-op (registry and output untouched)")
+          spark.stop()
+          return
+        }
         def ensure(nm: String, p: String,
             create: (String, String) => Unit,
             attach: (String, String) => Unit): Unit =
@@ -519,7 +562,11 @@ object PipelineDriver {
         println(s"[ingest] batch=$batchNo in=${r.nIn} q=${r.nQuality} " +
           s"exact=${r.nExact} near=${r.nNear} vec=${r.nVec} " +
           s"clean=${r.nClean}")
-        r.survivors
+        r.survivors.write.mode(SaveMode.Overwrite).parquet(out)
+        fs.mkdirs(committed.getParent)
+        fs.create(committed).close()
+        spark.stop()
+        return
       case other => sys.error(s"unknown pipeline: $other")
     }
     result.write.mode(SaveMode.Overwrite).parquet(out)

@@ -491,7 +491,7 @@ object DedupQueries extends QueryPack {
       val rows = (0 until 3).map { b =>
         val batch = corpus.filter(col("doc_id") % 3 === b)
         val nIn = batch.count()
-        val kept = Registry.nearIngest(s, name, batch, "doc_id", "text")
+        val kept = Registry.nearIngest(s, name, batch, "doc_id", "text", b)
         (b, nIn, kept.count())
       }
       import s.implicits._

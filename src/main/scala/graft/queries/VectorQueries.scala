@@ -134,7 +134,7 @@ object VectorQueries extends QueryPack {
         val batch = corpus.filter(col("vec_id") % 3 === b)
         val nIn = batch.count()
         val kept = Registry.vecIngest(s, name, batch,
-          "vec_id", "embedding")
+          "vec_id", "embedding", b)
         (b, nIn, kept.count())
       }
       import s.implicits._

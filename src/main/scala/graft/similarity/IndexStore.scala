@@ -111,30 +111,71 @@ object IndexStore {
     newCodes
   }
 
+  /** Staged-swap commit shared by the compactors: the rewrite lands
+    * in a `.compact-tmp` sibling while the live directory stays
+    * untouched, then two renames swap it in (live → `.compact-old`,
+    * staged → live) and the backup drops. A crash before the first
+    * rename leaves the artifact intact; between the renames both
+    * full copies exist on disk — a metadata-only window. (The old
+    * truncate-in-place Overwrite held the only row copy in
+    * unreplicated localCheckpoint state — a JVM crash mid-write
+    * destroyed the index; r13 advisory.)
+    */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(live.getParent,
+      live.getName + ".compact-old")
+    fs.delete(bak, true)
+    require(fs.rename(live, bak), s"rename $live -> $bak failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    fs.delete(bak, true)
+    ()
+  }
+
+  private def compactDir(spark: SparkSession, dir: String,
+      keys: Seq[String], crashBeforeSwap: Boolean): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent,
+      live.getName + ".compact-tmp")
+    fs.delete(tmp, true)
+    // reads the live files, writes the staged copy — no truncation,
+    // no pinned-in-memory-only state
+    spark.read.parquet(dir).repartition(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!crashBeforeSwap) swapDirs(fs, live, tmp)
+  }
+
   /** Compact a PQ artifact's code table: each [[appendPq]] lays a
     * file set per batch, so a daily-append index walks into the
     * small-files cliff exactly like a registry ([[graft.dedup
     * .Registry.compact]]); compaction rewrites the codes in the
     * same (__s, __cid) probe-aligned layout, one pass over the
-    * INDEX (never the corpus). localCheckpoint pins the rows before
-    * the overwrite truncates the directory being read.
+    * INDEX (never the corpus), CRASH-SAFE via [[swapDirs]].
     */
-  def compactPq(spark: SparkSession, path: String): Unit = {
-    val codes = spark.read.parquet(s"$path/codes").localCheckpoint()
-    codes.repartition(col("__s"), col("__cid"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
-    codes.unpersist()
-    ()
-  }
+  def compactPq(spark: SparkSession, path: String): Unit =
+    compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
+      crashBeforeSwap = false)
 
   /** [[compactPq]] for an IVF artifact's inverted file. */
-  def compactIvf(spark: SparkSession, path: String): Unit = {
-    val inv = spark.read.parquet(s"$path/inverted").localCheckpoint()
-    inv.repartition(col("cent_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/inverted")
-    inv.unpersist()
-    ()
-  }
+  def compactIvf(spark: SparkSession, path: String): Unit =
+    compactDir(spark, s"$path/inverted", Seq("cent_id"),
+      crashBeforeSwap = false)
+
+  /** Crash-injection twins for IndexStoreSpec: stop after the staged
+    * write — the exact on-disk state a process death mid-compact
+    * leaves behind.
+    */
+  private[graft] def compactPqStaged(spark: SparkSession,
+      path: String): Unit =
+    compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
+      crashBeforeSwap = true)
+
+  private[graft] def compactIvfStaged(spark: SparkSession,
+      path: String): Unit =
+    compactDir(spark, s"$path/inverted", Seq("cent_id"),
+      crashBeforeSwap = true)
 
   /** Append a NEW batch to a saved IVF artifact without retraining:
     * assign to the SAVED centroids with the saved rounding

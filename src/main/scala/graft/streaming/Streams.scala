@@ -490,7 +490,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         handler(graft.dedup.Registry.nearIngest(batch.sparkSession,
-          registryName, batch, idCol, textCol), id)
+          registryName, batch, idCol, textCol, id.toInt), id)
       }
       .start()
 
@@ -506,7 +506,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         handler(graft.dedup.Registry.vecIngest(batch.sparkSession,
-          registryName, batch, idCol, vecCol), id)
+          registryName, batch, idCol, vecCol, id.toInt), id)
       }
       .start()
 
@@ -520,6 +520,16 @@ object Streams {
     * append to the corpus. Micro-batch ids are the batch numbers,
     * so replaying the stream equals the sequential batch replay
     * (StreamsSpec pins it against direct ingestBatch calls).
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract (r13
+    * advisory #2): ingestBatch is replay-idempotent per batch number
+    * — a replayed micro-batch (after a crash anywhere between the
+    * registry appends and the handler's corpus append) receives the
+    * ORIGINAL survivor set again, never an empty one, because every
+    * registry probe excludes the batch's own prior rows. The handler
+    * therefore achieves exactly-once by writing idempotently per
+    * batch id (e.g. Overwrite into `corpus/batch_no=<id>/` — the
+    * pattern StreamsSpec pins by invoking a batch's ingest twice).
     */
   def ingestStream(docs: DataFrame, idCol: String, textCol: String,
       exactReg: String, nearReg: String, bench: DataFrame,

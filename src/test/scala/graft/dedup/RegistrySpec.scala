@@ -7,6 +7,18 @@ import graft.SparkSpec
 class RegistrySpec extends SparkSpec {
   import spark.implicits._
 
+  // clear stale registry roots from PREVIOUS JVM runs: the suite
+  // uses fixed /tmp paths, and leftovers from older builds (whose
+  // in-place compact destroyed the marker file) would trip the
+  // ownership guard that now — correctly — refuses markerless dirs
+  for (root <- Seq("graft_test_reg", "graft_test_nreg",
+      "graft_test_vreg", "graft_test_guard")) {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/$root"), true)
+  }
+
   private def freshReg(tag: String): (String, String) = {
     val name = s"graft_test_reg_$tag"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/$tag"
@@ -71,7 +83,7 @@ class RegistrySpec extends SparkSpec {
     val long = (1 to 60).map(i => s"tok$i").mkString(" ")
     val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
     val b0 = Seq((10L, long), (11L, other)).toDF("doc_id", "text")
-    val k0 = Registry.nearIngest(spark, name, b0, "doc_id", "text")
+    val k0 = Registry.nearIngest(spark, name, b0, "doc_id", "text", 0)
       .as[(Long, Long)].collect().toMap
     assert(k0.keySet == Set(10L, 11L))
     // batch 1: exact copy of 10, near copy of 10 (2 tokens swapped),
@@ -81,7 +93,7 @@ class RegistrySpec extends SparkSpec {
     val novel = (1 to 60).map(i => s"qqq$i").mkString(" ")
     val b1 = Seq((20L, long), (21L, near), (22L, novel))
       .toDF("doc_id", "text")
-    val k1 = Registry.nearIngest(spark, name, b1, "doc_id", "text")
+    val k1 = Registry.nearIngest(spark, name, b1, "doc_id", "text", 1)
       .as[(Long, Long)].collect().toMap
     // the exact copy matches unconditionally (hamming 0 shares every
     // window); the others follow the banded rule, replayed here from
@@ -108,7 +120,7 @@ class RegistrySpec extends SparkSpec {
     val t = (1 to 40).map(i => s"w$i").mkString(" ")
     val b = Seq((5L, t), (3L, t), (9L, "completely different words here " +
       (1 to 40).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
-    val kept = Registry.nearIngest(spark, name, b, "doc_id", "text")
+    val kept = Registry.nearIngest(spark, name, b, "doc_id", "text", 0)
       .as[(Long, Long)].collect().toMap
     assert(kept.keySet == Set(3L, 9L))
   }
@@ -121,7 +133,7 @@ class RegistrySpec extends SparkSpec {
     val b = Array.tabulate(64)(i => 1.0f - 0.02f * i)
     val k0 = Registry.vecIngest(spark, name,
       Seq((10L, a), (11L, b)).toDF("vec_id", "embedding"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", 0)
       .select($"vec_id").as[Long].collect().toSet
     assert(k0 == Set(10L, 11L))
     // batch 1: exact copy of a (drops — identical signature and
@@ -132,7 +144,7 @@ class RegistrySpec extends SparkSpec {
     val k1 = Registry.vecIngest(spark, name,
       Seq((20L, a), (21L, bScaled), (22L, novel))
         .toDF("vec_id", "embedding"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", 1)
       .select($"vec_id").as[Long].collect().toSet
     assert(!k1.contains(20L), "exact copy must drop")
     assert(!k1.contains(21L), "parallel rescale must drop (cos 1)")
@@ -146,7 +158,7 @@ class RegistrySpec extends SparkSpec {
     val v = Array.tabulate(64)(i => 0.5f + 0.01f * i)
     val kept = Registry.vecIngest(spark, name,
       Seq((7L, v), (4L, v)).toDF("vec_id", "embedding"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", 0)
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(4L))
   }
@@ -201,11 +213,11 @@ class RegistrySpec extends SparkSpec {
     Registry.createNear(spark, "graft_test_reg_oschema_nr",
       s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/oschema_nr", 4)
     assert(spark.table("graft_test_reg_oschema_nr").schema.fieldNames.toSet
-      == Set("w", "bucket", "doc_id", "simhash"))
+      == Set("w", "bucket", "doc_id", "simhash", "batch_no"))
     Registry.createVec(spark, "graft_test_reg_oschema_vc",
       s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/oschema_vc", 4)
     assert(spark.table("graft_test_reg_oschema_vc").schema.fieldNames.toSet
-      == Set("sig", "vec_id", "embedding"))
+      == Set("sig", "vec_id", "embedding", "batch_no"))
   }
 
   private def partFiles(path: String): Int = {
@@ -263,7 +275,7 @@ class RegistrySpec extends SparkSpec {
       Registry.nearIngest(spark, nname,
         Seq((b * 10L, (1 to 40).map(i => s"w${b}_$i").mkString(" ")))
           .toDF("doc_id", "text"),
-        "doc_id", "text")
+        "doc_id", "text", b)
     }
     val nRows = spark.table(nname).count()
     Registry.compact(spark, nname, "bucket", buckets = 4)
@@ -278,7 +290,7 @@ class RegistrySpec extends SparkSpec {
       Registry.vecIngest(spark, vname,
         Seq((b * 10L, Array.tabulate(16)(i => (b + 1) * 0.1f + i)))
           .toDF("vec_id", "embedding"),
-        "vec_id", "embedding")
+        "vec_id", "embedding", b)
     }
     val vRows = spark.table(vname).count()
     Registry.compact(spark, vname, "sig", buckets = 4)
@@ -350,9 +362,9 @@ class RegistrySpec extends SparkSpec {
       s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/nulls", 4)
     val vb = Seq((1L, Array(0.1f, 0.2f)), (2L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding")
-    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding")
+    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding", 0)
       .count() == 1L)
-    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding")
+    assert(Registry.vecIngest(spark, vname, vb, "vec_id", "embedding", 1)
       .count() == 0L)
     assert(spark.table(vname).count() == 1L)
   }

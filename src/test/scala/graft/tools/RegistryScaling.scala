@@ -60,9 +60,11 @@ object RegistryScaling {
     // ---- exact digest registry: fixed 10k-doc batch at 10k / 100k / 1M
     Registry.create(spark, "graft_scal_ex", s"$tmp/graft_scal/ex", buckets)
     var next = 0L
+    var batchNo = 0
+    def nextBatch(): Int = { batchNo += 1; batchNo }
     def growEx(n: Long): Unit = {
       Registry.ingest(spark, "graft_scal_ex",
-        textBatch(spark, next, n), "doc_id", "text", 0)
+        textBatch(spark, next, n), "doc_id", "text", nextBatch())
       next += n
     }
     def probeEx(label: String): Unit = {
@@ -70,7 +72,7 @@ object RegistryScaling {
       val regRows = spark.table("graft_scal_ex").count()
       val ms = timeMs {
         Registry.ingest(spark, "graft_scal_ex",
-          textBatch(spark, next, 10000), "doc_id", "text", 1)
+          textBatch(spark, next, 10000), "doc_id", "text", nextBatch())
       }
       next += 10000
       rows += s"| exact | $regRows | 10000 | $ms |"
@@ -85,7 +87,7 @@ object RegistryScaling {
     next = 0L
     def growNr(n: Long): Unit = {
       Registry.nearIngestSims(spark, "graft_scal_nr",
-        simBatch(spark, next, n))
+        simBatch(spark, next, n), nextBatch())
       next += n
     }
     def probeNr(): Unit = {
@@ -93,7 +95,7 @@ object RegistryScaling {
       val regRows = spark.table("graft_scal_nr").count()
       val ms = timeMs {
         Registry.nearIngestSims(spark, "graft_scal_nr",
-          simBatch(spark, next, 10000))
+          simBatch(spark, next, 10000), nextBatch())
       }
       next += 10000
       rows += s"| near | $regRows | 10000 | $ms |"
@@ -108,7 +110,7 @@ object RegistryScaling {
     next = 0L
     def growVc(n: Long): Unit = {
       Registry.vecIngest(spark, "graft_scal_vc",
-        vecBatch(spark, next, n), "vec_id", "embedding")
+        vecBatch(spark, next, n), "vec_id", "embedding", nextBatch())
       next += n
     }
     def probeVc(): Unit = {
@@ -116,7 +118,8 @@ object RegistryScaling {
       val regRows = spark.table("graft_scal_vc").count()
       val ms = timeMs {
         Registry.vecIngest(spark, "graft_scal_vc",
-          vecBatch(spark, next, 5000), "vec_id", "embedding")
+          vecBatch(spark, next, 5000), "vec_id", "embedding",
+          nextBatch())
       }
       next += 5000
       rows += s"| vec | $regRows | 5000 | $ms |"
