@@ -369,6 +369,255 @@ class RegistrySpec extends SparkSpec {
     assert(spark.table(vname).count() == 1L)
   }
 
+  test("replaying a batch (same batch number) returns its ORIGINAL " +
+      "survivors and appends nothing — all three families (the " +
+      "at-least-once crash-recovery contract)") {
+    val (name, _) = freshReg("replay_same")
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    Registry.ingest(spark, name, b0, "doc_id", "text", 0)
+    val first = Registry.ingest(spark, name, b1, "doc_id", "text", 1)
+      .as[(String, Long, Int)].collect().toSet
+    assert(first.map(_._2) == Set(11L))
+    val rows = spark.table(name).as[(String, Long, Int)].collect().toSet
+    // the replay: same batch number, same rows — NOT empty survivors
+    val replay = Registry.ingest(spark, name, b1, "doc_id", "text", 1)
+      .as[(String, Long, Int)].collect().toSet
+    assert(replay == first, "replay must return the original survivors")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rows, "replay must append nothing")
+
+    val nname = "graft_test_nreg_replay"
+    Registry.createNear(spark, nname,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_nreg/replay", 4)
+    val long = (1 to 40).map(i => s"rp$i").mkString(" ")
+    val other = (1 to 40).map(i => s"qq$i").mkString(" ")
+    Registry.nearIngest(spark, nname,
+      Seq((1L, long)).toDF("doc_id", "text"), "doc_id", "text", 0)
+    val nFirst = Registry.nearIngest(spark, nname,
+      Seq((10L, long), (11L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", 1).select($"doc_id").as[Long].collect().toSet
+    assert(nFirst == Set(11L))
+    val nRows = spark.table(nname).count()
+    val nReplay = Registry.nearIngest(spark, nname,
+      Seq((10L, long), (11L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", 1).select($"doc_id").as[Long].collect().toSet
+    assert(nReplay == nFirst && spark.table(nname).count() == nRows)
+
+    val vname = "graft_test_vreg_replay"
+    Registry.createVec(spark, vname,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_vreg/replay", 4)
+    val a = Array.tabulate(16)(i => 0.1f * i - 0.7f)
+    val b = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+    Registry.vecIngest(spark, vname,
+      Seq((1L, a)).toDF("vec_id", "embedding"), "vec_id", "embedding", 0)
+    val vFirst = Registry.vecIngest(spark, vname,
+      Seq((10L, a), (11L, b)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 1).select($"vec_id").as[Long].collect().toSet
+    assert(vFirst == Set(11L))
+    val vRows = spark.table(vname).count()
+    val vReplay = Registry.vecIngest(spark, vname,
+      Seq((10L, a), (11L, b)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 1).select($"vec_id").as[Long].collect().toSet
+    assert(vReplay == vFirst && spark.table(vname).count() == vRows)
+  }
+
+  test("a partially-committed append heals on replay: only the missing " +
+      "digests land, survivors complete") {
+    val (name, _) = freshReg("heal")
+    // simulate the crashed first attempt: only HALF the batch's
+    // digests were committed before the process died (a mid-append
+    // task-commit boundary)
+    val half = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    Registry.ingest(spark, name, half, "doc_id", "text", 7)
+    // the retry runs the FULL batch under the same number
+    val full = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val replay = Registry.ingest(spark, name, full, "doc_id", "text", 7)
+      .select($"keep_id").as[Long].collect().toSet
+    assert(replay == Set(1L, 2L, 3L, 4L),
+      "replay survivors must cover the whole batch")
+    assert(spark.table(name).count() == 4L,
+      "heal must append exactly the missing digests")
+  }
+
+  test("single-writer lease: a second writer fails loudly while held, " +
+      "a stale lease is taken over, release is idempotent") {
+    val (name, path) = freshReg("lock")
+    val b = Seq((1L, "x")).toDF("doc_id", "text")
+    Registry.acquireLock(spark, path) // another writer holds the lease
+    val e = intercept[IllegalStateException] {
+      Registry.ingest(spark, name, b, "doc_id", "text", 0)
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(spark.table(name).count() == 0L, "failed writer must not append")
+    Registry.releaseLock(spark, path)
+    assert(Registry.ingest(spark, name, b, "doc_id", "text", 0)
+      .count() == 1L, "ingest proceeds once the lease is free")
+    // stale lease (crashed writer): backdate the lock file beyond the
+    // lease horizon — the next writer takes over instead of wedging
+    Registry.acquireLock(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lk = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).getParent,
+      new org.apache.hadoop.fs.Path(path).getName + ".lock")
+    val old = System.currentTimeMillis() - Registry.DefaultLeaseMs - 60000L
+    fs.setTimes(lk, old, old)
+    assert(Registry.ingest(spark, name,
+      Seq((2L, "y")).toDF("doc_id", "text"), "doc_id", "text", 1)
+      .count() == 1L, "stale lease must be taken over")
+    assert(!fs.exists(lk), "takeover ingest must release its lease")
+    Registry.releaseLock(spark, path) // idempotent on a missing lock
+  }
+
+  test("compact crash before the swap leaves the live registry intact " +
+      "and serving; the staged dir is a complete registry copy") {
+    val name = "graft_test_reg_crashcompact"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/crashcompact"
+    Registry.create(spark, name, path, buckets = 4)
+    (0 until 3).foreach { b =>
+      Registry.ingest(spark, name,
+        (1L to 20L).map(i => (b * 100L + i, s"cc ${b * 100L + i}"))
+          .toDF("doc_id", "text"), "doc_id", "text", b)
+    }
+    val rowsBefore = spark.table(name)
+      .as[(String, Long, Int)].collect().toSet
+    val filesBefore = partFiles(path)
+    // the crash: process dies after the staged write, before the swap
+    Registry.compactImpl(spark, name, "h", 4, crashBeforeSwap = true)
+    assert(partFiles(path) == filesBefore,
+      "live registry files must be untouched by a crashed compact")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rowsBefore, "live rows must be intact")
+    // and it still SERVES: dedupBatch + ingest work against it
+    assert(Registry.dedupBatch(spark, name,
+      Seq((999L, "cc 105")).toDF("doc_id", "text"), "doc_id", "text")
+      .count() == 0L, "registered digest must still match")
+    // the staged dir is itself a complete registry (marker + rows)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val tmpDir = s"$path.compact-tmp"
+    assert(Registry.exists(spark, tmpDir), "staged dir carries the marker")
+    assert(spark.read.parquet(tmpDir).count() == rowsBefore.size.toLong)
+    // re-running compact to completion recovers: swap lands, one file
+    // per bucket, rows and verdicts unchanged
+    Registry.compact(spark, name, "h", 4)
+    assert(partFiles(path) == 4)
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rowsBefore)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpDir)),
+      "completed compact must consume the staging dir")
+  }
+
+  test("rekeyVec migrates a vector registry to higher planes: rows " +
+      "preserved verbatim, marker restamped, rekey-then-ingest equals " +
+      "create-at-new-planes-then-replay on exact-dup fixtures") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val a = Array.tabulate(32)(i => 0.3f - 0.01f * i * i % 7)
+    val b = Array.tabulate(32)(i => if (i % 3 == 0) 0.9f else -0.2f)
+    val c = Array.tabulate(32)(i => 0.05f * ((i * 13) % 11) - 0.25f)
+    val b0 = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val b1 = Seq((10L, a), (11L, c)).toDF("vec_id", "embedding")
+
+    // lane 1: created at 8 planes, outgrown, re-keyed to 16
+    Registry.createVec(spark, "graft_test_vreg_rk8",
+      s"$tmp/graft_test_vreg/rk8", 4, planes = 8)
+    Registry.vecIngest(spark, "graft_test_vreg_rk8", b0,
+      "vec_id", "embedding", 0)
+    Registry.rekeyVec(spark, "graft_test_vreg_rk8",
+      "graft_test_vreg_rk16", s"$tmp/graft_test_vreg/rk16", 4,
+      newPlanes = 16)
+    // historical rows preserved verbatim (ids, embeddings, batch)
+    assert(spark.table("graft_test_vreg_rk16")
+      .select($"vec_id", $"batch_no").as[(Long, Int)].collect().toSet
+      == Set((1L, 0), (2L, 0)))
+    val k1 = Registry.vecIngest(spark, "graft_test_vreg_rk16", b1,
+      "vec_id", "embedding", 1)
+      .select($"vec_id").as[Long].collect().toSet
+
+    // lane 2: created at 16 planes from the start, replayed
+    Registry.createVec(spark, "graft_test_vreg_rkref",
+      s"$tmp/graft_test_vreg/rkref", 4, planes = 16)
+    Registry.vecIngest(spark, "graft_test_vreg_rkref", b0,
+      "vec_id", "embedding", 0)
+    val k1Ref = Registry.vecIngest(spark, "graft_test_vreg_rkref", b1,
+      "vec_id", "embedding", 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(k1 == k1Ref, s"rekeyed $k1 vs reference $k1Ref")
+    assert(k1 == Set(11L), "exact re-ingested copy must drop at 16 planes")
+    // the re-keyed registry's marker stamps the NEW plane count:
+    // attach at 16 succeeds
+    Registry.attachVec(spark, "graft_test_vreg_rk16b",
+      s"$tmp/graft_test_vreg/rk16", 4)
+    assert(spark.table("graft_test_vreg_rk16b").count()
+      == spark.table("graft_test_vreg_rk16").count())
+  }
+
+  test("marker stamps guard the physical contract: legacy near/vec " +
+      "dirs (no schema stamp) and foreign hash versions refuse attach; " +
+      "stampMarker migrates a legacy exact registry") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = System.getProperty("java.io.tmpdir")
+    // (a) legacy near registry: marker without schema=2 → refused
+    val legacyNear = s"$tmp/graft_test_nreg/legacy"
+    Registry.createNear(spark, "graft_test_nreg_legacy", legacyNear, 4)
+    val mk = new org.apache.hadoop.fs.Path(legacyNear, "_graft_registry")
+    val out = fs.create(mk, true)
+    out.write("near 4\n".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalArgumentException] {
+      Registry.attachNear(spark, "graft_test_nreg_legacy2", legacyNear, 4)
+    }
+    assert(e1.getMessage.contains("legacy"))
+    // (b) vec registry signed with a foreign hyperplane hash → refused
+    val foreignVec = s"$tmp/graft_test_vreg/foreign"
+    Registry.createVec(spark, "graft_test_vreg_foreign", foreignVec, 4)
+    val mkv = new org.apache.hadoop.fs.Path(foreignVec, "_graft_registry")
+    val outv = fs.create(mkv, true)
+    outv.write("vec 4 schema=2 planes=16 hash=other9\n".getBytes("UTF-8"))
+    outv.close()
+    val e2 = intercept[IllegalArgumentException] {
+      Registry.attachVec(spark, "graft_test_vreg_foreign2", foreignVec, 4)
+    }
+    assert(e2.getMessage.contains("hyperplane-hash"))
+    // (c) a legacy EXACT registry that lost its marker (the pre-r14
+    // in-place compact destroyed it): stampMarker migrates, attach works
+    val lost = s"$tmp/graft_test_reg/lostmarker"
+    Registry.create(spark, "graft_test_reg_lost", lost, 4)
+    Registry.ingest(spark, "graft_test_reg_lost",
+      Seq((1L, "legacy row")).toDF("doc_id", "text"), "doc_id", "text", 0)
+    fs.delete(new org.apache.hadoop.fs.Path(lost, "_graft_registry"), false)
+    intercept[IllegalArgumentException] {
+      Registry.attach(spark, "graft_test_reg_lost2", lost, 4)
+    }
+    Registry.stampMarker(spark, lost, "exact", 4)
+    Registry.attach(spark, "graft_test_reg_lost2", lost, 4)
+    assert(spark.table("graft_test_reg_lost2").count() == 1L)
+    // re-stamping an already-marked dir is refused
+    intercept[IllegalArgumentException] {
+      Registry.stampMarker(spark, lost, "exact", 4)
+    }
+  }
+
+  test("fileStats reports the compaction trigger: files-per-bucket " +
+      "grows one per ingest, compact resets it to one") {
+    val (name, _) = freshReg("fstats")
+    (0 until 3).foreach { b =>
+      Registry.ingest(spark, name,
+        (1L to 30L).map(i => (b * 100L + i, s"fs ${b * 100L + i}"))
+          .toDF("doc_id", "text"), "doc_id", "text", b)
+    }
+    val s = Registry.fileStats(spark, name)
+    assert(s.buckets == 4 && s.maxFilesPerBucket == 3 && s.bytes > 0L,
+      s.toString)
+    assert(s.maxFilesPerBucket < Registry.CompactThreshold)
+    Registry.compact(spark, name, "h", 4)
+    val after = Registry.fileStats(spark, name)
+    assert(after.maxFilesPerBucket == 1 && after.files == 4, after.toString)
+  }
+
   test("survivors returned by ingest are pinned before the append (not vanished)") {
     val (name, _) = freshReg("pin")
     val b = Seq((7L, "seven"), (8L, "eight")).toDF("doc_id", "text")

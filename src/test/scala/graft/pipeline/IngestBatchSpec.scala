@@ -121,6 +121,115 @@ class IngestBatchSpec extends SparkSpec {
       "survivor re-read re-evaluated the batch text")
   }
 
+  test("a NULL embedding skips the vector lane but the doc SURVIVES " +
+      "on its text verdicts (r13 advisory #1: unique-text docs with " +
+      "missing embeddings must not vanish)") {
+    val (ex, nr, vc) = freshRegs("nullvec")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val nullVec = null.asInstanceOf[Array[Float]]
+    // A: unique text, NULL embedding → must survive end-to-end.
+    // B: unique text, real embedding → survives (control).
+    // C: exact-copy text of A, NULL embedding → still drops at the
+    //    EXACT stage (text lanes fully apply to null-vec docs)
+    val b0 = Seq(
+      (10L, longText("na"), nullVec),
+      (11L, longText("nb"), vec(1)),
+      (12L, longText("na"), nullVec)
+    ).toDF("doc_id", "text", "embedding")
+    val r0 = Pipelines.ingestBatch(spark, b0, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 0, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert(r0.survivors.select($"doc_id").as[Long].collect().toSet
+      == Set(10L, 11L),
+      "null-embedding doc must survive; its exact text copy must drop")
+    assert((r0.nExact, r0.nNear, r0.nVec, r0.nClean)
+      == ((2L, 2L, 2L, 2L)))
+    // the vector REGISTRY holds only the real embedding
+    assert(spark.table(vc).count() == 1L)
+    // batch 1: a vec twin of B (same embedding, unrelated text) still
+    // drops — the lane keeps its power for docs that HAVE embeddings
+    val b1 = Seq((20L, longText("nc"), vec(1))).toDF(
+      "doc_id", "text", "embedding")
+    val r1 = Pipelines.ingestBatch(spark, b1, "doc_id", "text",
+      ex, nr, bench, "text", batchNo = 1, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert(r1.survivors.count() == 0L && r1.nVec == 0L)
+  }
+
+  test("replaying a batch under the SAME number returns the identical " +
+      "funnel and survivors, and leaves every registry unchanged (the " +
+      "foreachBatch at-least-once contract, r13 advisory #2)") {
+    val (ex, nr, vc) = freshRegs("replayid")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val a = longText("ra")
+    val b0 = Seq((1L, a, vec(1)), (2L, longText("rb"), vec(2)))
+      .toDF("doc_id", "text", "embedding")
+    val b1 = Seq(
+      (10L, a, vec(3)),                       // exact drop
+      (11L, longText("rc"), vec(1)),          // vec drop
+      (12L, longText("rd") + " " + longText("bench"), vec(4)), // decontam
+      (13L, longText("re"), vec(5))           // survivor
+    ).toDF("doc_id", "text", "embedding")
+    Pipelines.ingestBatch(spark, b0, "doc_id", "text", ex, nr,
+      bench, "text", 0, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    val first = Pipelines.ingestBatch(spark, b1, "doc_id", "text",
+      ex, nr, bench, "text", 1, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    val firstSurv = first.survivors
+      .select($"doc_id", $"h", $"simhash")
+      .as[(Long, String, Long)].collect().toSet
+    val regRows = (spark.table(ex).count(), spark.table(nr).count(),
+      spark.table(vc).count())
+    // the crash happened AFTER all registry appends but BEFORE the
+    // caller appended survivors to the corpus; the scheduler re-runs
+    val replay = Pipelines.ingestBatch(spark, b1, "doc_id", "text",
+      ex, nr, bench, "text", 1, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert((replay.nIn, replay.nQuality, replay.nExact, replay.nNear,
+      replay.nVec, replay.nClean) == ((first.nIn, first.nQuality,
+      first.nExact, first.nNear, first.nVec, first.nClean)),
+      "replay funnel must equal the original")
+    assert(replay.survivors.select($"doc_id", $"h", $"simhash")
+      .as[(Long, String, Long)].collect().toSet == firstSurv,
+      "replay survivors must equal the original — never empty")
+    assert((spark.table(ex).count(), spark.table(nr).count(),
+      spark.table(vc).count()) == regRows,
+      "replay must not grow any registry")
+  }
+
+  test("a crash MID-CHAIN heals on re-run: exact stage committed, the " +
+      "rest not — the retry completes with the original verdicts") {
+    val (ex, nr, vc) = freshRegs("midcrash")
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val b0 = Seq((1L, longText("ma"), vec(1))).toDF(
+      "doc_id", "text", "embedding")
+    Pipelines.ingestBatch(spark, b0, "doc_id", "text", ex, nr,
+      bench, "text", 0, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    // simulate the crashed attempt of batch 1: ONLY the exact-stage
+    // append landed (same digest derivation ingestBatch uses)
+    val b1 = Seq((10L, longText("mb"), vec(2)), (11L, longText("ma"), vec(3)))
+      .toDF("doc_id", "text", "embedding")
+    Registry.ingestDigests(spark, ex,
+      b1.filter(length(col("text")) >= 100)
+        .select(graft.text.TextFunctions.contentHash(col("text")).as("h"),
+          col("doc_id").as("keep_id"))
+        .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id")),
+      batchNo = 1)
+    val exRows = spark.table(ex).count()
+    // the retry runs the full chain under the same batch number
+    val r = Pipelines.ingestBatch(spark, b1, "doc_id", "text", ex, nr,
+      bench, "text", 1, minChars = 100,
+      vecReg = Some(vc), vecCol = Some("embedding"))
+    assert(r.survivors.select($"doc_id").as[Long].collect().toSet
+      == Set(10L), "11 duplicates batch 0's text; 10 survives")
+    assert(spark.table(ex).count() == exRows,
+      "the committed exact rows must not duplicate on the retry")
+    assert(spark.table(nr).select($"doc_id").as[Long].collect().toSet
+      == Set(1L, 10L), "near stage completes on the retry")
+  }
+
   test("replaying batches equals the from-scratch first-seen rule " +
       "on the union (ids increasing across batches)") {
     val (ex, nr, vc) = freshRegs("replay")

@@ -179,6 +179,51 @@ class IndexStoreSpec extends SparkSpec {
     assert(iafter == ibefore)
   }
 
+  test("compaction crash before the swap leaves the artifact intact " +
+      "and serving; the staged dir is a complete copy; re-running " +
+      "completes the compaction") {
+    def files(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val path = tmp("pq_crash")
+    val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
+      dim = 4, m = 2, k = 2, iters = 1)
+    IndexStore.savePq(cents, codes, path, dim = 4, m = 2,
+      quantScale = 1e6)
+    (0 until 2).foreach { b =>
+      IndexStore.appendPq(spark, path,
+        (200 + b * 10 until 210 + b * 10).map(i =>
+          (i.toLong, Array(10f, 10f - i * 0.01f, 0f, 0f))).toDF("id", "vec"),
+        "id", "vec")
+    }
+    val queries = blobs.filter($"id" < 2)
+    val before = IndexStore.pqTopK(spark, path, queries, "id", "vec", 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    val nBefore = files(s"$path/codes")
+    // the crash: process dies after the staged write, before the swap
+    IndexStore.compactPqStaged(spark, path)
+    assert(files(s"$path/codes") == nBefore,
+      "live code files must be untouched by a crashed compact")
+    val afterCrash = IndexStore.pqTopK(spark, path, queries, "id",
+        "vec", 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(afterCrash == before, "artifact must still serve probes")
+    // staged dir holds the complete row set
+    assert(spark.read.parquet(s"$path/codes.compact-tmp").count()
+      == spark.read.parquet(s"$path/codes").count())
+    // re-running to completion recovers
+    IndexStore.compactPq(spark, path)
+    assert(files(s"$path/codes") < nBefore)
+    assert(!new java.io.File(s"$path/codes.compact-tmp").exists(),
+      "completed compact must consume the staging dir")
+    val afterCompact = IndexStore.pqTopK(spark, path, queries, "id",
+        "vec", 20)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(afterCompact == before)
+  }
+
   test("artifact probe plan scans the index parquet, never the corpus source") {
     val path = tmp("pq_plan")
     val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
