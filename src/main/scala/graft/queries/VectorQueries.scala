@@ -143,6 +143,41 @@ object VectorQueries extends QueryPack {
         .orderBy(col("batch_no"))
     }),
 
+    // Vector-registry PLANE MIGRATION (Registry.rekeyVec, r13
+    // verdict #3): a registry created at 8 planes — sized for a
+    // smaller corpus — is re-keyed to 16 planes in ONE pass over the
+    // REGISTRY (the embeddings are stored, so the corpus is never
+    // touched), then ingest continues at the new plane count. Batch
+    // 0 ingests at 8 planes; rekey; batch 1 (carrying +100001 exact
+    // copies of batch-0 vectors — the odd shift flips parity so
+    // every copy probes across the migration boundary) ingests at
+    // 16. Oracle replays both phases with the engine-exact signature
+    // SQL. Output (batch_no, n_in, n_kept).
+    "q247_vec_rekey" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry_rekey/$tag"
+      val (n8, n16) = (s"graft_rk8_$tag", s"graft_rk16_$tag")
+      Registry.createVec(s, n8, s"$base/p8", buckets = 8, planes = 8)
+      val e = table(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100001L))
+      val b0 = corpus.filter(col("vec_id") % 2 === 0)
+      val b1 = corpus.filter(col("vec_id") % 2 === 1)
+      val n0 = (0, b0.count(),
+        Registry.vecIngest(s, n8, b0, "vec_id", "embedding", 0).count())
+      Registry.rekeyVec(s, n8, n16, s"$base/p16", buckets = 8,
+        newPlanes = 16)
+      val n1 = (1, b1.count(),
+        Registry.vecIngest(s, n16, b1, "vec_id", "embedding", 1).count())
+      import s.implicits._
+      Seq(n0, n1).toDF("batch_no", "n_in", "n_kept")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_kept"))
+        .orderBy(col("batch_no"))
+    }),
+
     "q100_embed_dup_lsh" -> ((s, dir) => {
       Ann.lshDupPairs(withInjectedDups(s, dir), "vec_id", "embedding",
         planes = 8, threshold = 0.99)
@@ -618,6 +653,37 @@ object VectorQueries extends QueryPack {
          |k AS (SELECT 0 AS batch_no, count(*) AS n_kept FROM s0
          |      UNION ALL SELECT 1, count(*) FROM s1
          |      UNION ALL SELECT 2, count(*) FROM s2)
+         |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept
+         |FROM i JOIN k ON i.batch_no = k.batch_no
+         |ORDER BY i.batch_no""".stripMargin,
+    // phase replay: batch 0 probes an empty registry (within-batch
+    // exact collapse only), the stored rows re-sign at 16 planes
+    // (rekey), batch 1 probes the re-signed registry at 16
+    "q247_vec_rekey" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100001, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM u),
+         |sb AS (SELECT vec_id, v, CAST(vec_id % 2 AS INT) AS b FROM e),
+         |rep AS (SELECT b, v, min(vec_id) AS vec_id
+         |        FROM sb GROUP BY b, v),
+         |k0 AS (SELECT vec_id, v FROM rep WHERE b = 0),
+         |r16 AS (SELECT vec_id, v, ${Fragments.rhpSigSql(16, "v")} AS sig
+         |        FROM k0),
+         |p1 AS (SELECT vec_id, v, ${Fragments.rhpSigSql(16, "v")} AS sig
+         |       FROM rep WHERE b = 1),
+         |k1 AS (SELECT r.vec_id FROM p1 r WHERE NOT EXISTS (
+         |         SELECT 1 FROM r16 g WHERE g.sig = r.sig
+         |           AND ${cosSql("g.v", "r.v")} >= 0.99)),
+         |i AS (SELECT CAST(vec_id % 2 AS INT) AS batch_no,
+         |        count(*) AS n_in
+         |      FROM u GROUP BY 1),
+         |k AS (SELECT 0 AS batch_no, count(*) AS n_kept FROM k0
+         |      UNION ALL SELECT 1, count(*) FROM k1)
          |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
          |  CAST(k.n_kept AS BIGINT) AS n_kept
          |FROM i JOIN k ON i.batch_no = k.batch_no
