@@ -56,12 +56,17 @@ object RegistryScaling {
     val tmp = System.getProperty("java.io.tmpdir")
     val buckets = 16
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    // section selector: no args = all; else any of exact|near|vec|rekey
+    val run = if (args.isEmpty) Set("exact", "near", "vec", "rekey")
+      else args.toSet
 
-    // ---- exact digest registry: fixed 10k-doc batch at 10k / 100k / 1M
-    Registry.create(spark, "graft_scal_ex", s"$tmp/graft_scal/ex", buckets)
     var next = 0L
     var batchNo = 0
     def nextBatch(): Int = { batchNo += 1; batchNo }
+
+    if (run("exact")) {
+    // ---- exact digest registry: fixed 10k-doc batch at 10k / 100k / 1M
+    Registry.create(spark, "graft_scal_ex", s"$tmp/graft_scal/ex", buckets)
     def growEx(n: Long): Unit = {
       Registry.ingest(spark, "graft_scal_ex",
         textBatch(spark, next, n), "doc_id", "text", nextBatch())
@@ -81,7 +86,9 @@ object RegistryScaling {
     growEx(10000); probeEx("10k")
     growEx(80000); probeEx("100k")
     growEx(900000); probeEx("1M")
+    }
 
+    if (run("near")) {
     // ---- near-dup registry (signature probes): fixed 10k batch
     Registry.createNear(spark, "graft_scal_nr", s"$tmp/graft_scal/nr", buckets)
     next = 0L
@@ -104,7 +111,9 @@ object RegistryScaling {
     growNr(10000); probeNr()
     growNr(80000); probeNr()
     growNr(900000); probeNr()
+    }
 
+    if (run("vec")) {
     // ---- vector registry: fixed 5k batch at 5k / 50k / 500k
     Registry.createVec(spark, "graft_scal_vc", s"$tmp/graft_scal/vc", buckets)
     next = 0L
@@ -128,6 +137,43 @@ object RegistryScaling {
     growVc(5000); probeVc()
     growVc(45000); probeVc()
     growVc(450000); probeVc()
+    }
+
+    if (run("rekey")) {
+    // ---- rekeyVec migration (r13 verdict #3): an 8-plane registry
+    // grown past its sizing shows the LINEAR probe cost (expected
+    // candidates/probe ~ rows/256); rekey to 16 planes — ONE pass
+    // over the stored rows, corpus untouched — and the SAME probe
+    // returns to the flat O(batch) curve.
+    Registry.createVec(spark, "graft_scal_v8", s"$tmp/graft_scal/v8",
+      buckets, planes = 8)
+    next = 0L
+    Seq(100000L, 400000L, 1500000L).foreach { n =>
+      Registry.vecIngest(spark, "graft_scal_v8",
+        vecBatch(spark, next, n), "vec_id", "embedding", nextBatch())
+      next += n
+    }
+    Registry.compact(spark, "graft_scal_v8", "sig", buckets)
+    val regRows = spark.table("graft_scal_v8").count()
+    val msAt8 = timeMs {
+      Registry.vecIngest(spark, "graft_scal_v8",
+        vecBatch(spark, next, 5000), "vec_id", "embedding", nextBatch())
+    }
+    next += 5000
+    val msRekey = timeMs {
+      Registry.rekeyVec(spark, "graft_scal_v8", "graft_scal_v16",
+        s"$tmp/graft_scal/v16", buckets, newPlanes = 16)
+    }
+    val msAt16 = timeMs {
+      Registry.vecIngest(spark, "graft_scal_v16",
+        vecBatch(spark, next, 5000), "vec_id", "embedding", nextBatch())
+    }
+    next += 5000
+    rows += s"| vec planes=8 (outgrown) | $regRows | 5000 | $msAt8 |"
+    rows += s"| rekey 8→16 (one pass) | $regRows | — | $msRekey |"
+    rows += s"| vec planes=16 (post-rekey) | ${regRows + 5000} | 5000 | $msAt16 |"
+    println(s"[rekey] at8_ms=$msAt8 rekey_ms=$msRekey at16_ms=$msAt16")
+    }
 
     println("\n| family | registry_rows | batch_rows | ingest_ms |")
     println("|---|---|---|---|")
