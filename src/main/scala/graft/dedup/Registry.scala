@@ -248,6 +248,20 @@ object Registry {
     new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
   }
 
+  /** The batch's OWN prior rows (a crashed earlier attempt's
+    * partial append), read BY PATH rather than through the table:
+    * the append's insert source may not reference its own table
+    * (Spark's same-table write check), but a path read is a
+    * different relation whose file list snapshots at planning — so
+    * the heal anti-join feeds the insert directly, without a second
+    * localCheckpoint materialization per ingest (one saved job per
+    * append — nine across the q244 demo).
+    */
+  private def ownRows(spark: SparkSession, name: String, loc: Path,
+      batchNo: Int): DataFrame =
+    spark.read.schema(spark.table(name).schema).parquet(loc.toString)
+      .filter(col("batch_no") <=> lit(batchNo))
+
   private val ExactDdl = "(h STRING, keep_id BIGINT, batch_no INT)"
   private val NearDdl =
     "(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT, batch_no INT)"
@@ -412,8 +426,6 @@ object Registry {
       val nonNull = digests.filter(col("h").isNotNull)
       val others = spark.table(name)
         .filter(!(col("batch_no") <=> lit(batchNo))).select(col("h"))
-      val own = spark.table(name)
-        .filter(col("batch_no") <=> lit(batchNo)).select(col("h"))
       // the survivor set must be pinned BEFORE the append, and plain
       // persist() is NOT enough: the insert refreshes the table by
       // path, which invalidates every cached plan referencing it —
@@ -426,12 +438,12 @@ object Registry {
         .withColumn("batch_no", lit(batchNo))
         .select(col("h"), col("keep_id"), col("batch_no"))
         .localCheckpoint()
-      // a replay only appends what the crashed attempt missed
-      val fresh = kept.join(own, Seq("h"), "left_anti").localCheckpoint()
+      // a replay only appends what the crashed attempt missed;
       // insertInto keeps the table's bucket spec: rows hash to their
       // bucket files on write, so the layout contract survives appends
-      fresh.write.mode(SaveMode.Append).insertInto(name)
-      fresh.unpersist()
+      kept.join(ownRows(spark, name, loc, batchNo).select(col("h")),
+          Seq("h"), "left_anti")
+        .write.mode(SaveMode.Append).insertInto(name)
       kept
     }
   }
@@ -641,16 +653,13 @@ object Registry {
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("simhash"))
         .localCheckpoint()
-      val own = spark.table(name)
-        .filter(col("batch_no") <=> lit(batchNo))
-        .select(col("w"), col("doc_id"))
-      val fresh = windowKeys(kept, tables)
-        .join(own, Seq("w", "doc_id"), "left_anti")
+      windowKeys(kept, tables)
+        .join(ownRows(spark, name, loc, batchNo)
+          .select(col("w"), col("doc_id")),
+          Seq("w", "doc_id"), "left_anti")
         .select(col("w"), col("bucket"), col("doc_id"), col("simhash"),
           lit(batchNo).as("batch_no"))
-        .localCheckpoint()
-      fresh.write.mode(SaveMode.Append).insertInto(name)
-      fresh.unpersist()
+        .write.mode(SaveMode.Append).insertInto(name)
       kept
     }
   }
@@ -741,17 +750,14 @@ object Registry {
       val kept = reps.join(matched, Seq("vec_id"), "left_anti")
         .select(col("sig"), col("vec_id"), col("embedding"))
         .localCheckpoint()
-      val own = spark.table(name)
-        .filter(col("batch_no") <=> lit(batchNo)).select(col("vec_id"))
       // explicit re-select after the join: the join key leads the
       // join output, and insertInto binds by POSITION — without this
       // the sig column would silently receive vec_id values
-      val fresh = kept.join(own, Seq("vec_id"), "left_anti")
+      kept.join(ownRows(spark, name, loc, batchNo).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
         .select(col("sig"), col("vec_id"), col("embedding"),
           lit(batchNo).as("batch_no"))
-        .localCheckpoint()
-      fresh.write.mode(SaveMode.Append).insertInto(name)
-      fresh.unpersist()
+        .write.mode(SaveMode.Append).insertInto(name)
       kept.select(col("vec_id"), col("sig"))
     }
   }

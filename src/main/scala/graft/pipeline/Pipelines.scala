@@ -252,10 +252,18 @@ object Pipelines {
         array_distinct(TextFunctions.ngramsFast(toks, n)).as("__grams") +:
         vecCol.toSeq.map(c => col(c).as("__vec"))): _*)
       .localCheckpoint()
-    val nIn = derived.count()
+    // funnel counts ride the pinned/checkpointed frames instead of
+    // re-executing the stage joins: nIn + nQuality in ONE aggregate
+    // over the pinned batch; nExact/nNear equal their kept sets BY
+    // CONSTRUCTION (each kept digest/signature names exactly one
+    // surviving batch row — IngestBatchSpec pins the funnels), so
+    // counting the checkpointed survivors is free of join work. At 3
+    // batches × 4 stages the saved jobs were ~40% of the q244 demo.
+    val hdr = derived.agg(count(lit(1)),
+      count(when(col("__len") >= minChars, 1))).head()
+    val (nIn, nQuality) = (hdr.getLong(0), hdr.getLong(1))
 
     val quality = derived.filter(col("__len") >= minChars)
-    val nQuality = quality.count()
 
     val keptDigests = Registry.ingestDigests(spark, exactReg,
       quality.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")),
@@ -263,16 +271,16 @@ object Pipelines {
     val exact = quality.join(
       keptDigests.select(col("h"), col("keep_id").as("doc_id")),
       Seq("doc_id", "h"), "left_semi")
-    val nExact = exact.count()
+    val nExact = keptDigests.count()
 
     val keptNear = Registry.nearIngestSims(spark, nearReg,
       exact.select(col("doc_id"), col("simhash")), batchNo, tables,
       maxHamming)
     val near = exact.join(keptNear.select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val nNear = near.count()
+    val nNear = keptNear.count()
 
-    val vec = vecReg match {
+    val (vec, nVec) = vecReg match {
       case Some(reg) =>
         // a doc with a NULL embedding cannot probe the vector lane
         // (vecIngest excludes nulls whole), but it must NOT vanish
@@ -284,12 +292,13 @@ object Pipelines {
         val keptVec = Registry.vecIngest(spark, reg,
           withV.select(col("doc_id"), col("__vec")), "doc_id", "__vec",
           batchNo)
-        withV.join(keptVec.select(col("vec_id").as("doc_id")),
+        val noVec = near.filter(col("__vec").isNull)
+        (withV.join(keptVec.select(col("vec_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
-          .unionByName(near.filter(col("__vec").isNull))
-      case None => near
+          .unionByName(noVec),
+          keptVec.count() + noVec.count())
+      case None => (near, nNear)
     }
-    val nVec = vec.count()
 
     // decontamination: any shared distinct n-gram with the benchmark
     // flags the doc; the benchmark side is benchmark-bounded and
