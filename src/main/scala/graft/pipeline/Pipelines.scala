@@ -411,6 +411,64 @@ object Pipelines {
   * one entry point instead of forty.
   */
 object PipelineDriver {
+
+  /** The exactly-once incremental-ingest body (r13 verdict #7),
+    * extracted from `main` so the ledger contract is spec-testable:
+    * a committed-batches marker (`<regBase>/_committed/batch_<n>`,
+    * stamped only AFTER the survivors parquet lands) makes a
+    * scheduler retry of a COMPLETED batch a no-op end-to-end, while
+    * a retry of a CRASHED batch re-runs the replay-idempotent
+    * [[Pipelines.ingestBatch]] under the same number and lands the
+    * identical survivors before stamping. Registries are created on
+    * first run and ATTACHED (data untouched) on every later run.
+    * Decontamination runs only when a benchmark corpus is GIVEN —
+    * defaulting to a slice of the input would flag the batch against
+    * itself and drop everything (an empty benchmark makes the gate a
+    * no-op: zero grams, zero hits). Returns true if the batch ran,
+    * false if the ledger showed it already committed.
+    */
+  def runIngest(spark: SparkSession, docs: DataFrame, out: String,
+      regBase: String, buckets: Int, batchNo: Int,
+      bench: Option[DataFrame]): Boolean = {
+    import graft.dedup.Registry
+    val committed = new org.apache.hadoop.fs.Path(
+      s"$regBase/_committed/batch_$batchNo")
+    val fs = committed.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(committed)) {
+      println(s"[ingest] batch=$batchNo already committed — " +
+        "no-op (registry and output untouched)")
+      return false
+    }
+    def ensure(nm: String, p: String,
+        create: (String, String) => Unit,
+        attach: (String, String) => Unit): Unit =
+      if (Registry.exists(spark, p)) attach(nm, p) else create(nm, p)
+    ensure("graft_cli_ex", s"$regBase/ex",
+      Registry.create(spark, _, _, buckets),
+      Registry.attach(spark, _, _, buckets))
+    ensure("graft_cli_nr", s"$regBase/nr",
+      Registry.createNear(spark, _, _, buckets),
+      Registry.attachNear(spark, _, _, buckets))
+    val hasVec = docs.columns.contains("embedding")
+    if (hasVec) ensure("graft_cli_vc", s"$regBase/vc",
+      Registry.createVec(spark, _, _, buckets),
+      Registry.attachVec(spark, _, _, buckets))
+    val r = Pipelines.ingestBatch(spark, docs, "doc_id", "text",
+      "graft_cli_ex", "graft_cli_nr",
+      bench.getOrElse(docs.limit(0)), "text", batchNo,
+      minChars = 100,
+      vecReg = if (hasVec) Some("graft_cli_vc") else None,
+      vecCol = if (hasVec) Some("embedding") else None)
+    println(s"[ingest] batch=$batchNo in=${r.nIn} q=${r.nQuality} " +
+      s"exact=${r.nExact} near=${r.nNear} vec=${r.nVec} " +
+      s"clean=${r.nClean}")
+    r.survivors.write.mode(SaveMode.Overwrite).parquet(out)
+    fs.mkdirs(committed.getParent)
+    fs.create(committed).close()
+    true
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: PipelineDriver <clean|corpus|profiles|keywords|neardedup|embdedup|curate|tempmix|paradedup|parakeepfirst|budgetselect|clustersplit|nbclassify|snapdiff|qualityrank|labelprop|ingest> <in> <out>")
@@ -514,66 +572,13 @@ object PipelineDriver {
         // (SPARK_GRAFT_REG base dir; created on first run, attached —
         // data untouched — on every later run: the cross-run loop).
         // SPARK_GRAFT_BATCHNO tags the batch; SPARK_GRAFT_BENCH is
-        // the decontamination corpus (defaults to the q94 slice).
-        //
-        // EXACTLY-ONCE (r13 verdict #7): a committed-batches ledger
-        // (`<regBase>/_committed/batch_<n>`, stamped only AFTER the
-        // survivors parquet lands) makes a scheduler retry of a
-        // COMPLETED batch a no-op end-to-end; a retry of a CRASHED
-        // batch — anywhere between the first registry append and the
-        // output commit — re-runs ingestBatch, which is
-        // replay-idempotent under the same batch number, and lands
-        // the identical survivors before stamping. Registry AND
-        // output are therefore consistent under at-least-once
-        // scheduling with no coordination beyond the ledger.
-        import graft.dedup.Registry
-        val regBase = sys.env.getOrElse("SPARK_GRAFT_REG",
-          s"$out.registries")
-        val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
-        val batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt
-        val committed = new org.apache.hadoop.fs.Path(
-          s"$regBase/_committed/batch_$batchNo")
-        val fs = committed.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(committed)) {
-          println(s"[ingest] batch=$batchNo already committed — " +
-            "no-op (registry and output untouched)")
-          spark.stop()
-          return
-        }
-        def ensure(nm: String, p: String,
-            create: (String, String) => Unit,
-            attach: (String, String) => Unit): Unit =
-          if (Registry.exists(spark, p)) attach(nm, p) else create(nm, p)
-        ensure("graft_cli_ex", s"$regBase/ex",
-          Registry.create(spark, _, _, buckets),
-          Registry.attach(spark, _, _, buckets))
-        ensure("graft_cli_nr", s"$regBase/nr",
-          Registry.createNear(spark, _, _, buckets),
-          Registry.attachNear(spark, _, _, buckets))
-        val hasVec = docs.columns.contains("embedding")
-        if (hasVec) ensure("graft_cli_vc", s"$regBase/vc",
-          Registry.createVec(spark, _, _, buckets),
-          Registry.attachVec(spark, _, _, buckets))
-        // decontamination only when a benchmark corpus is GIVEN —
-        // defaulting to a slice of the input would flag the batch
-        // against itself and drop everything (an empty benchmark
-        // makes the gate a no-op: zero grams, zero hits)
-        val bench = sys.env.get("SPARK_GRAFT_BENCH")
-          .map(spark.read.parquet(_))
-          .getOrElse(docs.limit(0))
-        val r = Pipelines.ingestBatch(spark, docs, "doc_id", "text",
-          "graft_cli_ex", "graft_cli_nr", bench, "text", batchNo,
-          minChars = 100,
-          vecReg = if (hasVec) Some("graft_cli_vc") else None,
-          vecCol = if (hasVec) Some("embedding") else None)
-        spark.sparkContext.setLogLevel("WARN")
-        println(s"[ingest] batch=$batchNo in=${r.nIn} q=${r.nQuality} " +
-          s"exact=${r.nExact} near=${r.nNear} vec=${r.nVec} " +
-          s"clean=${r.nClean}")
-        r.survivors.write.mode(SaveMode.Overwrite).parquet(out)
-        fs.mkdirs(committed.getParent)
-        fs.create(committed).close()
+        // the decontamination corpus (no default — see runIngest).
+        runIngest(spark, docs, out,
+          regBase = sys.env.getOrElse("SPARK_GRAFT_REG", s"$out.registries"),
+          buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt,
+          batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt,
+          bench = sys.env.get("SPARK_GRAFT_BENCH")
+            .map(spark.read.parquet(_)))
         spark.stop()
         return
       case other => sys.error(s"unknown pipeline: $other")

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Artifact-level single-writer lease — the registry lease
+    * ([[graft.dedup.Registry.acquireLock]]) applied to the index
+    * artifact root: an append racing a compaction's directory swap
+    * would either vanish from the staged copy or fail mid-rename,
+    * and two appends of overlapping ids would double-count in ADC.
+    * Same semantics: loud failure while held, 30-min stale takeover.
+    */
+  private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    graft.dedup.Registry.acquireLock(spark, path)
+    try body finally graft.dedup.Registry.releaseLock(spark, path)
+  }
+
   /** Persist a PQ index: codebooks (m·k rows), codes (m per vector),
     * and (dim, m, quantScale) — what [[Pq.adcTopKWith]] needs.
     */
@@ -100,7 +112,7 @@ object IndexStore {
     * that encodes old∪new with the same codebooks (IndexStoreSpec).
     */
   def appendPq(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame = withLock(spark, path) {
     val meta = spark.read.parquet(s"$path/meta").head()
     val cents = spark.read.parquet(s"$path/codebooks")
     val newCodes = Pq.encodeWith(cents, batch, idCol, vecCol,
@@ -155,13 +167,17 @@ object IndexStore {
     * INDEX (never the corpus), CRASH-SAFE via [[swapDirs]].
     */
   def compactPq(spark: SparkSession, path: String): Unit =
-    compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
-      crashBeforeSwap = false)
+    withLock(spark, path) {
+      compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
+        crashBeforeSwap = false)
+    }
 
   /** [[compactPq]] for an IVF artifact's inverted file. */
   def compactIvf(spark: SparkSession, path: String): Unit =
-    compactDir(spark, s"$path/inverted", Seq("cent_id"),
-      crashBeforeSwap = false)
+    withLock(spark, path) {
+      compactDir(spark, s"$path/inverted", Seq("cent_id"),
+        crashBeforeSwap = false)
+    }
 
   /** Crash-injection twins for IndexStoreSpec: stop after the staged
     * write — the exact on-disk state a process death mid-compact
@@ -169,13 +185,17 @@ object IndexStore {
     */
   private[graft] def compactPqStaged(spark: SparkSession,
       path: String): Unit =
-    compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
-      crashBeforeSwap = true)
+    withLock(spark, path) {
+      compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
+        crashBeforeSwap = true)
+    }
 
   private[graft] def compactIvfStaged(spark: SparkSession,
       path: String): Unit =
-    compactDir(spark, s"$path/inverted", Seq("cent_id"),
-      crashBeforeSwap = true)
+    withLock(spark, path) {
+      compactDir(spark, s"$path/inverted", Seq("cent_id"),
+        crashBeforeSwap = true)
+    }
 
   /** Append a NEW batch to a saved IVF artifact without retraining:
     * assign to the SAVED centroids with the saved rounding
@@ -184,7 +204,7 @@ object IndexStore {
     * contract as [[appendPq]].
     */
   def appendIvf(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame = withLock(spark, path) {
     val meta = spark.read.parquet(s"$path/meta").head()
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = Ann.ivfAssign(cents, batch, idCol, vecCol,

@@ -224,6 +224,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(afterCompact == before)
   }
 
+  test("artifact mutations hold the single-writer lease: a second " +
+      "writer fails loudly, the artifact is untouched") {
+    val path = tmp("pq_lock")
+    val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",
+      dim = 4, m = 2, k = 2, iters = 1)
+    IndexStore.savePq(cents, codes, path, dim = 4, m = 2,
+      quantScale = 1e6)
+    val nCodes = spark.read.parquet(s"$path/codes").count()
+    graft.dedup.Registry.acquireLock(spark, path) // another writer
+    val e = intercept[IllegalStateException] {
+      IndexStore.appendPq(spark, path,
+        Seq((500L, Array(1f, 2f, 3f, 4f))).toDF("id", "vec"), "id", "vec")
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(spark.read.parquet(s"$path/codes").count() == nCodes)
+    intercept[IllegalStateException] { IndexStore.compactPq(spark, path) }
+    graft.dedup.Registry.releaseLock(spark, path)
+    IndexStore.appendPq(spark, path,
+      Seq((500L, Array(1f, 2f, 3f, 4f))).toDF("id", "vec"), "id", "vec")
+    assert(spark.read.parquet(s"$path/codes").count() == nCodes + 2,
+      "append proceeds once the lease is free (m=2 codes per vector)")
+  }
+
   test("artifact probe plan scans the index parquet, never the corpus source") {
     val path = tmp("pq_plan")
     val (cents, codes) = Pq.trainEncode(blobs, "id", "vec",

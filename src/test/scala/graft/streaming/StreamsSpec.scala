@@ -681,6 +681,62 @@ class StreamsSpec extends SparkSpec {
       "registries must not grow on replay")
   }
 
+  test("ingestStream survives a checkpointed kill/restart: resumed " +
+      "micro-batches continue the batch numbering and the final " +
+      "registry + corpus state equals the direct sequential chain") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-restart").toString
+    def long(salt: String) = (1 to 30).map(i => s"rs${salt}x$i").mkString(" ")
+    val a = long("aa")
+    graft.dedup.Registry.create(spark, "graft_ingrs_ex", s"$base/ex", 4)
+    graft.dedup.Registry.createNear(spark, "graft_ingrs_nr", s"$base/nr", 4)
+    val bench = Seq((0L, long("bench"))).toDF("doc_id", "text")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def sink(r: graft.pipeline.Pipelines.IngestBatchResult,
+        id: Long): Unit =
+      r.survivors.write.mode("overwrite")
+        .parquet(s"$base/corpus/batch_no=$id")
+    def runOnce(): Unit = {
+      val q = Streams.ingestStream(
+        spark.readStream.schema(schema).parquet(s"$base/in"),
+        "doc_id", "text", "graft_ingrs_ex", "graft_ingrs_nr",
+        bench, "text", s"$base/chk")(sink)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0 arrives, is processed, then the process DIES (q.stop)
+    val b0 = Seq((1L, a), (2L, long("bb")))
+    b0.toDF("doc_id", "text").write.mode("append").parquet(s"$base/in")
+    runOnce()
+    // batch 1 arrives; a NEW process resumes from the checkpoint —
+    // batch numbering must continue at 1, history must still count
+    val b1 = Seq((10L, a), (11L, long("cc")))
+    b1.toDF("doc_id", "text").write.mode("append").parquet(s"$base/in")
+    runOnce()
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select($"doc_id", $"batch_no").as[(Long, Long)].collect().toSet
+    assert(corpus == Set((1L, 0L), (2L, 0L), (11L, 1L)),
+      s"got $corpus")
+    // registry state equals the direct sequential chain on fresh
+    // registries (same batches, same numbers, no stream)
+    graft.dedup.Registry.create(spark, "graft_ingrs_ex2", s"$base/ex2", 4)
+    graft.dedup.Registry.createNear(spark, "graft_ingrs_nr2",
+      s"$base/nr2", 4)
+    Seq((b0, 0), (b1, 1)).foreach { case (rows, b) =>
+      graft.pipeline.Pipelines.ingestBatch(spark,
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        "graft_ingrs_ex2", "graft_ingrs_nr2", bench, "text", b,
+        minChars = 100)
+    }
+    assert(spark.table("graft_ingrs_ex").as[(String, Long, Int)]
+      .collect().toSet ==
+      spark.table("graft_ingrs_ex2").as[(String, Long, Int)]
+        .collect().toSet)
+    assert(spark.table("graft_ingrs_nr")
+      .as[(Int, Long, Long, Long, Int)].collect().toSet ==
+      spark.table("graft_ingrs_nr2")
+        .as[(Int, Long, Long, Long, Int)].collect().toSet)
+  }
+
   test("hllMaintStream: maintained registers == from-scratch; estimates agree") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
