@@ -781,12 +781,49 @@ object Registry {
   def rekeyVec(spark: SparkSession, name: String, newName: String,
       newPath: String, buckets: Int, newPlanes: Int): Unit = {
     import graft.similarity.Ann
-    createVec(spark, newName, newPath, buckets, planes = newPlanes)
-    withLock(spark, tableLocation(spark, newName).toString) {
-      spark.table(name)
-        .select(Ann.rhpSignature(col("embedding"), newPlanes).as("sig"),
-          col("vec_id"), col("embedding"), col("batch_no"))
-        .write.mode(SaveMode.Append).insertInto(newName)
+    // the SOURCE lease is held for the whole pass: an ingest landing
+    // in the old registry mid-rekey would be silently absent from the
+    // new one. Lock order is source-then-destination, the documented
+    // convention for any multi-registry operation.
+    val srcLoc = tableLocation(spark, name)
+    withLock(spark, srcLoc.toString) {
+      createVec(spark, newName, newPath, buckets, planes = newPlanes)
+      withLock(spark, tableLocation(spark, newName).toString) {
+        spark.table(name)
+          .select(Ann.rhpSignature(col("embedding"), newPlanes).as("sig"),
+            col("vec_id"), col("embedding"), col("batch_no"))
+          .write.mode(SaveMode.Append).insertInto(newName)
+      }
+    }
+  }
+
+  /** Recover a registry whose compaction crashed BETWEEN the two
+    * swap renames — the one metadata-only window [[compact]] leaves:
+    * the live directory is gone while `.compact-old` (the original)
+    * and/or `.compact-tmp` (the complete staged copy) hold the data.
+    * Restores the staged copy when it exists (the compaction's
+    * intent), else the original; no-ops when the live directory is
+    * intact. Run it before attach on a path whose nightly compaction
+    * may have died; returns true if a restore happened.
+    */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    require(!path.contains("'"),
+      s"registry path must not contain a quote; got '$path'")
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) false
+    else {
+      val tmp = new Path(live.getParent, live.getName + ".compact-tmp")
+      val bak = new Path(live.getParent, live.getName + ".compact-old")
+      val src =
+        if (fs.exists(tmp) && fs.exists(new Path(tmp, Marker))) tmp
+        else if (fs.exists(bak) && fs.exists(new Path(bak, Marker))) bak
+        else throw new IllegalStateException(
+          s"'$path' is missing and no complete staged/backup copy " +
+            "exists beside it — not a crashed compaction")
+      require(fs.rename(src, live), s"rename $src -> $live failed")
+      fs.delete(tmp, true); fs.delete(bak, true)
+      true
     }
   }
 }

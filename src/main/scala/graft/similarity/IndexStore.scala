@@ -40,12 +40,14 @@ object IndexStore {
       dim: Int, m: Int, quantScale: Double): Unit = {
     val spark = cents.sparkSession
     import spark.implicits._
+    withLock(spark, path) {
     Seq((dim, m, quantScale)).toDF("dim", "m", "quant_scale")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
     codes.repartition(col("__s"), col("__cid"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    }
   }
 
   /** Load a PQ index: (cents, codes, dim, m, quantScale). */
@@ -76,12 +78,14 @@ object IndexStore {
       roundTo: Int): Unit = {
     val spark = cents.sparkSession
     import spark.implicits._
+    withLock(spark, path) {
     Seq(roundTo).toDF("round_to")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/centroids")
     assigned.repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/inverted")
+    }
   }
 
   /** Load an IVF index: (cents, assigned, roundTo). */

@@ -511,6 +511,39 @@ class RegistrySpec extends SparkSpec {
       "completed compact must consume the staging dir")
   }
 
+  test("recoverCompact restores a registry whose compaction died " +
+      "between the two swap renames; no-ops on an intact registry") {
+    val name = "graft_test_reg_recover"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/recover"
+    Registry.create(spark, name, path, buckets = 4)
+    Registry.ingest(spark, name,
+      (1L to 20L).map(i => (i, s"rc $i")).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+    val rows = spark.table(name).as[(String, Long, Int)].collect().toSet
+    assert(!Registry.recoverCompact(spark, path), "intact → no-op")
+    // the crash: staged copy written, first rename done, second not —
+    // live gone, .compact-old = original, .compact-tmp = staged
+    Registry.compactImpl(spark, name, "h", 4, crashBeforeSwap = true)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.compact-old")))
+    assert(Registry.recoverCompact(spark, path), "restore must happen")
+    spark.sql(s"REFRESH TABLE $name")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rows, "restored registry must hold every row")
+    assert(partFiles(path) == 4,
+      "the staged (compacted) copy is the preferred restore")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact-old"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact-tmp")),
+      "recovery must consume the staging/backup dirs")
+    // and it still ingests
+    assert(Registry.ingest(spark, name,
+      Seq((99L, "rc novel")).toDF("doc_id", "text"), "doc_id", "text", 1)
+      .count() == 1L)
+  }
+
   test("rekeyVec migrates a vector registry to higher planes: rows " +
       "preserved verbatim, marker restamped, rekey-then-ingest equals " +
       "create-at-new-planes-then-replay on exact-dup fixtures") {
