@@ -267,6 +267,8 @@ object Registry {
     "(w INT, bucket BIGINT, doc_id BIGINT, simhash BIGINT, batch_no INT)"
   private val VecDdl =
     "(sig BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>, batch_no INT)"
+  private val MinDdl =
+    "(b INT, bucket STRING, doc_id BIGINT, sig ARRAY<STRING>, batch_no INT)"
 
   private def createTable(spark: SparkSession, name: String,
       path: String, buckets: Int, ddl: String, bucketCol: String): Unit = {
@@ -369,6 +371,19 @@ object Registry {
       s"'$path' was signed with hyperplane-hash '$h'; this binary " +
         s"signs '$RhpHashVersion' — signatures would never match " +
         "(every duplicate silently re-admitted); rekeyVec to migrate"))
+  }
+
+  /** [[attachTable]] for the MinHash-band registry — validates the
+    * stamped (k, bands) like the vec family validates planes: both
+    * are baked into every stored signature and band bucket, so a
+    * probe signed differently would match nothing and re-admit every
+    * duplicate.
+    */
+  def attachMinhash(spark: SparkSession, name: String, path: String,
+      buckets: Int): Unit = {
+    attachTable(spark, name, path, buckets, MinDdl, "bucket",
+      "minhash", requireSchemaV2 = true)
+    ()
   }
 
   /** The batch rows that survive against the current registry:
@@ -659,6 +674,96 @@ object Registry {
           Seq("w", "doc_id"), "left_anti")
         .select(col("w"), col("bucket"), col("doc_id"), col("simhash"),
           lit(batchNo).as("batch_no"))
+        .write.mode(SaveMode.Append).insertInto(name)
+      kept
+    }
+  }
+
+  // ---- MinHash-band registry (Jaccard-threshold near-dup) ----
+
+  /** Create or replace an EMPTY MinHash-band registry — the FOURTH
+    * registry modality: [[ingest]] catches byte-exact copies,
+    * [[nearIngest]] hamming-close token distributions (SimHash),
+    * [[vecIngest]] semantic/embedding duplicates; this lane catches
+    * SET-overlap duplicates (shared shingles — Jaccard), the
+    * classic MinHash trade: robust to reordering and local edits
+    * that move many simhash bits but few shingles. One row per
+    * (band, doc): `bucket` is the band digest, bucketed so ingest
+    * probes join the stored side exchange-free; `sig` (the k-value
+    * signature) rides along as the verification payload, exactly as
+    * the vec lane stores embeddings.
+    *
+    * `k` (signature length) and `bands` are PHYSICAL — baked into
+    * every stored signature and bucket — so the marker stamps them
+    * ([[attachMinhash]] validates; [[minhashIngest]] reads them
+    * back rather than trusting a caller default, the vec-planes
+    * discipline). Collision resolution: expected candidates per
+    * probe ≈ bands · rows / distinct-buckets; shingle-set diversity
+    * keeps band buckets near-unique, and a clustered corpus raises
+    * `bands`/`k` exactly like the vec lane raises planes.
+    */
+  def createMinhash(spark: SparkSession, name: String, path: String,
+      buckets: Int, k: Int = 8, bands: Int = 4): Unit = {
+    require(k % bands == 0, s"bands must divide k; got k=$k bands=$bands")
+    prepareLocation(spark, name, path, "minhash", buckets,
+      Map("schema" -> SchemaVersion.toString,
+        "k" -> k.toString, "bands" -> bands.toString))
+    createTable(spark, name, path, buckets, MinDdl, "bucket")
+  }
+
+  /** Ingest one batch against the MinHash-band registry: a batch doc
+    * survives iff (a) it is its full SIGNATURE's min-id
+    * representative within the batch (identical-signature collapse —
+    * the [[nearIngestSims]] convention), and (b) NO registered doc
+    * shares a band digest AND agrees on ≥ `minMatches` of the k
+    * signature positions (the q102 estimator: est-Jaccard =
+    * matches/k, kept integer-exact by thresholding on the match
+    * COUNT). History text/shingles never re-read — signatures are
+    * the whole state. Survivors' band rows append bucket-aligned;
+    * returns (doc_id, sig). `batchNo` follows the object-level
+    * batch-number contract (probe self-exclusion ⇒ replay-safe).
+    */
+  def minhashIngest(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, batchNo: Int,
+      minMatches: Int = 6, shingleW: Int = 3): DataFrame = {
+    val loc = tableLocation(spark, name)
+    val info = readMarker(
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
+    val k = info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8)
+    val bands = info.flatMap(_.extras.get("bands")).map(_.toInt)
+      .getOrElse(4)
+    require(minMatches >= k / bands,
+      s"minMatches=$minMatches below one band's $k/$bands positions " +
+        "would drop docs no band can even propose")
+    val sigs = batch.select(col(idCol).cast("long").as("doc_id"),
+      Dedup.minhashSignatureFast(
+        Dedup.shingles(col(textCol), shingleW), k).as("sig"))
+    withLock(spark, loc.toString) {
+      val reps = sigs.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val probes = reps.select(col("doc_id"), col("sig"),
+          posexplode(Dedup.bandKeys(col("sig"), bands, k / bands)))
+        .select(col("pos").cast("int").as("b"), col("col").as("bucket"),
+          col("doc_id"), col("sig"))
+      val others = spark.table(name)
+        .filter(!(col("batch_no") <=> lit(batchNo)))
+      val matched = probes
+        .join(others.select(col("bucket"), col("sig").as("__rsig")),
+          Seq("bucket"))
+        .filter(size(filter(zip_with(col("sig"), col("__rsig"),
+          (x, y) => x === y), m => m)) >= minMatches)
+        .select(col("doc_id")).distinct()
+      val kept = reps.join(matched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("sig"))
+        .localCheckpoint()
+      kept.select(col("doc_id"), col("sig"),
+          posexplode(Dedup.bandKeys(col("sig"), bands, k / bands)))
+        .join(ownRows(spark, name, loc, batchNo)
+          .select(col("b").as("__ob"), col("doc_id").as("__od")),
+          col("pos") === col("__ob") && col("doc_id") === col("__od"),
+          "left_anti")
+        .select(col("pos").cast("int").as("b"), col("col").as("bucket"),
+          col("doc_id"), col("sig"), lit(batchNo).as("batch_no"))
         .write.mode(SaveMode.Append).insertInto(name)
       kept
     }

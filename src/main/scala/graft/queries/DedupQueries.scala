@@ -500,6 +500,44 @@ object DedupQueries extends QueryPack {
         .orderBy(col("batch_no"))
     }),
 
+    // Cross-run incremental MINHASH-band registry
+    // (Registry.minhashIngest): the FOURTH registry modality — exact
+    // digests (q237), SimHash windows (q241), embeddings (q242), and
+    // here SET-overlap (Jaccard) near-duplicates: a new batch's doc
+    // drops iff a registered doc shares one of 4 MinHash band
+    // digests AND agrees on >= 6 of the 8 signature positions (the
+    // q102 estimator thresholded on the integer match count).
+    // History text/shingles never rescanned — the k-string
+    // signatures are the whole state. Corpus = documents ∪
+    // ' zz yy'-suffixed copies of doc_id<40 under id+300001 (tail
+    // shingles change, the shared ones don't — the Jaccard lane's
+    // catch); 3 batches by doc_id % 3. Output (batch_no, n_in,
+    // n_kept); the oracle replays signatures, banding, and the
+    // batch-chained survivor rule from scratch.
+    "q249_minhash_registry" -> ((s, dir) => {
+      import graft.dedup.Registry
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val name = s"graft_min_reg_$tag"
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_registry_min/$tag"
+      Registry.createMinhash(s, name, path, buckets = 8, k = 8, bands = 4)
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300001L).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text")))
+      val rows = (0 until 3).map { b =>
+        val batch = corpus.filter(col("doc_id") % 3 === b)
+        val nIn = batch.count()
+        val kept = Registry.minhashIngest(s, name, batch, "doc_id",
+          "text", b)
+        (b, nIn, kept.count())
+      }
+      import s.implicits._
+      rows.toDF("batch_no", "n_in", "n_kept")
+        .select(col("batch_no").cast("int"), col("n_in"), col("n_kept"))
+        .orderBy(col("batch_no"))
+    }),
+
     // Recall meter for the banded-hamming rule the near-dup registry
     // (q241) and simhashNearPairs run on: TRUTH = every pair at
     // hamming <= 20 (exact all-pairs over a BOUNDED slice — the
@@ -1088,6 +1126,52 @@ object DedupQueries extends QueryPack {
     // collapse, then survivor sets s0/s1/s2 chained by NOT EXISTS
     // against the accumulated registry under the shared-window +
     // hamming<=20 rule
+    // batch-chained MinHash-band survivor replay: signatures (8 md5
+    // minhashes over distinct 3-shingles), within-batch identical-
+    // signature collapse, then the band-share + >=6-of-8 match rule
+    // against each prior batch's survivors
+    "q249_minhash_registry" -> {
+      val mhs = (0 until 8).map(i => s"${minhashSql(i)} AS mh$i")
+        .mkString(", ")
+      val bandEq = (0 until 4).map(i =>
+        s"(g.mh${2 * i} = r.mh${2 * i} AND g.mh${2 * i + 1} = r.mh${2 * i + 1})")
+        .mkString("(", " OR ", ")")
+      val nMatch = (0 until 8)
+        .map(i => s"(CASE WHEN g.mh$i = r.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val rule = s"$bandEq AND ($nMatch) >= 6"
+      val cols = (0 until 8).map(i => s"mh$i").mkString(", ")
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300001, text || ' zz yy' FROM documents
+         |  WHERE doc_id < 40),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, $shingles AS sh, CAST(doc_id % 3 AS INT) AS b
+         |  FROM corpus),
+         |mh AS MATERIALIZED (SELECT doc_id, b, $mhs FROM sh),
+         |rep AS MATERIALIZED (
+         |  SELECT b, $cols, min(doc_id) AS doc_id
+         |  FROM mh GROUP BY b, $cols),
+         |s0 AS MATERIALIZED (SELECT * FROM rep WHERE b = 0),
+         |s1 AS MATERIALIZED (SELECT r.* FROM rep r
+         |      WHERE r.b = 1 AND NOT EXISTS (
+         |        SELECT 1 FROM s0 g WHERE $rule)),
+         |reg2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |s2 AS MATERIALIZED (SELECT r.* FROM rep r
+         |      WHERE r.b = 2 AND NOT EXISTS (
+         |        SELECT 1 FROM reg2 g WHERE $rule)),
+         |i AS (SELECT CAST(doc_id % 3 AS INT) AS batch_no,
+         |        count(*) AS n_in
+         |      FROM corpus GROUP BY 1),
+         |k AS (SELECT 0 AS batch_no, count(*) AS n_kept FROM s0
+         |      UNION ALL SELECT 1, count(*) FROM s1
+         |      UNION ALL SELECT 2, count(*) FROM s2)
+         |SELECT i.batch_no, CAST(i.n_in AS BIGINT) AS n_in,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept
+         |FROM i JOIN k ON i.batch_no = k.batch_no
+         |ORDER BY i.batch_no""".stripMargin
+    },
     "q241_near_registry" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -511,6 +511,74 @@ class RegistrySpec extends SparkSpec {
       "completed compact must consume the staging dir")
   }
 
+  test("minhashIngest: exact and shingle-overlap copies drop against " +
+      "history, novel docs survive; within-batch identical signatures " +
+      "collapse; replay returns original survivors; marker stamps " +
+      "(k, bands) and guards attach") {
+    val name = "graft_test_mreg"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_mreg/basic"
+    Registry.createMinhash(spark, name, path, buckets = 4, k = 8,
+      bands = 4)
+    val long = (1 to 60).map(i => s"mk$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zz$i").mkString(" ")
+    // batch 0: two distinct docs + an exact copy of the first
+    // (within-batch identical-signature collapse to the min id)
+    val k0 = Registry.minhashIngest(spark, name,
+      Seq((11L, long), (10L, long), (12L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(k0 == Set(10L, 12L))
+    // batch 1: exact copy (8/8 matches — always drops), a local edit
+    // (one token changed in 60 → most shingles shared; adjudicated by
+    // the deterministic est rule, replayed below from published
+    // signatures), and a novel doc
+    val near = ((1 to 30).map(i => s"mk$i") ++ Seq("EDIT") ++
+      (32 to 60).map(i => s"mk$i")).mkString(" ")
+    val novel = (1 to 60).map(i => s"qq$i").mkString(" ")
+    val k1 = Registry.minhashIngest(spark, name,
+      Seq((20L, long), (21L, near), (22L, novel)).toDF("doc_id", "text"),
+      "doc_id", "text", 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!k1.contains(20L), "exact copy must drop (8/8 positions)")
+    assert(k1.contains(22L), "novel doc must survive")
+    // the near doc's verdict replayed from the OPERATOR's own rule:
+    // shares a band with a registered sig AND >= 6 of 8 positions
+    def sig(t: String) = Seq((0L, t)).toDF("doc_id", "text")
+      .select(Dedup.minhashSignatureFast(Dedup.shingles($"text", 3), 8))
+      .as[Seq[String]].head()
+    val (sN, sL, sO) = (sig(near), sig(long), sig(other))
+    def bandShared(a: Seq[String], b: Seq[String]) =
+      (0 until 4).exists(i => a(2 * i) == b(2 * i) &&
+        a(2 * i + 1) == b(2 * i + 1))
+    def matches(a: Seq[String], b: Seq[String]) =
+      a.zip(b).count { case (x, y) => x == y }
+    val nearDrops = Seq(sL, sO).exists(g =>
+      bandShared(sN, g) && matches(sN, g) >= 6)
+    assert(k1.contains(21L) != nearDrops,
+      s"near verdict must follow the band+est rule (drops=$nearDrops)")
+    // replay: same batch number returns the ORIGINAL survivors and
+    // appends nothing
+    val rows = spark.table(name).count()
+    val k1r = Registry.minhashIngest(spark, name,
+      Seq((20L, long), (21L, near), (22L, novel)).toDF("doc_id", "text"),
+      "doc_id", "text", 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(k1r == k1 && spark.table(name).count() == rows)
+    // marker: (k, bands) stamped; attach validates family
+    Registry.attachMinhash(spark, "graft_test_mreg_b", path, 4)
+    assert(spark.table("graft_test_mreg_b").count() == rows)
+    intercept[IllegalArgumentException] {
+      Registry.attachNear(spark, "graft_test_mreg_c", path, 4)
+    }
+    // a probe that no band could even propose is a caller error
+    intercept[IllegalArgumentException] {
+      Registry.minhashIngest(spark, name,
+        Seq((30L, long)).toDF("doc_id", "text"), "doc_id", "text", 2,
+        minMatches = 1)
+    }
+  }
+
   test("recoverCompact restores a registry whose compaction died " +
       "between the two swap renames; no-ops on an intact registry") {
     val name = "graft_test_reg_recover"
