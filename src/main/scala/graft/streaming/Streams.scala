@@ -510,6 +510,24 @@ object Streams {
       }
       .start()
 
+  /** [[registryMaintStream]]'s MINHASH sibling: each micro-batch
+    * runs [[graft.dedup.Registry.minhashIngest]] against the
+    * band-bucketed signature registry — the q249 Jaccard lane driven
+    * by a stream, micro-batch ids as batch numbers (replay-safe like
+    * the rest of the family).
+    */
+  def minhashRegistryMaintStream(docs: DataFrame, idCol: String,
+      textCol: String, registryName: String, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        handler(graft.dedup.Registry.minhashIngest(batch.sparkSession,
+          registryName, batch, idCol, textCol, id.toInt), id)
+      }
+      .start()
+
   /** The FULL incremental-curate chain as an ingestion stream — the
     * per-modality maintenance streams above composed the way a
     * production feed runs them: each micro-batch flows through

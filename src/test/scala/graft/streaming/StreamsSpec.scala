@@ -787,6 +787,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashRegistryMaintStream: streamed Jaccard dedup rejects " +
+      "re-ingested exact copies, keeps novel docs") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft-mreg-stream").toString
+    val name = "graft_stream_mreg_spec"
+    graft.dedup.Registry.createMinhash(spark, name, s"$base/reg",
+      buckets = 4)
+    val q = Streams.minhashRegistryMaintStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      name, s"$base/chk")()
+    try {
+      val long = (1 to 60).map(i => s"sm$i").mkString(" ")
+      val other = (1 to 60).map(i => s"qq$i").mkString(" ")
+      input.addData((10L, long), (11L, other)); q.processAllAvailable()
+      // batch 2: exact copy of 10 (8/8 signature agreement) must be
+      // rejected by history
+      input.addData((20L, long)); q.processAllAvailable()
+      val reg = spark.table(name).select($"doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(reg == Set(10L, 11L))
+    } finally q.stop()
+  }
+
   test("vecRegistryMaintStream: streamed vector dedup rejects re-ingested copies") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
