@@ -723,21 +723,42 @@ object Registry {
     * returns (doc_id, sig). `batchNo` follows the object-level
     * batch-number contract (probe self-exclusion ⇒ replay-safe).
     */
-  def minhashIngest(spark: SparkSession, name: String, batch: DataFrame,
-      idCol: String, textCol: String, batchNo: Int,
-      minMatches: Int = 6, shingleW: Int = 3): DataFrame = {
+  /** The (k, bands) a minhash registry was created with — read from
+    * the marker, the physical contract a caller deriving signatures
+    * in its own projection (the one-text-scan pipelines) must sign
+    * with.
+    */
+  def minhashParams(spark: SparkSession, name: String): (Int, Int) = {
     val loc = tableLocation(spark, name)
     val info = readMarker(
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
-    val k = info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8)
-    val bands = info.flatMap(_.extras.get("bands")).map(_.toInt)
-      .getOrElse(4)
+    (info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8),
+      info.flatMap(_.extras.get("bands")).map(_.toInt).getOrElse(4))
+  }
+
+  def minhashIngest(spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, batchNo: Int,
+      minMatches: Int = 6, shingleW: Int = 3): DataFrame = {
+    val (k, _) = minhashParams(spark, name)
+    minhashIngestSigs(spark, name,
+      batch.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.minhashSignatureFast(
+          Dedup.shingles(col(textCol), shingleW), k).as("sig")),
+      batchNo, minMatches)
+  }
+
+  /** [[minhashIngest]] over PRECOMPUTED signatures — `sigs` must be
+    * (doc_id, sig) with sig the k-value signature at the MARKER's k
+    * ([[minhashParams]]). Same single-scan rationale as
+    * [[ingestDigests]], same replay-safe self-exclusion.
+    */
+  def minhashIngestSigs(spark: SparkSession, name: String,
+      sigs: DataFrame, batchNo: Int, minMatches: Int = 6): DataFrame = {
+    val loc = tableLocation(spark, name)
+    val (k, bands) = minhashParams(spark, name)
     require(minMatches >= k / bands,
       s"minMatches=$minMatches below one band's $k/$bands positions " +
         "would drop docs no band can even propose")
-    val sigs = batch.select(col(idCol).cast("long").as("doc_id"),
-      Dedup.minhashSignatureFast(
-        Dedup.shingles(col(textCol), shingleW), k).as("sig"))
     withLock(spark, loc.toString) {
       val reps = sigs.groupBy(col("sig"))
         .agg(min(col("doc_id")).as("doc_id"))

@@ -185,7 +185,7 @@ object Pipelines {
     */
   final case class IngestBatchResult(survivors: DataFrame,
       nIn: Long, nQuality: Long, nExact: Long, nNear: Long,
-      nVec: Long, nClean: Long)
+      nVec: Long, nClean: Long, nMinhash: Long = -1L)
 
   /** Incremental-curate driver — ONE new batch through the whole
     * registry family in one call: quality floor → exact-digest
@@ -220,6 +220,12 @@ object Pipelines {
     * missed — re-encoded or paraphrased copies sharing an embedding.
     * Rows with a NULL embedding skip the lane and survive on their
     * text verdicts alone (documented convention, r13 advisory #1).
+    * An optional MINHASH lane (`minhashReg` naming a
+    * [[graft.dedup.Registry.createMinhash]] table) slots between the
+    * SimHash and vector stages — Jaccard/set-overlap duplicates, the
+    * q249 rule — with its signature derived in the same single text
+    * scan at the registry's stamped (k, bands); `nMinhash` reports
+    * its survivors (−1 when the lane is off).
     *
     * REPLAY-IDEMPOTENT under the registry batch-number contract
     * ([[graft.dedup.Registry]]): re-running a batch under the SAME
@@ -236,10 +242,16 @@ object Pipelines {
       bench: DataFrame, benchTextCol: String, batchNo: Int,
       minChars: Int = 100, n: Int = 3,
       vecReg: Option[String] = None, vecCol: Option[String] = None,
-      tables: Int = 2, maxHamming: Int = 20): IngestBatchResult = {
+      tables: Int = 2, maxHamming: Int = 20,
+      minhashReg: Option[String] = None,
+      minMatches: Int = 6): IngestBatchResult = {
     import graft.dedup.Registry
     require(vecReg.isDefined == vecCol.isDefined,
       "vecReg and vecCol come together (the vector lane needs both)")
+    // the minhash lane signs with the REGISTRY's (k, bands) — read
+    // before the one-text-scan projection so the signature derives
+    // in the same pass as every other text-dependent column
+    val minK = minhashReg.map(r => Registry.minhashParams(spark, r)._1)
     val toks = TextFunctions.tokens(col(textCol))
     // THE one batch-text scan: every text-derived column in one
     // projection, eagerly pinned (localCheckpoint severs lineage, so
@@ -250,7 +262,9 @@ object Pipelines {
         TextFunctions.contentHash(col(textCol)).as("h") +:
         Dedup.simhash60(toks).as("simhash") +:
         array_distinct(TextFunctions.ngramsFast(toks, n)).as("__grams") +:
-        vecCol.toSeq.map(c => col(c).as("__vec"))): _*)
+        (vecCol.toSeq.map(c => col(c).as("__vec")) ++
+          minK.toSeq.map(k => Dedup.minhashSignatureFast(
+            Dedup.shingles(col(textCol), 3), k).as("__msig")))): _*)
       .localCheckpoint()
     // funnel counts ride the pinned/checkpointed frames instead of
     // re-executing the stage joins: nIn + nQuality in ONE aggregate
@@ -280,6 +294,21 @@ object Pipelines {
       Seq("doc_id"), "left_semi")
     val nNear = keptNear.count()
 
+    // optional Jaccard lane (the q249 registry) between the SimHash
+    // and vector lanes: catches set-overlap duplicates whose hamming
+    // distance passed the near gate — enabled when the caller
+    // maintains a minhash registry; the signature derives in the one
+    // text scan above at the registry's own (k, bands)
+    val (jac, nMinhash) = minhashReg match {
+      case Some(reg) =>
+        val keptM = Registry.minhashIngestSigs(spark, reg,
+          near.select(col("doc_id"), col("__msig").as("sig")),
+          batchNo, minMatches)
+        (near.join(keptM.select(col("doc_id")), Seq("doc_id"),
+          "left_semi"), keptM.count())
+      case None => (near, -1L)
+    }
+
     val (vec, nVec) = vecReg match {
       case Some(reg) =>
         // a doc with a NULL embedding cannot probe the vector lane
@@ -288,16 +317,16 @@ object Pipelines {
         // through the vec gate; null-embedding near-survivors rejoin
         // the survivor set unchanged — unique TEXT with a missing
         // embedding stays a survivor, documented convention
-        val withV = near.filter(col("__vec").isNotNull)
+        val withV = jac.filter(col("__vec").isNotNull)
         val keptVec = Registry.vecIngest(spark, reg,
           withV.select(col("doc_id"), col("__vec")), "doc_id", "__vec",
           batchNo)
-        val noVec = near.filter(col("__vec").isNull)
+        val noVec = jac.filter(col("__vec").isNull)
         (withV.join(keptVec.select(col("vec_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
           .unionByName(noVec),
           keptVec.count() + noVec.count())
-      case None => (near, nNear)
+      case None => (jac, if (nMinhash >= 0L) nMinhash else nNear)
     }
 
     // decontamination: any shared distinct n-gram with the benchmark
@@ -316,7 +345,8 @@ object Pipelines {
       .select(col("doc_id"), col("h"), col("simhash"))
     val nClean = clean.count()
 
-    IngestBatchResult(clean, nIn, nQuality, nExact, nNear, nVec, nClean)
+    IngestBatchResult(clean, nIn, nQuality, nExact, nNear, nVec,
+      nClean, nMinhash)
   }
 
   /** Temperature-based mixture resampling (the α=0.5 data-mixing
@@ -429,7 +459,7 @@ object PipelineDriver {
     */
   def runIngest(spark: SparkSession, docs: DataFrame, out: String,
       regBase: String, buckets: Int, batchNo: Int,
-      bench: Option[DataFrame]): Boolean = {
+      bench: Option[DataFrame], minhash: Boolean = false): Boolean = {
     import graft.dedup.Registry
     val committed = new org.apache.hadoop.fs.Path(
       s"$regBase/_committed/batch_$batchNo")
@@ -454,12 +484,16 @@ object PipelineDriver {
     if (hasVec) ensure("graft_cli_vc", s"$regBase/vc",
       Registry.createVec(spark, _, _, buckets),
       Registry.attachVec(spark, _, _, buckets))
+    if (minhash) ensure("graft_cli_mh", s"$regBase/mh",
+      Registry.createMinhash(spark, _, _, buckets),
+      Registry.attachMinhash(spark, _, _, buckets))
     val r = Pipelines.ingestBatch(spark, docs, "doc_id", "text",
       "graft_cli_ex", "graft_cli_nr",
       bench.getOrElse(docs.limit(0)), "text", batchNo,
       minChars = 100,
       vecReg = if (hasVec) Some("graft_cli_vc") else None,
-      vecCol = if (hasVec) Some("embedding") else None)
+      vecCol = if (hasVec) Some("embedding") else None,
+      minhashReg = if (minhash) Some("graft_cli_mh") else None)
     println(s"[ingest] batch=$batchNo in=${r.nIn} q=${r.nQuality} " +
       s"exact=${r.nExact} near=${r.nNear} vec=${r.nVec} " +
       s"clean=${r.nClean}")
@@ -578,7 +612,8 @@ object PipelineDriver {
           buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt,
           batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt,
           bench = sys.env.get("SPARK_GRAFT_BENCH")
-            .map(spark.read.parquet(_)))
+            .map(spark.read.parquet(_)),
+          minhash = sys.env.contains("SPARK_GRAFT_MINHASH"))
         spark.stop()
         return
       case other => sys.error(s"unknown pipeline: $other")

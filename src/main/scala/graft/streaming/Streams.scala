@@ -552,7 +552,8 @@ object Streams {
   def ingestStream(docs: DataFrame, idCol: String, textCol: String,
       exactReg: String, nearReg: String, bench: DataFrame,
       benchTextCol: String, checkpoint: String, minChars: Int = 100,
-      vecReg: Option[String] = None, vecCol: Option[String] = None)(
+      vecReg: Option[String] = None, vecCol: Option[String] = None,
+      minhashReg: Option[String] = None)(
       handler: (graft.pipeline.Pipelines.IngestBatchResult, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -561,7 +562,7 @@ object Streams {
         handler(graft.pipeline.Pipelines.ingestBatch(
           batch.sparkSession, batch, idCol, textCol, exactReg, nearReg,
           bench, benchTextCol, id.toInt, minChars,
-          vecReg = vecReg, vecCol = vecCol), id)
+          vecReg = vecReg, vecCol = vecCol, minhashReg = minhashReg), id)
       }
       .start()
 

@@ -230,6 +230,75 @@ class IngestBatchSpec extends SparkSpec {
       == Set(1L, 10L), "near stage completes on the retry")
   }
 
+  test("the optional MINHASH lane slots between near and vec: the " +
+      "4-lane chain equals manual per-lane composition on separate " +
+      "registries, and the signature derives in the one text scan") {
+    val (ex, nr, vc) = freshRegs("mh4")
+    val mh = "graft_ib_mh_mh4"
+    Registry.createMinhash(spark, mh, s"$tmp/graft_ib/mh4/mh", 4)
+    // the MANUAL ground-truth chain runs on its own registries
+    val (ex2, nr2, vc2) = freshRegs("mh4b")
+    val mh2 = "graft_ib_mh_mh4b"
+    Registry.createMinhash(spark, mh2, s"$tmp/graft_ib/mh4b/mh", 4)
+    val bench = Seq((0L, longText("bench"))).toDF("doc_id", "text")
+    val a = longText("ja")
+    // batch 0 seeds; batch 1 mixes exact / near / jaccard-ish /
+    // vec-twin / novel candidates — verdicts come from the LANES
+    // themselves, not hand-assumed
+    val b0 = Seq((1L, a, vec(1)), (2L, longText("jb"), vec(2)))
+    val edited = ((1 to 20).map(i => s"tkjax$i") ++ Seq("X1", "X2") ++
+      (23 to 30).map(i => s"tkjax$i")).mkString(" ")
+    val b1 = Seq(
+      (10L, a, vec(3)),
+      (11L, a.split(" ").reverse.mkString(" "), vec(4)),
+      (12L, edited, vec(5)),
+      (13L, longText("jc"), vec(1)),
+      (14L, longText("jd"), vec(6)))
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    // 4-lane chained driver
+    val rs = Seq(b0, b1).zipWithIndex.map { case (rows, b) =>
+      Pipelines.ingestBatch(spark, df(rows), "doc_id", "text", ex, nr,
+        bench, "text", b, minChars = 100, vecReg = Some(vc),
+        vecCol = Some("embedding"), minhashReg = Some(mh))
+    }
+    // manual composition: quality → exact → near → minhash → vec
+    // (empty bench keeps decontam a no-op in both paths)
+    val manual = Seq(b0, b1).zipWithIndex.map { case (rows, b) =>
+      val batch = df(rows).filter(length(col("text")) >= 100)
+      val kd = Registry.ingestDigests(spark, ex2,
+        batch.select(graft.text.TextFunctions.contentHash(col("text"))
+            .as("h"), col("doc_id").as("keep_id"))
+          .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id")), b)
+      val exact = batch.join(kd.select(col("h"),
+          col("keep_id").as("doc_id")).drop("h")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val kn = Registry.nearIngestSims(spark, nr2,
+        exact.select(col("doc_id"), graft.dedup.Dedup.simhash60(
+          graft.text.TextFunctions.tokens(col("text"))).as("simhash")), b)
+      val near = exact.join(kn.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val km = Registry.minhashIngest(spark, mh2, near, "doc_id",
+        "text", b)
+      val jac = near.join(km.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val kv = Registry.vecIngest(spark, vc2,
+        jac.select(col("doc_id"), col("embedding")), "doc_id",
+        "embedding", b)
+      jac.join(kv.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi").select(col("doc_id")).as[Long].collect().toSet
+    }
+    rs.zip(manual).zipWithIndex.foreach { case ((r, m), b) =>
+      val got = r.survivors.select($"doc_id").as[Long].collect().toSet
+      assert(got == m, s"batch $b: chain $got vs manual $m")
+      assert(r.nMinhash >= 0L && r.nMinhash >= r.nVec,
+        s"batch $b funnel order: nMinhash=${r.nMinhash} nVec=${r.nVec}")
+    }
+    // the chained driver's registries equal the manual ones
+    assert(spark.table(mh).count() == spark.table(mh2).count())
+    assert(spark.table(vc).count() == spark.table(vc2).count())
+  }
+
   test("replaying batches equals the from-scratch first-seen rule " +
       "on the union (ids increasing across batches)") {
     val (ex, nr, vc) = freshRegs("replay")
