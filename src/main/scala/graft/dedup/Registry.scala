@@ -45,19 +45,25 @@ import graft.text.TextFunctions
   * so replay == first attempt as long as prior batches' rows are
   * unchanged (the single-writer lease below guarantees exactly that).
   *
-  * == Single-writer lease ==
+  * == Single-writer lease (fenced) ==
   * Two concurrent ingests against one registry would both anti-join
   * the same old snapshot and both append — duplicate digests would
   * survive silently. Every mutating call (ingest, compact, rekey)
   * therefore takes a lease file (`<path>.lock`, a sibling of the
   * registry directory so compaction's directory swap cannot disturb
   * it) for its duration and fails LOUDLY if another writer holds it.
-  * A lease older than `staleMs` (default 30 min — longer than any
-  * sane ingest, shorter than a scheduler retry cycle) is presumed
-  * abandoned by a crashed writer and taken over. Lease acquisition
-  * is atomic create-no-overwrite — atomic on local/HDFS semantics;
-  * object stores without atomic create need an external lock
-  * service, the documented deployment caveat.
+  * A lease older than the stale horizon (marker-stamped `lease_ms`,
+  * default 30 min) is presumed abandoned by a crashed writer and
+  * taken over — atomically, via rename-aside (two racing takers
+  * cannot both win). The lease is FENCED (r14 verdict #1): the lock
+  * file carries the holder's token, every commit re-validates the
+  * token immediately before its `insertInto`/swap ([[validateLease]])
+  * so a live-but-slow writer that was usurped ABORTS rather than
+  * committing alongside the new holder, and release is owner-checked
+  * so the usurped writer's `finally` cannot delete the new holder's
+  * lease. Lease acquisition is atomic create-no-overwrite — atomic
+  * on local/HDFS semantics; object stores without atomic create need
+  * an external lock service, the documented deployment caveat.
   */
 object Registry {
 
@@ -189,24 +195,44 @@ object Registry {
   private def lockPath(dir: Path): Path =
     new Path(dir.getParent, dir.getName + ".lock")
 
+  /** A HELD single-writer lease — the fencing handle (r14 verdict
+    * #1). `token` (pid + nonce) was written into the lock file at
+    * acquisition; [[releaseLock]] deletes the lock only while the
+    * token still matches, and [[validateLease]] re-reads it
+    * immediately before every commit. A writer paused past the
+    * stale horizon (GC, an ingest that outgrew the horizon at real
+    * scale) whose lease was taken over therefore ABORTS at its
+    * commit point instead of committing alongside the new holder,
+    * and its `finally` release leaves the new holder's lease intact
+    * — the silent-duplicate interleaving is impossible by
+    * construction.
+    */
+  final case class Lease private[dedup] (dir: String, token: String)
+
   /** Acquire the registry's single-writer lease or fail loudly.
     * Atomic create-no-overwrite of the sibling `<dir>.lock` file; if
     * the lease exists and is younger than `staleMs` the second
     * writer gets an IllegalStateException naming the holder — the
     * concurrent-ingest hazard surfaced as an error instead of
     * silently-duplicated digests. A lease older than `staleMs` is
-    * presumed crashed and taken over (one retry).
+    * presumed crashed and taken over — ATOMICALLY (r14 ADVICE #1):
+    * the taker first renames the stale lock to a taker-unique name,
+    * and only the one writer whose rename succeeded proceeds to
+    * create; two racing takers can never each delete the other's
+    * fresh lock (the delete-then-create race the old path had).
     */
   def acquireLock(spark: SparkSession, path: String,
-      staleMs: Long = DefaultLeaseMs): Unit = {
+      staleMs: Long = DefaultLeaseMs): Lease = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lk = lockPath(dir)
+    val token =
+      s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lk, false)
-        out.write((s"pid=${ProcessHandle.current().pid()} " +
-          s"t=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        out.write((s"token=$token t=${System.currentTimeMillis()}\n")
+          .getBytes("UTF-8"))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -214,30 +240,100 @@ object Registry {
       val age = try {
         System.currentTimeMillis() - fs.getFileStatus(lk).getModificationTime
       } catch { case _: java.io.IOException => Long.MaxValue }
-      // the holder vanished between create and stat → retry covers it
-      if (age > staleMs) { fs.delete(lk, false); () }
-      if (age <= staleMs || !tryCreate())
+      val usurped = age > staleMs && {
+        val aside = new Path(lk.getParent, lk.getName + s".stale-$token")
+        val won =
+          try fs.rename(lk, aside)
+          catch { case _: java.io.IOException => false }
+        if (won) fs.delete(aside, false)
+        won
+      }
+      // !usurped covers both a live holder and a lost takeover race;
+      // a failed re-create means a third writer slipped in — equally
+      // "someone else holds it now"
+      if (!usurped || !tryCreate())
         throw new IllegalStateException(
           s"registry at '$path' is locked by another writer " +
             s"($lk, age ${age / 1000}s) — registries are " +
             "single-writer; serialize ingests or remove a stale lock")
     }
+    Lease(dir.toString, token)
   }
 
-  /** Release the single-writer lease (idempotent — a missing lock
-    * file is not an error, so crash-recovery paths can call it
-    * unconditionally).
+  /** Whether `lease` is still the lock file's current token. */
+  private def leaseHeld(spark: SparkSession, lease: Lease): Boolean = {
+    val dir = new Path(lease.dir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(lockPath(dir))
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.contains(s"token=${lease.token}")
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** The pre-commit fencing check: re-reads the lock file and throws
+    * if `lease`'s token is no longer the holder — i.e. this writer
+    * was presumed crashed and usurped while it was paused. Called
+    * immediately before EVERY registry-mutating commit (each
+    * `insertInto`, each compaction swap), so a usurped writer aborts
+    * with the registry exactly as the new holder left it.
     */
-  def releaseLock(spark: SparkSession, path: String): Unit = {
+  def validateLease(spark: SparkSession, lease: Lease): Unit =
+    if (!leaseHeld(spark, lease))
+      throw new IllegalStateException(
+        s"single-writer lease on '${lease.dir}' was usurped (lock " +
+          "token changed) — this writer exceeded the stale horizon " +
+          "and another writer took over; aborting before commit. " +
+          "Raise the registry's lease_ms if ingests legitimately " +
+          "run this long.")
+
+  /** Release a held lease — OWNER-CHECKED: deletes the lock file
+    * only while it still carries this lease's token, so a usurped
+    * writer's `finally` cannot remove the NEW holder's lease (the
+    * third-writer hole r14 flagged). Idempotent: a missing or
+    * foreign lock is left untouched.
+    */
+  def releaseLock(spark: SparkSession, lease: Lease): Unit =
+    if (leaseHeld(spark, lease)) {
+      val dir = new Path(lease.dir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(lockPath(dir), false)
+      ()
+    }
+
+  /** Forcibly remove a registry's lock file REGARDLESS of holder —
+    * the manual escape hatch for an operator who has verified the
+    * holder is dead. Never called by library code (which always
+    * releases through its own [[Lease]]).
+    */
+  def breakLock(spark: SparkSession, path: String): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(lockPath(dir), false)
     ()
   }
 
-  private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
-    acquireLock(spark, path)
-    try body finally releaseLock(spark, path)
+  /** The stale-lease horizon for the registry at `dir`: the marker's
+    * `lease_ms` stamp when the create recorded one (a per-registry
+    * decision — horizon should scale with expected ingest duration,
+    * which scales with the corpus), else [[DefaultLeaseMs]].
+    */
+  private def leaseHorizon(fs: FileSystem, dir: Path): Long =
+    (try readMarker(fs, dir) catch { case _: java.io.IOException => None })
+      .flatMap(_.extras.get("lease_ms")).map(_.toLong)
+      .getOrElse(DefaultLeaseMs)
+
+  private def withLock[T](spark: SparkSession, path: String)(
+      body: Lease => T): T = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNotRetired(
+      try readMarker(fs, dir) catch { case _: java.io.IOException => None },
+      dir)
+    val lease = acquireLock(spark, path, leaseHorizon(fs, dir))
+    try body(lease) finally releaseLock(spark, lease)
   }
 
   /** The table's physical location — the registry directory every
@@ -307,8 +403,9 @@ object Registry {
     // mismatch means the caller is attaching the wrong registry or
     // breaking the physical bucket layout — both silent corruptions
     // without this check (legacy empty markers skip it)
-    val info = readMarker(fs, p)
-      .getOrElse(MarkerInfo(family, buckets, Map.empty))
+    val rawInfo = readMarker(fs, p)
+    requireNotRetired(rawInfo, p)
+    val info = rawInfo.getOrElse(MarkerInfo(family, buckets, Map.empty))
     require(info.family == family && info.buckets == buckets,
       s"'$path' is a ${info.family} registry with ${info.buckets} " +
         s"buckets; attach requested $family/$buckets")
@@ -326,9 +423,10 @@ object Registry {
     * bucketed on the digest column `h`.
     */
   def create(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int, leaseMs: Long = DefaultLeaseMs): Unit = {
     prepareLocation(spark, name, path, "exact", buckets,
-      Map("schema" -> SchemaVersion.toString))
+      Map("schema" -> SchemaVersion.toString,
+        "lease_ms" -> leaseMs.toString))
     createTable(spark, name, path, buckets, ExactDdl, "h")
   }
 
@@ -433,7 +531,7 @@ object Registry {
   def ingestDigests(spark: SparkSession, name: String,
       digests: DataFrame, batchNo: Int): DataFrame = {
     val loc = tableLocation(spark, name)
-    withLock(spark, loc.toString) {
+    withLock(spark, loc.toString) { lease =>
       // NULL digests (md5 of a NULL text) are excluded WHOLE: a null
       // key never matches the anti-join, so without this filter every
       // batch would re-append its null-text rows as "fresh" forever —
@@ -456,6 +554,7 @@ object Registry {
       // a replay only appends what the crashed attempt missed;
       // insertInto keeps the table's bucket spec: rows hash to their
       // bucket files on write, so the layout contract survives appends
+      validateLease(spark, lease)
       kept.join(ownRows(spark, name, loc, batchNo).select(col("h")),
           Seq("h"), "left_anti")
         .write.mode(SaveMode.Append).insertInto(name)
@@ -542,7 +641,7 @@ object Registry {
     val live = tableLocation(spark, name)
     require(!live.toString.contains("'"),
       s"registry location must not contain a quote; got '$live'")
-    withLock(spark, live.toString) {
+    withLock(spark, live.toString) { lease =>
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new Path(live.getParent, live.getName + ".compact-tmp")
       fs.delete(tmp, true)
@@ -577,6 +676,7 @@ object Registry {
       val out = fs.create(new Path(tmp, Marker))
       out.write(markerBytes); out.close()
       if (!crashBeforeSwap) {
+        validateLease(spark, lease)
         val bak = new Path(live.getParent, live.getName + ".compact-old")
         fs.delete(bak, true)
         require(fs.rename(live, bak), s"rename $live -> $bak failed")
@@ -596,9 +696,10 @@ object Registry {
     * probes join the stored side exchange-free.
     */
   def createNear(spark: SparkSession, name: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int, leaseMs: Long = DefaultLeaseMs): Unit = {
     prepareLocation(spark, name, path, "near", buckets,
-      Map("schema" -> SchemaVersion.toString))
+      Map("schema" -> SchemaVersion.toString,
+        "lease_ms" -> leaseMs.toString))
     createTable(spark, name, path, buckets, NearDdl, "bucket")
   }
 
@@ -649,7 +750,7 @@ object Registry {
       sims: DataFrame, batchNo: Int, tables: Int = 2,
       maxHamming: Int = 20): DataFrame = {
     val loc = tableLocation(spark, name)
-    withLock(spark, loc.toString) {
+    withLock(spark, loc.toString) { lease =>
       val reps = sims
         .groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -668,6 +769,7 @@ object Registry {
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("simhash"))
         .localCheckpoint()
+      validateLease(spark, lease)
       windowKeys(kept, tables)
         .join(ownRows(spark, name, loc, batchNo)
           .select(col("w"), col("doc_id")),
@@ -703,11 +805,15 @@ object Registry {
     * `bands`/`k` exactly like the vec lane raises planes.
     */
   def createMinhash(spark: SparkSession, name: String, path: String,
-      buckets: Int, k: Int = 8, bands: Int = 4): Unit = {
+      buckets: Int, k: Int = 8, bands: Int = 4,
+      shingleW: Int = 3, leaseMs: Long = DefaultLeaseMs): Unit = {
     require(k % bands == 0, s"bands must divide k; got k=$k bands=$bands")
+    require(shingleW >= 1, s"shingleW must be >= 1; got $shingleW")
     prepareLocation(spark, name, path, "minhash", buckets,
       Map("schema" -> SchemaVersion.toString,
-        "k" -> k.toString, "bands" -> bands.toString))
+        "k" -> k.toString, "bands" -> bands.toString,
+        "w" -> shingleW.toString,
+        "lease_ms" -> leaseMs.toString))
     createTable(spark, name, path, buckets, MinDdl, "bucket")
   }
 
@@ -723,27 +829,39 @@ object Registry {
     * returns (doc_id, sig). `batchNo` follows the object-level
     * batch-number contract (probe self-exclusion ⇒ replay-safe).
     */
-  /** The (k, bands) a minhash registry was created with — read from
-    * the marker, the physical contract a caller deriving signatures
-    * in its own projection (the one-text-scan pipelines) must sign
-    * with.
+  /** The (k, bands, shingleW) a minhash registry was created with —
+    * read from the marker, the physical contract a caller deriving
+    * signatures in its own projection (the one-text-scan pipelines)
+    * must sign with. All three are baked into every stored
+    * signature: k/bands shape the band digests, and the SHINGLE
+    * WIDTH shapes the sets being hashed — a probe shingled at a
+    * different width signs incompatibly and silently re-admits
+    * every Jaccard duplicate (r14 ADVICE #4), so the width travels
+    * with the registry instead of living in caller defaults.
     */
-  def minhashParams(spark: SparkSession, name: String): (Int, Int) = {
+  final case class MinhashParams(k: Int, bands: Int, shingleW: Int)
+
+  def minhashParams(spark: SparkSession, name: String): MinhashParams = {
     val loc = tableLocation(spark, name)
     val info = readMarker(
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
-    (info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8),
-      info.flatMap(_.extras.get("bands")).map(_.toInt).getOrElse(4))
+    MinhashParams(
+      info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8),
+      info.flatMap(_.extras.get("bands")).map(_.toInt).getOrElse(4),
+      info.flatMap(_.extras.get("w")).map(_.toInt).getOrElse(3))
   }
 
+  /** Shingle width comes FROM THE MARKER (never a caller default) —
+    * see [[MinhashParams]].
+    */
   def minhashIngest(spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, batchNo: Int,
-      minMatches: Int = 6, shingleW: Int = 3): DataFrame = {
-    val (k, _) = minhashParams(spark, name)
+      minMatches: Int = 6): DataFrame = {
+    val p = minhashParams(spark, name)
     minhashIngestSigs(spark, name,
       batch.select(col(idCol).cast("long").as("doc_id"),
         Dedup.minhashSignatureFast(
-          Dedup.shingles(col(textCol), shingleW), k).as("sig")),
+          Dedup.shingles(col(textCol), p.shingleW), p.k).as("sig")),
       batchNo, minMatches)
   }
 
@@ -755,12 +873,23 @@ object Registry {
   def minhashIngestSigs(spark: SparkSession, name: String,
       sigs: DataFrame, batchNo: Int, minMatches: Int = 6): DataFrame = {
     val loc = tableLocation(spark, name)
-    val (k, bands) = minhashParams(spark, name)
+    val MinhashParams(k, bands, _) = minhashParams(spark, name)
     require(minMatches >= k / bands,
       s"minMatches=$minMatches below one band's $k/$bands positions " +
         "would drop docs no band can even propose")
-    withLock(spark, loc.toString) {
-      val reps = sigs.groupBy(col("sig"))
+    withLock(spark, loc.toString) { lease =>
+      // NULL signatures are excluded WHOLE — a null band bucket never
+      // matches the probe join, so such docs would otherwise survive
+      // and append fresh rows every batch forever (the ingestDigests
+      // null-h / vecIngest null-embedding hazard in MinHash form, r14
+      // ADVICE #3). Two null shapes exist: a null ARRAY (null shingle
+      // input) and an array of k NULLS (empty shingle set — array_min
+      // of nothing is null per position), so the guard requires at
+      // least one non-null position.
+      val reps = sigs
+        .filter(col("sig").isNotNull &&
+          size(filter(col("sig"), x => x.isNotNull)) > 0)
+        .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("doc_id"))
       val probes = reps.select(col("doc_id"), col("sig"),
           posexplode(Dedup.bandKeys(col("sig"), bands, k / bands)))
@@ -777,6 +906,7 @@ object Registry {
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sig"))
         .localCheckpoint()
+      validateLease(spark, lease)
       kept.select(col("doc_id"), col("sig"),
           posexplode(Dedup.bandKeys(col("sig"), bands, k / bands)))
         .join(ownRows(spark, name, loc, batchNo)
@@ -814,10 +944,12 @@ object Registry {
     * one O(registry) pass, no corpus access.
     */
   def createVec(spark: SparkSession, name: String, path: String,
-      buckets: Int, planes: Int = 16): Unit = {
+      buckets: Int, planes: Int = 16,
+      leaseMs: Long = DefaultLeaseMs): Unit = {
     prepareLocation(spark, name, path, "vec", buckets,
       Map("schema" -> SchemaVersion.toString,
-        "planes" -> planes.toString, "hash" -> RhpHashVersion))
+        "planes" -> planes.toString, "hash" -> RhpHashVersion,
+        "lease_ms" -> leaseMs.toString))
     createTable(spark, name, path, buckets, VecDdl, "sig")
   }
 
@@ -853,7 +985,7 @@ object Registry {
     // legacy pre-stamp markers fall back to the historical default
     val planes = info.flatMap(_.extras.get("planes")).map(_.toInt)
       .getOrElse(16)
-    withLock(spark, loc.toString) {
+    withLock(spark, loc.toString) { lease =>
       // NULL embeddings are excluded WHOLE (documented convention):
       // they carry no signature — the RHP kernel has nothing to hash —
       // and a null signature key would dodge every probe join forever
@@ -879,6 +1011,7 @@ object Registry {
       // explicit re-select after the join: the join key leads the
       // join output, and insertInto binds by POSITION — without this
       // the sig column would silently receive vec_id values
+      validateLease(spark, lease)
       kept.join(ownRows(spark, name, loc, batchNo).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
         .select(col("sig"), col("vec_id"), col("embedding"),
@@ -912,16 +1045,61 @@ object Registry {
     // new one. Lock order is source-then-destination, the documented
     // convention for any multi-registry operation.
     val srcLoc = tableLocation(spark, name)
-    withLock(spark, srcLoc.toString) {
+    // destination must be genuinely NEW (r14 ADVICE #2): createVec's
+    // prepareLocation recursively deletes a marker-bearing directory,
+    // so newPath == source would destroy the registry before the
+    // insert reads it — silent total data loss. Compare QUALIFIED
+    // paths so relative/absolute spellings of the same dir are caught.
+    val fs = srcLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(newName != name,
+      s"rekeyVec destination name must differ from the source; got '$name'")
+    require(fs.makeQualified(new Path(newPath)) != fs.makeQualified(srcLoc),
+      s"rekeyVec destination path must differ from the source " +
+        s"registry's location '$srcLoc'")
+    withLock(spark, srcLoc.toString) { srcLease =>
       createVec(spark, newName, newPath, buckets, planes = newPlanes)
-      withLock(spark, tableLocation(spark, newName).toString) {
+      withLock(spark, tableLocation(spark, newName).toString) { _ =>
+        validateLease(spark, srcLease)
         spark.table(name)
           .select(Ann.rhpSignature(col("embedding"), newPlanes).as("sig"),
             col("vec_id"), col("embedding"), col("batch_no"))
           .write.mode(SaveMode.Append).insertInto(newName)
       }
+      validateLease(spark, srcLease)
+      // tombstone the SOURCE (r14 verdict #2): a stale job config
+      // still pointing at the old path would otherwise keep ingesting
+      // successfully — and those digests never reach the successor
+      // (split-brain across the migration). The stamp makes every
+      // later attach/ingest/compact of the source fail NAMING the
+      // successor; it lands only after the copy is fully committed,
+      // so a crash mid-rekey leaves the source live and the partial
+      // destination recreatable by re-running the rekey.
+      markRetired(fs, srcLoc, newPath)
     }
   }
+
+  /** Stamp `retired=<successor>` into a registry's marker — every
+    * later [[attach]]-family call and every mutating call
+    * ([[withLock]] guards them all) fails naming the successor.
+    */
+  private def markRetired(fs: FileSystem, root: Path,
+      successor: String): Unit = {
+    require(!successor.exists(_.isWhitespace),
+      s"successor path must not contain whitespace; got '$successor'")
+    val info = readMarker(fs, root).getOrElse(
+      throw new IllegalStateException(s"no marker at '$root'"))
+    writeMarker(fs, root, info.family, info.buckets,
+      info.extras + ("retired" -> successor))
+  }
+
+  private def requireNotRetired(info: Option[MarkerInfo],
+      where: Path): Unit =
+    info.flatMap(_.extras.get("retired")).foreach { succ =>
+      throw new IllegalStateException(
+        s"registry at '$where' was retired by a rekey — its live " +
+          s"successor is '$succ'; point the job there (historical " +
+          "verdicts were migrated; ingesting here would split-brain)")
+    }
 
   /** Recover a registry whose compaction crashed BETWEEN the two
     * swap renames — the one metadata-only window [[compact]] leaves:

@@ -248,10 +248,13 @@ object Pipelines {
     import graft.dedup.Registry
     require(vecReg.isDefined == vecCol.isDefined,
       "vecReg and vecCol come together (the vector lane needs both)")
-    // the minhash lane signs with the REGISTRY's (k, bands) — read
-    // before the one-text-scan projection so the signature derives
-    // in the same pass as every other text-dependent column
-    val minK = minhashReg.map(r => Registry.minhashParams(spark, r)._1)
+    // the minhash lane signs with the REGISTRY's (k, bands, shingle
+    // width) — ALL read from the marker (r14 ADVICE #4: a hardcoded
+    // width drifts from a registry maintained at another width and
+    // silently re-admits every Jaccard duplicate) — before the
+    // one-text-scan projection so the signature derives in the same
+    // pass as every other text-dependent column
+    val minP = minhashReg.map(r => Registry.minhashParams(spark, r))
     val toks = TextFunctions.tokens(col(textCol))
     // THE one batch-text scan: every text-derived column in one
     // projection, eagerly pinned (localCheckpoint severs lineage, so
@@ -263,8 +266,9 @@ object Pipelines {
         Dedup.simhash60(toks).as("simhash") +:
         array_distinct(TextFunctions.ngramsFast(toks, n)).as("__grams") +:
         (vecCol.toSeq.map(c => col(c).as("__vec")) ++
-          minK.toSeq.map(k => Dedup.minhashSignatureFast(
-            Dedup.shingles(col(textCol), 3), k).as("__msig")))): _*)
+          minP.toSeq.map(p => Dedup.minhashSignatureFast(
+            Dedup.shingles(col(textCol), p.shingleW), p.k)
+            .as("__msig")))): _*)
       .localCheckpoint()
     // funnel counts ride the pinned/checkpointed frames instead of
     // re-executing the stage joins: nIn + nQuality in ONE aggregate

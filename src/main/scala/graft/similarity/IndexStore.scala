@@ -26,11 +26,16 @@ object IndexStore {
     * artifact root: an append racing a compaction's directory swap
     * would either vanish from the staged copy or fail mid-rename,
     * and two appends of overlapping ids would double-count in ADC.
-    * Same semantics: loud failure while held, 30-min stale takeover.
+    * Same semantics: loud failure while held, 30-min stale takeover,
+    * and the same FENCING — release is owner-checked, and the append
+    * paths re-validate the token immediately before their write, so
+    * a usurped writer aborts instead of double-appending.
     */
-  private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
-    graft.dedup.Registry.acquireLock(spark, path)
-    try body finally graft.dedup.Registry.releaseLock(spark, path)
+  private def withLock[T](spark: SparkSession, path: String)(
+      body: graft.dedup.Registry.Lease => T): T = {
+    val lease = graft.dedup.Registry.acquireLock(spark, path)
+    try body(lease)
+    finally graft.dedup.Registry.releaseLock(spark, lease)
   }
 
   /** Persist a PQ index: codebooks (m·k rows), codes (m per vector),
@@ -40,7 +45,7 @@ object IndexStore {
       dim: Int, m: Int, quantScale: Double): Unit = {
     val spark = cents.sparkSession
     import spark.implicits._
-    withLock(spark, path) {
+    withLock(spark, path) { _ =>
     Seq((dim, m, quantScale)).toDF("dim", "m", "quant_scale")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -78,7 +83,7 @@ object IndexStore {
       roundTo: Int): Unit = {
     val spark = cents.sparkSession
     import spark.implicits._
-    withLock(spark, path) {
+    withLock(spark, path) { _ =>
     Seq(roundTo).toDF("round_to")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -117,11 +122,13 @@ object IndexStore {
     */
   def appendPq(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): DataFrame = withLock(spark, path) {
+      lease =>
     val meta = spark.read.parquet(s"$path/meta").head()
     val cents = spark.read.parquet(s"$path/codebooks")
     val newCodes = Pq.encodeWith(cents, batch, idCol, vecCol,
       meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
       meta.getAs[Double]("quant_scale"))
+    graft.dedup.Registry.validateLease(spark, lease)
     newCodes.repartition(col("__s"), col("__cid"))
       .write.mode(SaveMode.Append).parquet(s"$path/codes")
     newCodes
@@ -150,7 +157,8 @@ object IndexStore {
   }
 
   private def compactDir(spark: SparkSession, dir: String,
-      keys: Seq[String], crashBeforeSwap: Boolean): Unit = {
+      keys: Seq[String], crashBeforeSwap: Boolean,
+      preSwap: () => Unit = () => ()): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(live.getParent,
@@ -160,7 +168,7 @@ object IndexStore {
     // no pinned-in-memory-only state
     spark.read.parquet(dir).repartition(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!crashBeforeSwap) swapDirs(fs, live, tmp)
+    if (!crashBeforeSwap) { preSwap(); swapDirs(fs, live, tmp) }
   }
 
   /** Compact a PQ artifact's code table: each [[appendPq]] lays a
@@ -171,16 +179,18 @@ object IndexStore {
     * INDEX (never the corpus), CRASH-SAFE via [[swapDirs]].
     */
   def compactPq(spark: SparkSession, path: String): Unit =
-    withLock(spark, path) {
+    withLock(spark, path) { lease =>
       compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
-        crashBeforeSwap = false)
+        crashBeforeSwap = false,
+        preSwap = () => graft.dedup.Registry.validateLease(spark, lease))
     }
 
   /** [[compactPq]] for an IVF artifact's inverted file. */
   def compactIvf(spark: SparkSession, path: String): Unit =
-    withLock(spark, path) {
+    withLock(spark, path) { lease =>
       compactDir(spark, s"$path/inverted", Seq("cent_id"),
-        crashBeforeSwap = false)
+        crashBeforeSwap = false,
+        preSwap = () => graft.dedup.Registry.validateLease(spark, lease))
     }
 
   /** Crash-injection twins for IndexStoreSpec: stop after the staged
@@ -189,14 +199,14 @@ object IndexStore {
     */
   private[graft] def compactPqStaged(spark: SparkSession,
       path: String): Unit =
-    withLock(spark, path) {
+    withLock(spark, path) { _ =>
       compactDir(spark, s"$path/codes", Seq("__s", "__cid"),
         crashBeforeSwap = true)
     }
 
   private[graft] def compactIvfStaged(spark: SparkSession,
       path: String): Unit =
-    withLock(spark, path) {
+    withLock(spark, path) { _ =>
       compactDir(spark, s"$path/inverted", Seq("cent_id"),
         crashBeforeSwap = true)
     }
@@ -209,10 +219,12 @@ object IndexStore {
     */
   def appendIvf(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String): DataFrame = withLock(spark, path) {
+      lease =>
     val meta = spark.read.parquet(s"$path/meta").head()
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = Ann.ivfAssign(cents, batch, idCol, vecCol,
       meta.getAs[Int]("round_to"))
+    graft.dedup.Registry.validateLease(spark, lease)
     assigned.repartition(col("cent_id"))
       .write.mode(SaveMode.Append).parquet(s"$path/inverted")
     assigned

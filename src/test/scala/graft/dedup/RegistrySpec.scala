@@ -445,18 +445,18 @@ class RegistrySpec extends SparkSpec {
       "a stale lease is taken over, release is idempotent") {
     val (name, path) = freshReg("lock")
     val b = Seq((1L, "x")).toDF("doc_id", "text")
-    Registry.acquireLock(spark, path) // another writer holds the lease
+    val held = Registry.acquireLock(spark, path) // another writer
     val e = intercept[IllegalStateException] {
       Registry.ingest(spark, name, b, "doc_id", "text", 0)
     }
     assert(e.getMessage.contains("locked by another writer"))
     assert(spark.table(name).count() == 0L, "failed writer must not append")
-    Registry.releaseLock(spark, path)
+    Registry.releaseLock(spark, held)
     assert(Registry.ingest(spark, name, b, "doc_id", "text", 0)
       .count() == 1L, "ingest proceeds once the lease is free")
     // stale lease (crashed writer): backdate the lock file beyond the
     // lease horizon — the next writer takes over instead of wedging
-    Registry.acquireLock(spark, path)
+    val crashed = Registry.acquireLock(spark, path)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val lk = new org.apache.hadoop.fs.Path(
@@ -468,7 +468,45 @@ class RegistrySpec extends SparkSpec {
       Seq((2L, "y")).toDF("doc_id", "text"), "doc_id", "text", 1)
       .count() == 1L, "stale lease must be taken over")
     assert(!fs.exists(lk), "takeover ingest must release its lease")
-    Registry.releaseLock(spark, path) // idempotent on a missing lock
+    Registry.releaseLock(spark, crashed) // idempotent on a missing lock
+  }
+
+  test("lease fencing: a usurped writer's commit gate ABORTS and its " +
+      "release leaves the new holder's lease intact") {
+    val (_, path) = freshReg("fence")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lk = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).getParent,
+      new org.apache.hadoop.fs.Path(path).getName + ".lock")
+    // writer A acquires, then stalls past the horizon (a giant GC, an
+    // ingest that outgrew the horizon): simulate by backdating A's lock
+    val a = Registry.acquireLock(spark, path)
+    Registry.validateLease(spark, a) // live and unchallenged — passes
+    val old = System.currentTimeMillis() - Registry.DefaultLeaseMs - 60000L
+    fs.setTimes(lk, old, old)
+    // writer B observes a stale lease and takes over (atomically)
+    val bLease = Registry.acquireLock(spark, path)
+    // A wakes up at its commit point: the fencing check must ABORT it
+    val e = intercept[IllegalStateException] {
+      Registry.validateLease(spark, a)
+    }
+    assert(e.getMessage.contains("usurped"),
+      "the usurped writer's pre-commit validation must abort")
+    // A's finally-release must NOT delete B's lease (the third-writer
+    // hole: an unconditional delete would let writer C in beside B)
+    Registry.releaseLock(spark, a)
+    assert(fs.exists(lk), "usurped release must leave the holder's lock")
+    Registry.validateLease(spark, bLease) // B still holds
+    // a third writer is still excluded while B holds
+    intercept[IllegalStateException] { Registry.acquireLock(spark, path) }
+    Registry.releaseLock(spark, bLease)
+    assert(!fs.exists(lk), "owner release removes the lock")
+    // breakLock is the manual escape hatch — unconditional
+    val c = Registry.acquireLock(spark, path)
+    Registry.breakLock(spark, path)
+    assert(!fs.exists(lk))
+    Registry.releaseLock(spark, c) // no-op: token no longer present
   }
 
   test("compact crash before the swap leaves the live registry intact " +
@@ -725,5 +763,113 @@ class RegistrySpec extends SparkSpec {
     val kept = Registry.ingest(spark, name, b, "doc_id", "text", 0)
     // consuming AFTER the append must still show the survivors
     assert(kept.count() == 2L)
+  }
+
+  test("rekeyVec refuses a destination equal to the source (name or " +
+      "path) — prepareLocation would destroy the registry it is " +
+      "about to read") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    Registry.createVec(spark, "graft_test_vreg_selfrk",
+      s"$tmp/graft_test_vreg/selfrk", 4, planes = 8)
+    Registry.vecIngest(spark, "graft_test_vreg_selfrk",
+      Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0)
+    intercept[IllegalArgumentException] {
+      Registry.rekeyVec(spark, "graft_test_vreg_selfrk",
+        "graft_test_vreg_selfrk2", s"$tmp/graft_test_vreg/selfrk", 4,
+        newPlanes = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Registry.rekeyVec(spark, "graft_test_vreg_selfrk",
+        "graft_test_vreg_selfrk", s"$tmp/graft_test_vreg/selfrk_b", 4,
+        newPlanes = 16)
+    }
+    // the refused rekey must leave the source fully alive
+    assert(spark.table("graft_test_vreg_selfrk").count() == 1L)
+  }
+
+  test("rekeyVec tombstones the source: later attach and ingest fail " +
+      "naming the successor (split-brain across the migration is " +
+      "impossible)") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val srcPath = s"$tmp/graft_test_vreg/tomb8"
+    val dstPath = s"$tmp/graft_test_vreg/tomb16"
+    Registry.createVec(spark, "graft_test_vreg_tomb8", srcPath, 4,
+      planes = 8)
+    Registry.vecIngest(spark, "graft_test_vreg_tomb8",
+      Seq((1L, Array(1f, 0f, 2f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0)
+    Registry.rekeyVec(spark, "graft_test_vreg_tomb8",
+      "graft_test_vreg_tomb16", dstPath, 4, newPlanes = 16)
+    // a stale job config still pointing at the OLD path: attach fails
+    // naming the successor
+    val e1 = intercept[IllegalStateException] {
+      Registry.attachVec(spark, "graft_test_vreg_tomb8_again", srcPath, 4)
+    }
+    assert(e1.getMessage.contains(dstPath),
+      s"attach error must name the successor: ${e1.getMessage}")
+    // ... and a session that still holds the old TABLE attached: every
+    // mutating call re-reads the marker under the lock and aborts too
+    val e2 = intercept[IllegalStateException] {
+      Registry.vecIngest(spark, "graft_test_vreg_tomb8",
+        Seq((9L, Array(0f, 1f, 0f, 2f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 1)
+    }
+    assert(e2.getMessage.contains(dstPath))
+    assert(spark.table("graft_test_vreg_tomb8").count() == 1L,
+      "the refused ingest must not have appended")
+    // the successor ingests normally
+    assert(Registry.vecIngest(spark, "graft_test_vreg_tomb16",
+      Seq((9L, Array(0f, 1f, 0f, 2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 1).count() == 1L)
+  }
+
+  test("minhashIngest: NULL signatures (null text / empty shingle set) " +
+      "are excluded whole — never survivors, never re-appended every " +
+      "batch (the join-null-semantics hazard in MinHash form)") {
+    val name = "graft_test_mreg_null"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_mreg/null"
+    Registry.createMinhash(spark, name, path, buckets = 4, k = 8,
+      bands = 4)
+    val real = (1 to 40).map(i => s"nn$i").mkString(" ")
+    val b0 = Seq((1L, null: String), (2L, real)).toDF("doc_id", "text")
+    val k0 = Registry.minhashIngest(spark, name, b0, "doc_id", "text", 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(k0 == Set(2L), "null-text doc must not survive the lane")
+    val rows = spark.table(name).count()
+    assert(spark.table(name).filter($"sig".isNull).count() == 0L,
+      "no null signature rows may land in the registry")
+    // later batches with null docs: no unbounded re-append
+    val k1 = Registry.minhashIngest(spark, name,
+      Seq((3L, null: String), (4L, real)).toDF("doc_id", "text"),
+      "doc_id", "text", 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(k1.isEmpty, "exact copy drops; null doc is excluded")
+    assert(spark.table(name).count() == rows,
+      "null docs must append NOTHING, batch after batch")
+  }
+
+  test("minhash marker stamps the shingle width: signatures are signed " +
+      "at the registry's w, not a caller default") {
+    val name = "graft_test_mreg_w5"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_mreg/w5"
+    Registry.createMinhash(spark, name, path, buckets = 4, k = 8,
+      bands = 4, shingleW = 5)
+    val p = Registry.minhashParams(spark, name)
+    assert(p == Registry.MinhashParams(8, 4, 5))
+    val doc = (1 to 40).map(i => s"wv$i").mkString(" ")
+    Registry.minhashIngest(spark, name,
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0)
+    // the STORED signature equals the w=5 signing, not w=3
+    def sigAt(w: Int) = Seq((0L, doc)).toDF("doc_id", "text")
+      .select(Dedup.minhashSignatureFast(Dedup.shingles($"text", w), 8))
+      .as[Seq[String]].head()
+    val stored = spark.table(name).select($"sig")
+      .as[Seq[String]].head()
+    assert(stored == sigAt(5), "registry must sign at the marker's w")
+    assert(stored != sigAt(3), "w=5 and w=3 signatures must differ " +
+      "on this fixture (otherwise the test proves nothing)")
   }
 }

@@ -232,7 +232,7 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.savePq(cents, codes, path, dim = 4, m = 2,
       quantScale = 1e6)
     val nCodes = spark.read.parquet(s"$path/codes").count()
-    graft.dedup.Registry.acquireLock(spark, path) // another writer
+    val held = graft.dedup.Registry.acquireLock(spark, path) // another writer
     val e = intercept[IllegalStateException] {
       IndexStore.appendPq(spark, path,
         Seq((500L, Array(1f, 2f, 3f, 4f))).toDF("id", "vec"), "id", "vec")
@@ -240,7 +240,7 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("locked by another writer"))
     assert(spark.read.parquet(s"$path/codes").count() == nCodes)
     intercept[IllegalStateException] { IndexStore.compactPq(spark, path) }
-    graft.dedup.Registry.releaseLock(spark, path)
+    graft.dedup.Registry.releaseLock(spark, held)
     IndexStore.appendPq(spark, path,
       Seq((500L, Array(1f, 2f, 3f, 4f))).toDF("id", "vec"), "id", "vec")
     assert(spark.read.parquet(s"$path/codes").count() == nCodes + 2,
