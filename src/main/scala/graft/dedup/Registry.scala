@@ -100,6 +100,58 @@ object Registry {
   private final case class MarkerInfo(family: String, buckets: Int,
       extras: Map[String, String])
 
+  // ---- versioned directory layout (reader-safe maintenance) ----
+  //
+  // A registry ROOT holds the marker, zero-byte live POINTERS
+  // (`_live.v<N>` — highest N wins), and per-version DATA dirs
+  // (`_v<N>/part-*`). The catalog table's LOCATION is the live data
+  // dir. Compaction writes the next version COMPLETELY, then commits
+  // by creating the next pointer (atomic create) — there is no
+  // instant at which the live data is absent or partial, so a
+  // concurrent reader resolves either the pre- or the post-state,
+  // never an error and never an empty scan (the old two-rename swap
+  // had an absent-dir window in which a probe silently read an EMPTY
+  // registry and re-admitted every duplicate — worse than a crash).
+  // Superseded version dirs stay on disk for still-attached readers
+  // until [[vacuum]] reclaims them. All underscore-prefixed names are
+  // invisible to Spark's file listing, so a LEGACY reader attached at
+  // the root never sees version dirs as data. Legacy registries
+  // (pre-versioned: part-files directly in the root, no pointers)
+  // attach and ingest unchanged; their first compact migrates them.
+
+  private val VersionDirRe = "^_v(\\d+)$".r
+  private val LivePtrRe = "^_live\\.v(\\d+)$".r
+
+  /** Root dir of a registry given its table LOCATION — the location
+    * is the live version dir (`<root>/_vN`) for versioned
+    * registries, the root itself for legacy ones. The marker, the
+    * lock, and the pointers anchor at the ROOT so they survive
+    * version swaps.
+    */
+  private[graft] def registryRoot(loc: Path): Path =
+    loc.getName match {
+      case VersionDirRe(_) => loc.getParent
+      case _ => loc
+    }
+
+  private def versionDir(root: Path, n: Int): Path =
+    new Path(root, s"_v$n")
+  private def livePointer(root: Path, n: Int): Path =
+    new Path(root, s"_live.v$n")
+
+  private def liveVersion(fs: FileSystem, root: Path): Option[Int] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator.map(_.getPath.getName).collect {
+      case LivePtrRe(n) => n.toInt
+    }.maxOption
+
+  /** The directory whose files ARE the registry right now: the
+    * highest-pointer version dir, or the root itself (legacy
+    * layout).
+    */
+  private[graft] def liveDir(fs: FileSystem, root: Path): Path =
+    liveVersion(fs, root).map(versionDir(root, _)).getOrElse(root)
+
   /** Shared create-side guard (ADVICE r12/r13): the table name is
     * interpolated into SQL, so restrict it to a safe identifier; the
     * recursive delete of `path` only proceeds when the directory is
@@ -115,7 +167,7 @@ object Registry {
     */
   private def prepareLocation(spark: SparkSession, name: String,
       path: String, family: String, buckets: Int,
-      extras: Map[String, String]): Unit = {
+      extras: Map[String, String]): String = {
     require(SafeName.matches(name),
       s"registry name must match ${SafeName.regex}; got '$name'")
     require(!path.contains("'"),
@@ -136,6 +188,11 @@ object Registry {
     }
     fs.mkdirs(p)
     writeMarker(fs, p, family, buckets, extras)
+    // versioned layout from birth: data in _v0, pointer names it live
+    val data = versionDir(p, 0)
+    fs.mkdirs(data)
+    fs.create(livePointer(p, 0), false).close()
+    data.toString
   }
 
   private def writeMarker(fs: FileSystem, p: Path, family: String,
@@ -178,7 +235,8 @@ object Registry {
     require(fs.exists(p), s"'$path' does not exist")
     require(!fs.exists(new Path(p, Marker)),
       s"'$path' already carries a registry marker")
-    require(fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")),
+    require(fs.listStatus(liveDir(fs, p))
+        .exists(_.getPath.getName.startsWith("part-")),
       s"'$path' holds no part- files — create() a fresh registry instead")
     writeMarker(fs, p, family, buckets, extras)
   }
@@ -345,18 +403,33 @@ object Registry {
   }
 
   /** The batch's OWN prior rows (a crashed earlier attempt's
-    * partial append), read BY PATH rather than through the table:
-    * the append's insert source may not reference its own table
-    * (Spark's same-table write check), but a path read is a
-    * different relation whose file list snapshots at planning — so
-    * the heal anti-join feeds the insert directly, without a second
+    * partial append), read BY FILE PATHS rather than through the
+    * table: the append's insert source may not reference its own
+    * table (Spark's same-table write check), but a path read is a
+    * different relation whose file list snapshots here — so the heal
+    * anti-join feeds the insert directly, without a second
     * localCheckpoint materialization per ingest (one saved job per
-    * append — nine across the q244 demo).
+    * append — nine across the q244 demo). The files are listed
+    * EXPLICITLY (not the directory): the live dir of a versioned
+    * registry is underscore-prefixed (`_vN` — hidden from child
+    * listings by design, so stale root-attached readers never see
+    * it), and Spark's DataSource silently IGNORES a hidden root
+    * path — a directory read would return empty and disable the
+    * heal. Explicit leaf-file paths bypass the hidden-name filter.
     */
   private def ownRows(spark: SparkSession, name: String, loc: Path,
-      batchNo: Int): DataFrame =
-    spark.read.schema(spark.table(name).schema).parquet(loc.toString)
-      .filter(col("batch_no") <=> lit(batchNo))
+      batchNo: Int): DataFrame = {
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.table(name).schema
+    val files = fs.listStatus(loc).iterator.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).toSeq
+    val rows =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    rows.filter(col("batch_no") <=> lit(batchNo))
+  }
 
   private val ExactDdl = "(h STRING, keep_id BIGINT, batch_no INT)"
   private val NearDdl =
@@ -397,6 +470,12 @@ object Registry {
       s"registry path must not contain a quote; got '$path'")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LEGACY compaction that died between its two renames leaves
+    // the root absent with .compact-tmp/-old siblings holding the
+    // data — auto-recover instead of a generic "no marker" error
+    // (recoverCompact itself fails with a pointed message when the
+    // missing dir is NOT that crash state)
+    if (!fs.exists(p)) recoverCompact(spark, path)
     require(fs.exists(new Path(p, Marker)),
       s"'$path' is not a graft registry (no marker) — create() it first")
     // the create stamped (family, buckets) into the marker; a
@@ -415,7 +494,10 @@ object Registry {
           "stamps (schema < 2) — replay-safe ingest cannot probe it; " +
           "rebuild it (or rekeyVec for the vec family)")
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    createTable(spark, name, path, buckets, ddl, bucketCol)
+    // the table points at the LIVE data dir (pointer-resolved for
+    // versioned registries, the root for legacy ones)
+    createTable(spark, name, liveDir(fs, p).toString, buckets, ddl,
+      bucketCol)
     info
   }
 
@@ -424,10 +506,10 @@ object Registry {
     */
   def create(spark: SparkSession, name: String, path: String,
       buckets: Int, leaseMs: Long = DefaultLeaseMs): Unit = {
-    prepareLocation(spark, name, path, "exact", buckets,
+    val data = prepareLocation(spark, name, path, "exact", buckets,
       Map("schema" -> SchemaVersion.toString,
         "lease_ms" -> leaseMs.toString))
-    createTable(spark, name, path, buckets, ExactDdl, "h")
+    createTable(spark, name, data, buckets, ExactDdl, "h")
   }
 
   /** Whether `path` holds a graft registry (any family) — the
@@ -531,7 +613,7 @@ object Registry {
   def ingestDigests(spark: SparkSession, name: String,
       digests: DataFrame, batchNo: Int): DataFrame = {
     val loc = tableLocation(spark, name)
-    withLock(spark, loc.toString) { lease =>
+    withLock(spark, registryRoot(loc).toString) { lease =>
       // NULL digests (md5 of a NULL text) are excluded WHOLE: a null
       // key never matches the anti-join, so without this filter every
       // batch would re-append its null-text rows as "fresh" forever —
@@ -587,7 +669,8 @@ object Registry {
     val perBucket = parts.groupBy(p =>
       bucketOf.findFirstMatchIn(p.getPath.getName).map(_.group(1))
         .getOrElse("?"))
-    val buckets = readMarker(fs, loc).map(_.buckets).getOrElse(0)
+    val buckets = readMarker(fs, registryRoot(loc)).map(_.buckets)
+      .getOrElse(0)
     FileStats(buckets, parts.length,
       if (perBucket.isEmpty) 0 else perBucket.values.map(_.length).max,
       parts.map(_.getLen).sum)
@@ -613,76 +696,79 @@ object Registry {
     * column + one write of the registry — O(registry), never
     * O(corpus), and the registry is the ~0.01%-of-corpus index.
     *
-    * CRASH-SAFE (r13 advisory #1): the rewrite lands in a staging
-    * sibling (`<dir>.compact-tmp`) — a bucketed twin table over a
-    * scratch location, marker copied in, so the staged directory is
-    * itself a complete registry — and only then swaps via two
-    * renames (live → `.compact-old`, staged → live). A crash at any
-    * point before the first rename leaves the live registry
-    * untouched; between the renames both full copies exist on disk
-    * (`.compact-old` + staged) — a metadata-only window, recoverable
-    * by renaming either back. The old truncate-in-place Overwrite
-    * held the only row copy in unreplicated localCheckpoint state —
-    * a JVM crash mid-write destroyed the registry. The repartition
-    * keys rows by the same hash(bucketCol) % buckets the bucket spec
-    * uses, so each of the `buckets` write tasks holds exactly one
-    * bucket's rows and lays exactly one file.
+    * CRASH-SAFE and READER-SAFE (r13 advisory #1, r14 verdict #3):
+    * the rewrite lands COMPLETELY in the next version dir
+    * (`<root>/_v<N+1>`) while the live version keeps serving, then
+    * commits by atomically creating the `_live.v<N+1>` pointer and
+    * re-pointing the catalog table. At every instant at least one
+    * pointer names a COMPLETE version: a crash before the pointer
+    * create leaves the old version live (the staged dir is inert
+    * garbage the next compact or [[vacuum]] reclaims); a crash just
+    * after it leaves both pointers — highest wins, both dirs
+    * complete. Concurrent READERS therefore always resolve either
+    * the pre- or the post-state — never an error, never a partial or
+    * EMPTY scan (the previous two-rename swap had an absent-dir
+    * window in which a probe silently read an empty registry and
+    * re-admitted every duplicate). The superseded version dir stays
+    * on disk for still-attached readers until [[vacuum]]. A LEGACY
+    * registry (data in the root) is migrated to the versioned layout
+    * by its first compact; its root files likewise await [[vacuum]].
+    * The repartition keys rows by the same hash(bucketCol) % buckets
+    * the bucket spec uses, so each of the `buckets` write tasks
+    * holds exactly one bucket's rows and lays exactly one file.
     */
   def compact(spark: SparkSession, name: String, bucketCol: String,
       buckets: Int): Unit =
     compactImpl(spark, name, bucketCol, buckets, crashBeforeSwap = false)
 
   /** [[compact]] with a crash-injection point for RegistrySpec:
-    * `crashBeforeSwap = true` stops after the staged write — the
-    * exact state a process death mid-compact leaves behind.
+    * `crashBeforeSwap = true` stops after the staged write, before
+    * the pointer create — the exact state a process death
+    * mid-compact leaves behind.
     */
   private[graft] def compactImpl(spark: SparkSession, name: String,
       bucketCol: String, buckets: Int, crashBeforeSwap: Boolean): Unit = {
-    val live = tableLocation(spark, name)
-    require(!live.toString.contains("'"),
-      s"registry location must not contain a quote; got '$live'")
-    withLock(spark, live.toString) { lease =>
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new Path(live.getParent, live.getName + ".compact-tmp")
-      fs.delete(tmp, true)
+    val root = registryRoot(tableLocation(spark, name))
+    require(!root.toString.contains("'"),
+      s"registry location must not contain a quote; got '$root'")
+    withLock(spark, root.toString) { lease =>
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val curV = liveVersion(fs, root) // None = legacy (data in root)
+      val nextV = curV.map(_ + 1).getOrElse(0)
+      val tmp = versionDir(root, nextV)
+      fs.delete(tmp, true) // a prior crashed compact's inert staging
       fs.mkdirs(tmp) // CREATE TABLE LIKE does not create the location
       val tmpName = s"${name}__compact"
       require(SafeName.matches(tmpName), s"unsafe table name '$tmpName'")
       spark.sql(s"DROP TABLE IF EXISTS $tmpName")
       // LIKE copies schema + bucket spec, LOCATION points it at the
-      // staging dir; the insert never touches the live files (no
-      // truncation — the crash-safety point) and writes the staged
-      // copy. The rows are pinned off the bucketed scan first: fed
-      // the table scan directly, the writer's task partitioning
-      // stops aligning with the bucket hash (observed: each task
-      // writes a file into SEVERAL buckets — the small-files state
-      // compaction exists to cure); off an RDD-pinned source the
-      // repartition lands one task per bucket, one file each.
+      // next version dir; the insert never touches the live files and
+      // writes the staged copy. The rows are pinned off the bucketed
+      // scan first: fed the table scan directly, the writer's task
+      // partitioning stops aligning with the bucket hash (observed:
+      // each task writes a file into SEVERAL buckets — the
+      // small-files state compaction exists to cure); off an
+      // RDD-pinned source the repartition lands one task per bucket,
+      // one file each.
       spark.sql(s"CREATE TABLE $tmpName LIKE $name LOCATION '$tmp'")
       val pinned = spark.table(name).localCheckpoint()
       pinned.repartition(buckets, col(bucketCol))
         .write.mode(SaveMode.Append).insertInto(tmpName)
       pinned.unpersist()
       spark.sql(s"DROP TABLE $tmpName") // catalog only — files stay
-      // staged dir becomes a complete registry: marker travels too
-      val markerBytes = {
-        val in = fs.open(new Path(live, Marker))
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          buf.toByteArray
-        } finally in.close()
-      }
-      val out = fs.create(new Path(tmp, Marker))
-      out.write(markerBytes); out.close()
       if (!crashBeforeSwap) {
         validateLease(spark, lease)
-        val bak = new Path(live.getParent, live.getName + ".compact-old")
-        fs.delete(bak, true)
-        require(fs.rename(live, bak), s"rename $live -> $bak failed")
-        require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-        fs.delete(bak, true)
+        // THE commit: an atomic zero-byte pointer create. Everything
+        // before it is invisible to readers; everything after it is
+        // cleanup (old pointer removal, catalog re-point) that a
+        // crash can leave undone without losing either state.
+        fs.create(livePointer(root, nextV), false).close()
+        spark.sql(s"ALTER TABLE $name SET LOCATION '$tmp'")
         spark.sql(s"REFRESH TABLE $name")
+        curV.foreach(v => fs.delete(livePointer(root, v), false))
+        // the superseded data (the old version dir, or the root's
+        // legacy part-files) stays for still-attached readers —
+        // vacuum() reclaims it
         ()
       }
     }
@@ -697,10 +783,10 @@ object Registry {
     */
   def createNear(spark: SparkSession, name: String, path: String,
       buckets: Int, leaseMs: Long = DefaultLeaseMs): Unit = {
-    prepareLocation(spark, name, path, "near", buckets,
+    val data = prepareLocation(spark, name, path, "near", buckets,
       Map("schema" -> SchemaVersion.toString,
         "lease_ms" -> leaseMs.toString))
-    createTable(spark, name, path, buckets, NearDdl, "bucket")
+    createTable(spark, name, data, buckets, NearDdl, "bucket")
   }
 
   /** The (w, bucket) window keys of a simhash — window t is the
@@ -750,7 +836,7 @@ object Registry {
       sims: DataFrame, batchNo: Int, tables: Int = 2,
       maxHamming: Int = 20): DataFrame = {
     val loc = tableLocation(spark, name)
-    withLock(spark, loc.toString) { lease =>
+    withLock(spark, registryRoot(loc).toString) { lease =>
       val reps = sims
         .groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -809,12 +895,12 @@ object Registry {
       shingleW: Int = 3, leaseMs: Long = DefaultLeaseMs): Unit = {
     require(k % bands == 0, s"bands must divide k; got k=$k bands=$bands")
     require(shingleW >= 1, s"shingleW must be >= 1; got $shingleW")
-    prepareLocation(spark, name, path, "minhash", buckets,
+    val data = prepareLocation(spark, name, path, "minhash", buckets,
       Map("schema" -> SchemaVersion.toString,
         "k" -> k.toString, "bands" -> bands.toString,
         "w" -> shingleW.toString,
         "lease_ms" -> leaseMs.toString))
-    createTable(spark, name, path, buckets, MinDdl, "bucket")
+    createTable(spark, name, data, buckets, MinDdl, "bucket")
   }
 
   /** Ingest one batch against the MinHash-band registry: a batch doc
@@ -842,9 +928,9 @@ object Registry {
   final case class MinhashParams(k: Int, bands: Int, shingleW: Int)
 
   def minhashParams(spark: SparkSession, name: String): MinhashParams = {
-    val loc = tableLocation(spark, name)
+    val root = registryRoot(tableLocation(spark, name))
     val info = readMarker(
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     MinhashParams(
       info.flatMap(_.extras.get("k")).map(_.toInt).getOrElse(8),
       info.flatMap(_.extras.get("bands")).map(_.toInt).getOrElse(4),
@@ -877,7 +963,7 @@ object Registry {
     require(minMatches >= k / bands,
       s"minMatches=$minMatches below one band's $k/$bands positions " +
         "would drop docs no band can even propose")
-    withLock(spark, loc.toString) { lease =>
+    withLock(spark, registryRoot(loc).toString) { lease =>
       // NULL signatures are excluded WHOLE — a null band bucket never
       // matches the probe join, so such docs would otherwise survive
       // and append fresh rows every batch forever (the ingestDigests
@@ -946,11 +1032,11 @@ object Registry {
   def createVec(spark: SparkSession, name: String, path: String,
       buckets: Int, planes: Int = 16,
       leaseMs: Long = DefaultLeaseMs): Unit = {
-    prepareLocation(spark, name, path, "vec", buckets,
+    val data = prepareLocation(spark, name, path, "vec", buckets,
       Map("schema" -> SchemaVersion.toString,
         "planes" -> planes.toString, "hash" -> RhpHashVersion,
         "lease_ms" -> leaseMs.toString))
-    createTable(spark, name, path, buckets, VecDdl, "sig")
+    createTable(spark, name, data, buckets, VecDdl, "sig")
   }
 
   /** Ingest one batch of vectors: a vector survives iff (a) it is
@@ -976,8 +1062,9 @@ object Registry {
       threshold: Double = 0.99, roundTo: Int = 6): DataFrame = {
     import graft.similarity.Ann
     val loc = tableLocation(spark, name)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val info = readMarker(fs, loc)
+    val root = registryRoot(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val info = readMarker(fs, root)
     info.flatMap(_.extras.get("hash")).foreach(h =>
       require(h == RhpHashVersion,
         s"vec registry at '$loc' signed with '$h'; this binary signs " +
@@ -985,7 +1072,7 @@ object Registry {
     // legacy pre-stamp markers fall back to the historical default
     val planes = info.flatMap(_.extras.get("planes")).map(_.toInt)
       .getOrElse(16)
-    withLock(spark, loc.toString) { lease =>
+    withLock(spark, root.toString) { lease =>
       // NULL embeddings are excluded WHOLE (documented convention):
       // they carry no signature — the RHP kernel has nothing to hash —
       // and a null signature key would dodge every probe join forever
@@ -1044,21 +1131,25 @@ object Registry {
     // in the old registry mid-rekey would be silently absent from the
     // new one. Lock order is source-then-destination, the documented
     // convention for any multi-registry operation.
-    val srcLoc = tableLocation(spark, name)
+    val srcRoot = registryRoot(tableLocation(spark, name))
     // destination must be genuinely NEW (r14 ADVICE #2): createVec's
     // prepareLocation recursively deletes a marker-bearing directory,
     // so newPath == source would destroy the registry before the
     // insert reads it — silent total data loss. Compare QUALIFIED
-    // paths so relative/absolute spellings of the same dir are caught.
-    val fs = srcLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // paths so relative/absolute spellings of the same dir are caught
+    // (both the root and anything nested under it are refused).
+    val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(newName != name,
       s"rekeyVec destination name must differ from the source; got '$name'")
-    require(fs.makeQualified(new Path(newPath)) != fs.makeQualified(srcLoc),
-      s"rekeyVec destination path must differ from the source " +
-        s"registry's location '$srcLoc'")
-    withLock(spark, srcLoc.toString) { srcLease =>
+    val qNew = fs.makeQualified(new Path(newPath))
+    val qSrc = fs.makeQualified(srcRoot)
+    require(qNew != qSrc && !qNew.toString.startsWith(qSrc.toString + "/"),
+      s"rekeyVec destination path must be outside the source " +
+        s"registry at '$srcRoot'")
+    withLock(spark, srcRoot.toString) { srcLease =>
       createVec(spark, newName, newPath, buckets, planes = newPlanes)
-      withLock(spark, tableLocation(spark, newName).toString) { _ =>
+      withLock(spark,
+          registryRoot(tableLocation(spark, newName)).toString) { _ =>
         validateLease(spark, srcLease)
         spark.table(name)
           .select(Ann.rhpSignature(col("embedding"), newPlanes).as("sig"),
@@ -1074,7 +1165,7 @@ object Registry {
       // successor; it lands only after the copy is fully committed,
       // so a crash mid-rekey leaves the source live and the partial
       // destination recreatable by re-running the rekey.
-      markRetired(fs, srcLoc, newPath)
+      markRetired(fs, srcRoot, newPath)
     }
   }
 
@@ -1101,14 +1192,18 @@ object Registry {
           "verdicts were migrated; ingesting here would split-brain)")
     }
 
-  /** Recover a registry whose compaction crashed BETWEEN the two
-    * swap renames — the one metadata-only window [[compact]] leaves:
-    * the live directory is gone while `.compact-old` (the original)
+  /** Recover a registry whose LEGACY-layout compaction (pre-r15
+    * binaries: two-rename swap) crashed between its renames: the
+    * root directory is gone while `.compact-old` (the original)
     * and/or `.compact-tmp` (the complete staged copy) hold the data.
     * Restores the staged copy when it exists (the compaction's
-    * intent), else the original; no-ops when the live directory is
-    * intact. Run it before attach on a path whose nightly compaction
-    * may have died; returns true if a restore happened.
+    * intent), else the original; no-ops when the directory is
+    * intact. [[attach]] now auto-invokes this when the root is
+    * missing (r14 verdict #3), so the recovery is no longer a manual
+    * step. VERSIONED registries never need it: their compaction's
+    * commit point is a single atomic pointer create, and every
+    * on-disk state at every instant has a complete live version.
+    * Returns true if a restore happened.
     */
   def recoverCompact(spark: SparkSession, path: String): Boolean = {
     require(!path.contains("'"),
@@ -1128,6 +1223,70 @@ object Registry {
       require(fs.rename(src, live), s"rename $src -> $live failed")
       fs.delete(tmp, true); fs.delete(bak, true)
       true
+    }
+  }
+
+  /** What [[vacuum]] reclaimed — each count is "things deleted". */
+  final case class VacuumStats(versionDirs: Int, legacyFiles: Int,
+      stalePointers: Int, siblings: Int)
+
+  /** Reclaim a registry's superseded storage (r14 verdict #7 —
+    * nothing ever deleted means a doubled footprint after every
+    * compact and unbounded remnant growth at a daily cadence):
+    *
+    *  - non-live version dirs (`_v<K>`, K != live) — the reader
+    *    grace copies [[compact]] leaves behind. RUN VACUUM ONLY
+    *    AFTER the reader grace period: a reader attached BEFORE the
+    *    compact still scans the old version dir until it re-attaches
+    *    (the documented reader contract — readers see pre- or
+    *    post-state, never an error; vacuum is what ends "pre").
+    *  - stale pointers below the live one (a compact that crashed
+    *    between pointer-create and old-pointer-delete),
+    *  - the root's legacy part-files once a versioned compact has
+    *    migrated the data into a version dir,
+    *  - legacy `.compact-tmp` / `.compact-old` siblings (only while
+    *    the root itself is intact — a crashed LEGACY swap must go
+    *    through [[recoverCompact]] first, which consumes them), and
+    *    crashed-takeover `.lock.stale-*` fragments.
+    *
+    * Holds the writer lease (it mutates storage); O(listing) + the
+    * deletes, never reads data. Idempotent.
+    */
+  def vacuum(spark: SparkSession, path: String): VacuumStats = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.exists(new Path(root, Marker)),
+      s"'$path' is not an intact graft registry — recoverCompact first")
+    withLock(spark, root.toString) { _ =>
+      val curV = liveVersion(fs, root)
+      var (vd, lf, ptr) = (0, 0, 0)
+      curV.foreach { n =>
+        fs.listStatus(root).foreach { st =>
+          val nm = st.getPath.getName
+          nm match {
+            case VersionDirRe(k) if k.toInt != n =>
+              fs.delete(st.getPath, true); vd += 1
+            case LivePtrRe(k) if k.toInt != n =>
+              fs.delete(st.getPath, false); ptr += 1
+            case _ if nm.startsWith("part-") =>
+              // legacy data superseded by the versioned migration
+              fs.delete(st.getPath, false); lf += 1
+            case _ => ()
+          }
+        }
+      }
+      var sib = 0
+      val parent = root.getParent
+      Seq(".compact-tmp", ".compact-old").foreach { suf =>
+        val pSib = new Path(parent, root.getName + suf)
+        if (fs.exists(pSib)) { fs.delete(pSib, true); sib += 1 }
+      }
+      fs.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(root.getName + ".lock.stale-")) {
+          fs.delete(st.getPath, false); sib += 1
+        }
+      }
+      VacuumStats(vd, lf, ptr, sib)
     }
   }
 }

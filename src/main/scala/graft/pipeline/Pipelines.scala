@@ -463,7 +463,10 @@ object PipelineDriver {
     */
   def runIngest(spark: SparkSession, docs: DataFrame, out: String,
       regBase: String, buckets: Int, batchNo: Int,
-      bench: Option[DataFrame], minhash: Boolean = false): Boolean = {
+      bench: Option[DataFrame], minhash: Boolean = false,
+      autoCompact: Boolean = false,
+      compactThreshold: Int = graft.dedup.Registry.CompactThreshold)
+      : Boolean = {
     import graft.dedup.Registry
     val committed = new org.apache.hadoop.fs.Path(
       s"$regBase/_committed/batch_$batchNo")
@@ -504,7 +507,52 @@ object PipelineDriver {
     r.survivors.write.mode(SaveMode.Overwrite).parquet(out)
     fs.mkdirs(committed.getParent)
     fs.create(committed).close()
+    // opt-in self-maintenance (r14 verdict #6): the fileStats trigger
+    // existed but nothing called it — a scheduled-daily ingest walked
+    // into the small-files cliff anyway. POST-commit so a compaction
+    // failure can never cost the batch (the expensive work is safe;
+    // compact is retryable and crash-safe on its own); under the same
+    // fenced lease as every other mutation. The reclaim of superseded
+    // version dirs stays a separate vacuum decision (reader grace).
+    if (autoCompact) {
+      val lanes = Seq("graft_cli_ex" -> "h", "graft_cli_nr" -> "bucket") ++
+        (if (hasVec) Seq("graft_cli_vc" -> "sig") else Nil) ++
+        (if (minhash) Seq("graft_cli_mh" -> "bucket") else Nil)
+      lanes.foreach { case (nm, bucketCol) =>
+        val st = Registry.fileStats(spark, nm)
+        if (st.maxFilesPerBucket > compactThreshold) {
+          println(s"[ingest] auto-compact $nm " +
+            s"(files/bucket=${st.maxFilesPerBucket})")
+          Registry.compact(spark, nm, bucketCol, buckets)
+        }
+      }
+    }
     true
+  }
+
+  /** Prune exactly-once ledger markers older than `retainMs` — the
+    * ledger's retention horizon (r14 verdict #7: at a daily cadence
+    * the `_committed` dir accumulates 365 markers/year, forever).
+    * OPERATOR CONTRACT: the scheduler must never retry a batch older
+    * than the window — a pruned batch's retry re-runs the
+    * replay-idempotent ingest (registries unchanged, identical
+    * survivors) but repeats the downstream corpus write, i.e.
+    * exactly-once degrades to replay-idempotent beyond the horizon.
+    * Returns the number of markers removed.
+    */
+  def pruneLedger(spark: SparkSession, regBase: String,
+      retainMs: Long): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$regBase/_committed")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - retainMs
+      val old = fs.listStatus(dir).filter(st =>
+        st.getPath.getName.startsWith("batch_") &&
+          st.getModificationTime < cutoff)
+      old.foreach(st => fs.delete(st.getPath, false))
+      old.length
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -617,7 +665,8 @@ object PipelineDriver {
           batchNo = sys.env.getOrElse("SPARK_GRAFT_BATCHNO", "0").toInt,
           bench = sys.env.get("SPARK_GRAFT_BENCH")
             .map(spark.read.parquet(_)),
-          minhash = sys.env.contains("SPARK_GRAFT_MINHASH"))
+          minhash = sys.env.contains("SPARK_GRAFT_MINHASH"),
+          autoCompact = sys.env.contains("SPARK_GRAFT_AUTOCOMPACT"))
         spark.stop()
         return
       case other => sys.error(s"unknown pipeline: $other")

@@ -223,8 +223,30 @@ class RegistrySpec extends SparkSpec {
   private def partFiles(path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    fs.listStatus(
+        Registry.liveDir(fs, new org.apache.hadoop.fs.Path(path)))
       .count(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** Rewrites a versioned registry into the PRE-r15 legacy layout
+    * (part-files directly in the root, no pointers/version dirs) —
+    * the on-disk state old deployments still hold; specs use it to
+    * pin that legacy registries keep attaching/ingesting and that
+    * compact migrates them.
+    */
+  private def legacyize(name: String, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val live = Registry.liveDir(fs, root)
+    assert(live != root, "already legacy")
+    fs.listStatus(live).foreach { st =>
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+    }
+    fs.delete(live, true)
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("_live.v"))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   test("compact: one file per bucket afterwards, identical rows, " +
@@ -510,7 +532,8 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("compact crash before the swap leaves the live registry intact " +
-      "and serving; the staged dir is a complete registry copy") {
+      "and serving; the staged version dir is inert until the pointer " +
+      "lands; re-running compact completes; vacuum reclaims") {
     val name = "graft_test_reg_crashcompact"
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/crashcompact"
@@ -523,30 +546,154 @@ class RegistrySpec extends SparkSpec {
     val rowsBefore = spark.table(name)
       .as[(String, Long, Int)].collect().toSet
     val filesBefore = partFiles(path)
-    // the crash: process dies after the staged write, before the swap
+    // the crash: process dies after the staged write, before the
+    // pointer create (the commit point)
     Registry.compactImpl(spark, name, "h", 4, crashBeforeSwap = true)
     assert(partFiles(path) == filesBefore,
-      "live registry files must be untouched by a crashed compact")
+      "live registry files must be untouched by a crashed compact " +
+        "(the pointer still names _v0)")
     assert(spark.table(name).as[(String, Long, Int)].collect().toSet
       == rowsBefore, "live rows must be intact")
     // and it still SERVES: dedupBatch + ingest work against it
     assert(Registry.dedupBatch(spark, name,
       Seq((999L, "cc 105")).toDF("doc_id", "text"), "doc_id", "text")
       .count() == 0L, "registered digest must still match")
-    // the staged dir is itself a complete registry (marker + rows)
+    // the staged version dir holds a complete copy but NO pointer
+    // names it — invisible to attach, inert garbage for vacuum
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    val tmpDir = s"$path.compact-tmp"
-    assert(Registry.exists(spark, tmpDir), "staged dir carries the marker")
-    assert(spark.read.parquet(tmpDir).count() == rowsBefore.size.toLong)
-    // re-running compact to completion recovers: swap lands, one file
-    // per bucket, rows and verdicts unchanged
+    val staged = new org.apache.hadoop.fs.Path(path, "_v1")
+    assert(fs.exists(staged))
+    // explicit leaf files: Spark ignores a hidden (_-prefixed) root dir
+    val stagedFiles = fs.listStatus(staged)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    assert(spark.read.parquet(stagedFiles.toIndexedSeq: _*).count()
+      == rowsBefore.size.toLong)
+    Registry.attach(spark, "graft_test_reg_crashcompact_b", path, 4)
+    assert(spark.table("graft_test_reg_crashcompact_b")
+      .as[(String, Long, Int)].collect().toSet == rowsBefore,
+      "attach after the crash must resolve the OLD (pointed) version")
+    // re-running compact to completion: pointer lands, one file per
+    // bucket, rows and verdicts unchanged; the superseded _v0 stays
+    // on disk (reader grace) until vacuum reclaims it
     Registry.compact(spark, name, "h", 4)
     assert(partFiles(path) == 4)
     assert(spark.table(name).as[(String, Long, Int)].collect().toSet
       == rowsBefore)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpDir)),
-      "completed compact must consume the staging dir")
+    val v0 = new org.apache.hadoop.fs.Path(path, "_v0")
+    assert(fs.exists(v0), "superseded version stays for readers")
+    val st = Registry.vacuum(spark, path)
+    assert(st.versionDirs == 1 && !fs.exists(v0),
+      s"vacuum must reclaim the superseded version: $st")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rowsBefore, "vacuum must not touch the live version")
+    assert(Registry.vacuum(spark, path)
+      == Registry.VacuumStats(0, 0, 0, 0), "vacuum is idempotent")
+  }
+
+  test("legacy-layout registries (data in the root) attach and ingest " +
+      "unchanged; compact MIGRATES them to the versioned layout and " +
+      "vacuum reclaims the superseded root files") {
+    val name = "graft_test_reg_legacy"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/legacy"
+    Registry.create(spark, name, path, buckets = 4)
+    Registry.ingest(spark, name,
+      (1L to 20L).map(i => (i, s"lg $i")).toDF("doc_id", "text"),
+      "doc_id", "text", 0)
+    val rows = spark.table(name).as[(String, Long, Int)].collect().toSet
+    legacyize(name, path)
+    // attach resolves the root as the live dir (no pointers)
+    Registry.attach(spark, name, path, 4)
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == rows, "legacy layout must serve verbatim")
+    assert(Registry.ingest(spark, name,
+      Seq((99L, "lg novel")).toDF("doc_id", "text"),
+      "doc_id", "text", 1).count() == 1L, "legacy ingest works")
+    val all = spark.table(name).as[(String, Long, Int)].collect().toSet
+    // first compact migrates: pointer + _v0, root part-files
+    // superseded (kept for attached readers), vacuum reclaims them
+    Registry.compact(spark, name, "h", 4)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    assert(Registry.liveDir(fs, root) != root, "must be versioned now")
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == all)
+    assert(fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("part-")),
+      "superseded legacy files stay for attached readers")
+    val st = Registry.vacuum(spark, path)
+    assert(st.legacyFiles > 0)
+    assert(!fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("part-")))
+    assert(spark.table(name).as[(String, Long, Int)].collect().toSet
+      == all, "vacuum must not touch the live version")
+  }
+
+  test("concurrent readers during compaction see the pre- or post-" +
+      "state, never an error, a partial scan, or an EMPTY registry " +
+      "(the reader contract of the pointer swap)") {
+    val name = "graft_test_reg_reader"
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/reader"
+    Registry.create(spark, name, path, buckets = 4)
+    (0 until 4).foreach { b =>
+      Registry.ingest(spark, name,
+        (1L to 25L).map(i => (b * 100L + i, s"rd ${b * 100L + i}"))
+          .toDF("doc_id", "text"), "doc_id", "text", b)
+    }
+    val expectRows = spark.table(name).count()
+    // overlaps batch 3's texts (rd 301..325): 16 registered, 25 novel
+    val probe = (310L to 350L).map(i => (i, s"rd $i"))
+      .toDF("doc_id", "text")
+    val expectVerdict = Registry.dedupBatch(spark, name, probe,
+      "doc_id", "text").count()
+    assert(expectVerdict > 0 && expectVerdict < 41,
+      "fixture must mix registered and novel docs")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // a full-scan count AND a probe verdict: compaction is
+          // layout-only, so BOTH are invariants across every swap
+          val n = spark.table(name).count()
+          if (n != expectRows)
+            throw new IllegalStateException(
+              s"reader saw $n rows, expected $expectRows")
+          val v = Registry.dedupBatch(spark, name, probe,
+            "doc_id", "text").count()
+          if (v != expectVerdict)
+            throw new IllegalStateException(
+              s"reader saw verdict $v, expected $expectVerdict")
+          reads.incrementAndGet()
+        }
+      } catch {
+        case t: Throwable => failure.set(t); stop.set(true)
+      }
+    })
+    reader.start()
+    try {
+      (0 until 4).foreach { _ =>
+        Registry.compact(spark, name, "h", 4)
+        if (stop.get())
+          throw new IllegalStateException("reader died mid-run",
+            failure.get())
+      }
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(failure.get() == null,
+      s"reader must never fail: ${Option(failure.get()).map(_.toString)}")
+    assert(reads.get() > 0, "reader must have actually read")
+    // the four superseded versions are all still on disk (reader
+    // grace), then vacuum reclaims them in one pass
+    assert(Registry.vacuum(spark, path).versionDirs == 4)
   }
 
   test("minhashIngest: exact and shingle-overlap copies drop against " +
@@ -617,8 +764,9 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
-  test("recoverCompact restores a registry whose compaction died " +
-      "between the two swap renames; no-ops on an intact registry") {
+  test("recoverCompact restores a LEGACY registry whose old-style " +
+      "compaction died between its two renames; attach auto-invokes " +
+      "it; no-ops on an intact registry") {
     val name = "graft_test_reg_recover"
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_test_reg/recover"
@@ -628,19 +776,18 @@ class RegistrySpec extends SparkSpec {
       "doc_id", "text", 0)
     val rows = spark.table(name).as[(String, Long, Int)].collect().toSet
     assert(!Registry.recoverCompact(spark, path), "intact → no-op")
-    // the crash: staged copy written, first rename done, second not —
-    // live gone, .compact-old = original, .compact-tmp = staged
-    Registry.compactImpl(spark, name, "h", 4, crashBeforeSwap = true)
+    // construct the PRE-r15 crash state: a legacy-layout registry
+    // whose two-rename compact died after its first rename — the
+    // root is gone, `.compact-old` holds the original (marker inside)
+    legacyize(name, path)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     require(fs.rename(new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(s"$path.compact-old")))
     assert(Registry.recoverCompact(spark, path), "restore must happen")
-    spark.sql(s"REFRESH TABLE $name")
+    Registry.attach(spark, name, path, 4)
     assert(spark.table(name).as[(String, Long, Int)].collect().toSet
       == rows, "restored registry must hold every row")
-    assert(partFiles(path) == 4,
-      "the staged (compacted) copy is the preferred restore")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact-old"))
       && !fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact-tmp")),
       "recovery must consume the staging/backup dirs")
@@ -648,6 +795,20 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.ingest(spark, name,
       Seq((99L, "rc novel")).toDF("doc_id", "text"), "doc_id", "text", 1)
       .count() == 1L)
+    // attach AUTO-recovers the same crash state (r14 verdict #3) —
+    // no manual recoverCompact step
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.compact-old")))
+    Registry.attach(spark, "graft_test_reg_recover_b", path, 4)
+    assert(spark.table("graft_test_reg_recover_b").count()
+      == rows.size.toLong + 1L)
+    // a missing path that is NOT a crashed compaction stays a
+    // pointed error
+    val e = intercept[IllegalStateException] {
+      Registry.attach(spark, "graft_test_reg_recover_c",
+        s"$path-nonexistent", 4)
+    }
+    assert(e.getMessage.contains("not a crashed compaction"))
   }
 
   test("rekeyVec migrates a vector registry to higher planes: rows " +
@@ -727,6 +888,7 @@ class RegistrySpec extends SparkSpec {
     Registry.create(spark, "graft_test_reg_lost", lost, 4)
     Registry.ingest(spark, "graft_test_reg_lost",
       Seq((1L, "legacy row")).toDF("doc_id", "text"), "doc_id", "text", 0)
+    legacyize("graft_test_reg_lost", lost)
     fs.delete(new org.apache.hadoop.fs.Path(lost, "_graft_registry"), false)
     intercept[IllegalArgumentException] {
       Registry.attach(spark, "graft_test_reg_lost2", lost, 4)

@@ -54,4 +54,73 @@ class PipelineDriverSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out1")
       .select($"doc_id").as[Long].collect().toSet == Set(11L))
   }
+
+  test("auto-compact: after enough small ingests the threshold trips, " +
+      "the registries compact under the lease, verdicts unchanged, " +
+      "file count reset (r14 verdict #6)") {
+    val base = Files.createTempDirectory("graft-cli-autocompact").toString
+    // threshold 3: batches 0..2 stay under it; batch 3's post-commit
+    // check sees 4 files/bucket-max and fires
+    (0 to 3).foreach { b =>
+      // 8 novel docs per batch so every batch's append covers both
+      // buckets (fixed texts — deterministic layout run to run)
+      val docs = ((0 until 8).map(i =>
+        (b * 100L + i, long(s"n${b}_$i"))) :+ (b * 100L + 99, long("dup")))
+        .toDF("doc_id", "text")
+      assert(PipelineDriver.runIngest(spark, docs, s"$base/out$b",
+        s"$base/reg", buckets = 2, batchNo = b, bench = None,
+        autoCompact = true, compactThreshold = 3))
+    }
+    val st = graft.dedup.Registry.fileStats(spark, "graft_cli_ex")
+    assert(st.maxFilesPerBucket == 1,
+      s"auto-compact must have reset the exact registry: $st")
+    assert(graft.dedup.Registry
+      .fileStats(spark, "graft_cli_nr").maxFilesPerBucket == 1,
+      "near registry compacts too")
+    // verdicts unchanged: batch 0's "dup" text is still registered
+    // (first-seen keeper 1), batch 4's copy drops, novel survives
+    val docs4 = Seq((40L, long("dup")), (41L, long("n4")))
+      .toDF("doc_id", "text")
+    assert(PipelineDriver.runIngest(spark, docs4, s"$base/out4",
+      s"$base/reg", buckets = 2, batchNo = 4, bench = None,
+      autoCompact = true, compactThreshold = 3))
+    assert(spark.read.parquet(s"$base/out4")
+      .select($"doc_id").as[Long].collect().toSet == Set(41L),
+      "post-compact verdicts must be unchanged")
+  }
+
+  test("pruneLedger removes only markers older than the retention " +
+      "horizon; a pruned batch's retry degrades to replay-idempotent " +
+      "(registries unchanged), the documented contract") {
+    val base = Files.createTempDirectory("graft-cli-prune").toString
+    val docs = Seq((1L, long("pa")), (2L, long("pb")))
+      .toDF("doc_id", "text")
+    assert(PipelineDriver.runIngest(spark, docs, s"$base/out0",
+      s"$base/reg", buckets = 2, batchNo = 0, bench = None))
+    assert(PipelineDriver.runIngest(spark,
+      Seq((10L, long("pc"))).toDF("doc_id", "text"), s"$base/out1",
+      s"$base/reg", buckets = 2, batchNo = 1, bench = None))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // backdate batch 0's marker past the horizon; batch 1 stays young
+    val m0 = new org.apache.hadoop.fs.Path(s"$base/reg/_committed/batch_0")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(m0, old, old)
+    assert(PipelineDriver.pruneLedger(spark, s"$base/reg",
+      retainMs = 7L * 24 * 3600 * 1000) == 1, "exactly batch 0 pruned")
+    assert(!fs.exists(m0))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/reg/_committed/batch_1")), "young marker survives")
+    // the degraded contract: a retry of the PRUNED batch re-runs but
+    // is replay-idempotent — identical survivors, no registry growth
+    val regRows = spark.table("graft_cli_ex").count()
+    assert(PipelineDriver.runIngest(spark, docs, s"$base/out0",
+      s"$base/reg", buckets = 2, batchNo = 0, bench = None),
+      "pruned batch retry re-runs (ledger no longer gates it)")
+    assert(spark.read.parquet(s"$base/out0")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "replay returns the original survivors")
+    assert(spark.table("graft_cli_ex").count() == regRows,
+      "replay appends nothing to the registry")
+  }
 }
