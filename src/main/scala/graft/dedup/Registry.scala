@@ -1226,6 +1226,89 @@ object Registry {
     }
   }
 
+  // ---- stream epoch ledger (checkpoint-lineage batch namespacing) ----
+
+  /** Micro-batch ids per stream epoch: batch_no = epoch·2^20 + id.
+    * 2048 epochs × ~1M micro-batches fill the positive Int range.
+    */
+  val StreamEpochBits = 20
+
+  /** Bind a stream CHECKPOINT LINEAGE to a batch-number epoch for
+    * this registry (r14 ADVICE #5): micro-batch ids restart at 0
+    * whenever a stream starts over with a fresh checkpoint, and raw
+    * `id.toInt` batch numbers would then collide with an earlier
+    * lineage's — the replay contract would treat genuinely NEW
+    * batches as replays of old ones (probes exclude the old batch's
+    * rows ⇒ duplicates re-admitted). Each checkpoint dir gets a
+    * nonce file (`_graft_stream_id`, created once); each registry
+    * keeps an `_epochs/` ledger in its root mapping nonce → epoch,
+    * claimed with atomic create-no-overwrite so concurrent first
+    * batches cannot double-claim. The SAME checkpoint always resolves
+    * the SAME epoch (replays keep their numbers); a NEW checkpoint
+    * claims the next epoch and its batch numbers live in a disjoint
+    * range. The first lineage claims epoch 0, so batch numbers equal
+    * raw micro-batch ids — existing single-stream registries are
+    * unchanged. Scheduler-driven (non-stream) ingests share the
+    * namespace: either let streams own the registry, or start manual
+    * batch numbers above an unused epoch (documented contract).
+    */
+  def streamEpochBase(spark: SparkSession, name: String,
+      checkpoint: String): Int = {
+    val root = registryRoot(tableLocation(spark, name))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = new Path(checkpoint)
+    fs.mkdirs(ck)
+    def readSmall(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val nonceFile = new Path(ck, "_graft_stream_id")
+    val nonce =
+      if (fs.exists(nonceFile)) readSmall(nonceFile)
+      else {
+        val tok = java.util.UUID.randomUUID().toString
+        try {
+          val o = fs.create(nonceFile, false)
+          o.write(tok.getBytes("UTF-8")); o.close(); tok
+        } catch { // lost the create race — the winner's nonce stands
+          case _: java.io.IOException => readSmall(nonceFile)
+        }
+      }
+    val dir = new Path(root, "_epochs")
+    fs.mkdirs(dir)
+    def claimed(): Option[Int] =
+      fs.listStatus(dir).iterator.map(_.getPath.getName).collectFirst {
+        case nm if nm.startsWith("epoch_") && nm.endsWith(s"_$nonce") =>
+          nm.stripPrefix("epoch_").dropRight(nonce.length + 1).toInt
+      }
+    claimed().getOrElse {
+      var k = fs.listStatus(dir).length
+      var won = -1
+      while (won < 0) {
+        require(k < (1 << (31 - StreamEpochBits)),
+          s"epoch space exhausted for registry '$name'")
+        val f = new Path(dir, s"epoch_${k}_$nonce")
+        val ok =
+          try { fs.create(f, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (ok) won = k else k += 1
+      }
+      won
+    }
+  }
+
+  /** The epoch-namespaced batch number for a micro-batch —
+    * `epoch << 20 | id`, range-checked.
+    */
+  def streamBatchNo(epochBase: Int, microBatchId: Long): Int = {
+    require(microBatchId >= 0 && microBatchId < (1L << StreamEpochBits),
+      s"micro-batch id $microBatchId outside one epoch's 2^20 range")
+    require(epochBase >= 0 && epochBase < (1 << (31 - StreamEpochBits)),
+      s"epoch $epochBase out of range")
+    (epochBase << StreamEpochBits) + microBatchId.toInt
+  }
+
   /** What [[vacuum]] reclaimed — each count is "things deleted". */
   final case class VacuumStats(versionDirs: Int, legacyFiles: Int,
       stalePointers: Int, siblings: Int)

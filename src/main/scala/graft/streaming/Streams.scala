@@ -430,6 +430,25 @@ object Streams {
       }
       .start()
 
+  /** Epoch-namespaced registry batch number for a micro-batch (r14
+    * ADVICE #5): raw `id.toInt` collides across checkpoint lineages —
+    * a stream restarted with a FRESH checkpoint (or a second stream
+    * sharing the registry) restarts ids at 0, and the replay
+    * contract would treat its genuinely new batches as replays of
+    * the first lineage's (probes exclude those rows ⇒ duplicates
+    * re-admitted). [[graft.dedup.Registry.streamEpochBase]] binds
+    * each checkpoint lineage to a disjoint epoch; the same
+    * checkpoint (a restart/replay) keeps its numbers. Anchored at
+    * ONE registry per stream — for the chained ingest that anchor
+    * is the exact registry, and its member registries must not be
+    * shared with differently-anchored streams (documented there).
+    */
+  private def epochBatchNo(spark: org.apache.spark.sql.SparkSession,
+      registryName: String, checkpoint: String, id: Long): Int =
+    graft.dedup.Registry.streamBatchNo(
+      graft.dedup.Registry.streamEpochBase(spark, registryName,
+        checkpoint), id)
+
   /** Streaming dedup-registry maintenance — [[graft.dedup
     * .Registry]]'s ingestion twin: each micro-batch dedups against
     * the persisted digest registry (anti-join whose stored side
@@ -449,8 +468,10 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        handler(graft.dedup.Registry.ingest(batch.sparkSession,
-          registryName, batch, idCol, textCol, id.toInt), id)
+        val s = batch.sparkSession
+        handler(graft.dedup.Registry.ingest(s, registryName, batch,
+          idCol, textCol,
+          epochBatchNo(s, registryName, checkpoint, id)), id)
       }
       .start()
 
@@ -489,8 +510,10 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        handler(graft.dedup.Registry.nearIngest(batch.sparkSession,
-          registryName, batch, idCol, textCol, id.toInt), id)
+        val s = batch.sparkSession
+        handler(graft.dedup.Registry.nearIngest(s, registryName, batch,
+          idCol, textCol,
+          epochBatchNo(s, registryName, checkpoint, id)), id)
       }
       .start()
 
@@ -505,8 +528,10 @@ object Streams {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        handler(graft.dedup.Registry.vecIngest(batch.sparkSession,
-          registryName, batch, idCol, vecCol, id.toInt), id)
+        val s = batch.sparkSession
+        handler(graft.dedup.Registry.vecIngest(s, registryName, batch,
+          idCol, vecCol,
+          epochBatchNo(s, registryName, checkpoint, id)), id)
       }
       .start()
 
@@ -523,8 +548,10 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        handler(graft.dedup.Registry.minhashIngest(batch.sparkSession,
-          registryName, batch, idCol, textCol, id.toInt), id)
+        val s = batch.sparkSession
+        handler(graft.dedup.Registry.minhashIngest(s, registryName,
+          batch, idCol, textCol,
+          epochBatchNo(s, registryName, checkpoint, id)), id)
       }
       .start()
 
@@ -559,9 +586,14 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        // the chain's epoch anchors at the EXACT registry; the one
+        // batch number stamps every lane, so the member registries
+        // must not be shared with differently-anchored streams
         handler(graft.pipeline.Pipelines.ingestBatch(
-          batch.sparkSession, batch, idCol, textCol, exactReg, nearReg,
-          bench, benchTextCol, id.toInt, minChars,
+          s, batch, idCol, textCol, exactReg, nearReg,
+          bench, benchTextCol,
+          epochBatchNo(s, exactReg, checkpoint, id), minChars,
           vecReg = vecReg, vecCol = vecCol, minhashReg = minhashReg), id)
       }
       .start()

@@ -596,6 +596,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream epochs: a SECOND checkpoint lineage against the same " +
+      "registry gets a disjoint batch-number epoch — its first " +
+      "micro-batch is NOT mistaken for a replay of the first " +
+      "lineage's batch 0, so duplicates stay dropped (r14 ADVICE #5)") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-reg-epoch").toString
+    val name = "graft_stream_reg_epoch"
+    graft.dedup.Registry.create(spark, name, s"$base/reg", buckets = 4)
+    // lineage A: registers alpha/beta in ITS micro-batch 0
+    val inA = MemoryStream[(Long, String)]
+    val qA = Streams.registryMaintStream(
+      inA.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      name, s"$base/chkA")()
+    try {
+      inA.addData((10L, "alpha"), (11L, "beta")); qA.processAllAvailable()
+    } finally qA.stop()
+    val afterA = spark.table(name).count()
+    // lineage B: a NEW checkpoint — micro-batch ids restart at 0.
+    // Under raw id.toInt its batch 0 would self-exclude lineage A's
+    // batch-0 rows and re-admit alpha; under epochs it must drop.
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val inB = MemoryStream[(Long, String)]
+    val qB = Streams.registryMaintStream(
+      inB.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      name, s"$base/chkB") { (survivors, _) =>
+      kept ++= survivors.select($"keep_id").as[Long].collect()
+    }
+    try {
+      inB.addData((20L, "alpha"), (21L, "gamma")); qB.processAllAvailable()
+    } finally qB.stop()
+    // foreachBatch executes in a CLONED session whose refresh does
+    // not invalidate THIS session's relation cache (standard Spark
+    // cross-session semantics — the afterA count above cached the
+    // pre-B file listing); re-reading after another session's write
+    // takes a REFRESH, exactly like any external-writer table
+    spark.sql(s"REFRESH TABLE $name")
+    assert(kept.toSet == Set(21L),
+      s"lineage B must drop the registered duplicate; kept=$kept")
+    assert(spark.table(name).count() == afterA + 1,
+      "only the novel digest may append")
+    // B's rows carry the next epoch's namespaced batch number
+    val bRows = spark.table(name)
+      .filter($"keep_id" === 21L).select($"batch_no").as[Int].collect()
+    assert(bRows.toSeq == Seq(1 << 20),
+      s"expected epoch-1 batch number, got ${bRows.toSeq}")
+    // the SAME checkpoint resolves the SAME epoch on a restart
+    assert(graft.dedup.Registry.streamEpochBase(spark, name,
+      s"$base/chkA") == 0)
+    assert(graft.dedup.Registry.streamEpochBase(spark, name,
+      s"$base/chkB") == 1)
+  }
+
   test("ingestStream: streamed batches equal direct sequential " +
       "ingestBatch calls, funnel counts included") {
     import java.nio.file.Files
