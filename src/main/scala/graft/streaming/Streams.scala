@@ -680,11 +680,6 @@ object Streams {
           }
         merged.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/v$id")
-        // the state cache (see transitionState) is per-batch scoped:
-        // a long-running stream must not accumulate one pinned RDD
-        // per micro-batch
-        fresh.unpersist()
-        ()
       }
       .start()
 
@@ -729,7 +724,6 @@ object Streams {
     val nullU = lit(null).cast(batch.schema(userCol).dataType)
     val nullTs = lit(null).cast(batch.schema(tsCol).dataType)
     val nullId = lit(null).cast(batch.schema(idCol).dataType)
-    // state pinned; branches stay narrow — see ewmaState (r15)
     val counts = batch
       .withColumn("__from", lag(col(typeCol), 1).over(wAsc))
       .filter(col("__from").isNotNull)
@@ -748,7 +742,6 @@ object Streams {
         col(userCol).as("__user"), col(tsCol).as("__ts"),
         col(idCol).as("__id"), col(typeCol).as("__type"))
     counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def mergeTransitions(prior: DataFrame,
@@ -809,8 +802,6 @@ object Streams {
           }
         merged.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/v$id")
-        fresh.unpersist() // per-batch cache scope — see transitions twin
-        ()
       }
       .start()
 
@@ -847,7 +838,6 @@ object Streams {
       .partitionBy(col(userCol))
       .orderBy(col(tsCol).desc, col(idCol).desc)
     def nulOf(c: String) = lit(null).cast(batch.schema(c).dataType)
-    // state pinned; branches stay narrow — see ewmaState (r15)
     val counts = graft.ops.EventAnalytics
       .pathCounts(batch, userCol, typeCol, tsCol, idCol, len)
       .select(lit("c").as("__kind"), col("path"), col("n"),
@@ -863,7 +853,6 @@ object Streams {
         col(tsCol).as("__ts"), col(idCol).as("__id"),
         col(typeCol).as("__type"))
     counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def mergePaths(prior: DataFrame, fresh: DataFrame,
@@ -935,8 +924,6 @@ object Streams {
           }
         merged.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/v$id")
-        fresh.unpersist() // per-batch cache scope — see transitions twin
-        ()
       }
       .start()
 
@@ -968,18 +955,6 @@ object Streams {
     * per-user leading ≤8 rows ("f", the merge-time boundary
     * candidates), per-user trailing ≤8 rows ("u", the next
     * boundary's history).
-    *
-    * CACHED (r15, guide §2.4/§5): the state is tiny (|types| count
-    * rows + ≤2·Depth rows per user), but un-cached every one of the
-    * merge's several references to it re-expanded the whole
-    * scan+window subtree — the 15-exchange / 7-scan q209 plan. A
-    * LAZY persist dedups the references while keeping the caller a
-    * single plan (an eager localCheckpoint here serialized the
-    * half-states into separate jobs and measured ~2× slower; a
-    * shared wide window frame across the union branches measured
-    * 2.6× slower — both tried and rejected). Streams unpersist the
-    * batch state after the version write; the batch twin's caches
-    * are session-scoped like every memoized fit.
     */
   private def ewmaState(batch: DataFrame, userCol: String,
       valCol: String, tsCol: String, idCol: String, typeCol: String,
@@ -1010,7 +985,6 @@ object Streams {
         col(idCol).as("__id"),
         floor(col(valCol) * 100).cast("long").as("__xq"))
     counts.unionByName(edge("f", wAsc)).unionByName(edge("u", wDesc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def mergeEwma(prior: DataFrame, fresh: DataFrame,
