@@ -1,15 +1,26 @@
 package graft.tools
 
-/** Dump the formatted physical plan of named queries (dev harness). */
+import java.nio.file.{Files, Paths}
+
+/** Dump `explain("formatted")` of named queries to files — the r15
+  * plan-evidence writer (plans/r15/<q>_{before,after}.txt).
+  * Usage: Test/runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q...>
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.drop(1)
-    val spark = graft.GraftSession.local(8, "graft-plandump")
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      println(s"==== $n ====")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    val Array(sfDir, outDir, suffix, names @ _*) = args: @unchecked
+    val spark = graft.GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      appName = "graft-plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+      println(s"[plan-dump] wrote $outDir/${name}_$suffix.txt " +
+        s"(${txt.linesIterator.size} lines)")
     }
     spark.stop()
   }
