@@ -849,9 +849,7 @@ object Registry {
           Seq("w", "bucket"))
         .filter(Dedup.hammingDist(col("simhash"), col("__rs"))
           <= maxHamming)
-        // no .distinct(): the only consumer is a left_anti join,
-        // which tests existence — the dedup exchange was pure cost
-        .select(col("doc_id"))
+        .select(col("doc_id")).distinct()
       // pinned before the append — same refresh-by-path hazard as
       // [[ingest]], same localCheckpoint cure
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
@@ -947,29 +945,10 @@ object Registry {
       minMatches: Int = 6): DataFrame = {
     val p = minhashParams(spark, name)
     minhashIngestSigs(spark, name,
-      widen(spark, batch, idCol)
-        .select(col(idCol).cast("long").as("doc_id"),
-          Dedup.minhashSignatureFast(
-            Dedup.shingles(col(textCol), p.shingleW), p.k).as("sig")),
+      batch.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.minhashSignatureFast(
+          Dedup.shingles(col(textCol), p.shingleW), p.k).as("sig")),
       batchNo, minMatches)
-  }
-
-  /** Spread an under-partitioned batch before an expensive per-row
-    * kernel (optimization guide §2.5, the unsplittable-input rule):
-    * a batch arriving as one or two scan splits — e.g. a single
-    * small parquet file, which Spark cannot split below one row
-    * group — would run the k·MD5-per-shingle signature kernel on one
-    * core while the rest idle. Only ever widens (a batch already at
-    * or above the session's parallelism passes through untouched, so
-    * a well-partitioned 100 TB ingest pays nothing) and hashes on
-    * the id column — deterministic, no round-robin sort, replay-safe
-    * under task retry.
-    */
-  private def widen(spark: SparkSession, batch: DataFrame,
-      idCol: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    if (batch.rdd.getNumPartitions >= par) batch
-    else batch.repartition(par, col(idCol))
   }
 
   /** [[minhashIngest]] over PRECOMPUTED signatures — `sigs` must be
@@ -1009,8 +988,7 @@ object Registry {
           Seq("bucket"))
         .filter(size(filter(zip_with(col("sig"), col("__rsig"),
           (x, y) => x === y), m => m)) >= minMatches)
-        // no .distinct(): left_anti consumer — see nearIngestSims
-        .select(col("doc_id"))
+        .select(col("doc_id")).distinct()
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sig"))
         .localCheckpoint()
@@ -1112,8 +1090,7 @@ object Registry {
         .filter(round(Ann.dot(col("embedding"), col("__rv")) /
           (Ann.norm(col("embedding")) * Ann.norm(col("__rv"))), roundTo)
           >= threshold)
-        // no .distinct(): left_anti consumer — see nearIngestSims
-        .select(col("vec_id"))
+        .select(col("vec_id")).distinct()
       // same refresh-by-path hazard, same localCheckpoint cure
       val kept = reps.join(matched, Seq("vec_id"), "left_anti")
         .select(col("sig"), col("vec_id"), col("embedding"))
