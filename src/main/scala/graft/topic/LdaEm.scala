@@ -74,30 +74,54 @@ object LdaEm {
       .filter(col("__w") < vocabSize)
       .select(col("__t"), col("__w"))
       .persist()
-    val spark = docs.sparkSession
-    val topics = spark.range(k).select(col("id").as("__z2"))
     var a = dw0.join(vocab, "__t")
       .select(col("__d"), col("__w"), col("__cnt"),
         (col("__w") % k).as("__z"))
       .localCheckpoint(true)
+    // E-step via per-key PIVOTED count rows instead of a k-fold
+    // crossJoin (r16 optimization, results bit-identical): the old
+    // plan expanded nnz×k rows, left-joined three count tables and
+    // resolved the argmax through a max-aggregate + self-join — six
+    // exchanges and a k× shuffle blowup per iteration. Pivoting n_dk
+    // and n_wk into k columns keyed by __d / __w (one aggregate each)
+    // and the k-row n_k into a 1-row broadcast lets ONE projection
+    // compute all k scores and take the argmax inline. The score
+    // expression is the SAME decimal text per topic, coalesce(·,0)
+    // matching the old left-join nulls, and the tie rule (smallest z
+    // at the max) is the CASE order — LdaEmSpec + the q189/q190/q194
+    // exact-hash oracles pin equality.
+    def score(z: Int, cdz: String, cwz: String, cz: String): String =
+      s"cast(($S * coalesce($cdz, 0) + $ALPHA_S) as decimal(38,0))" +
+        s" * cast(($S * coalesce($cwz, 0) + $BETA_S) as decimal(38,0))" +
+        s" * $PREC div ($S * coalesce($cz, 0) + $vocabSize * $BETA_S)"
     for (_ <- 1 to iters) {
-      val ndk = a.groupBy(col("__d"), col("__z")).agg(sum(col("__cnt")).as("__cdz"))
-      val nwk = a.groupBy(col("__w"), col("__z")).agg(sum(col("__cnt")).as("__cwz"))
-      val nk = a.groupBy(col("__z")).agg(sum(col("__cnt")).as("__cz"))
-      val sc = a.select(col("__d"), col("__w"), col("__cnt"))
-        .crossJoin(broadcast(topics))
-        .join(ndk.withColumnRenamed("__z", "__z2"), Seq("__d", "__z2"), "left")
-        .join(nwk.withColumnRenamed("__z", "__z2"), Seq("__w", "__z2"), "left")
-        .join(broadcast(nk.withColumnRenamed("__z", "__z2")), Seq("__z2"), "left")
-        .withColumn("__s",
-          expr(s"cast(($S * coalesce(__cdz, 0) + $ALPHA_S) as decimal(38,0))" +
-            s" * cast(($S * coalesce(__cwz, 0) + $BETA_S) as decimal(38,0))" +
-            s" * $PREC div ($S * coalesce(__cz, 0) + $vocabSize * $BETA_S)"))
-      val mx = sc.groupBy(col("__d"), col("__w")).agg(max(col("__s")).as("__ms"))
-      a = sc.join(mx, Seq("__d", "__w"))
-        .filter(col("__s") === col("__ms"))
-        .groupBy(col("__d"), col("__w"), col("__cnt"))
-        .agg(min(col("__z2")).as("__z"))
+      def pivot(key: String, out: String) = a.groupBy(col(key))
+        .agg(sum(when(col("__z") === 0, col("__cnt"))).as(s"${out}0"),
+          (1 until k).map(z =>
+            sum(when(col("__z") === z, col("__cnt"))).as(s"$out$z")): _*)
+      val da = pivot("__d", "__cdz")
+      val wa = pivot("__w", "__cwz")
+      val nz = a.groupBy().agg(
+        sum(when(col("__z") === 0, col("__cnt"))).as("__cz0"),
+        (1 until k).map(z =>
+          sum(when(col("__z") === z, col("__cnt"))).as(s"__cz$z")): _*)
+      val scores = (0 until k).map(z =>
+        expr(score(z, s"__cdz$z", s"__cwz$z", s"__cz$z")).as(s"__s$z"))
+      val ms =
+        if (k == 1) col("__s0")
+        else greatest((0 until k).map(z => col(s"__s$z")): _*)
+      val argmax = (1 until k).foldLeft(
+        when(col("__s0") === col("__ms"), lit(0L))) { (acc, z) =>
+        acc.when(col(s"__s$z") === col("__ms"), lit(z.toLong))
+      }
+      a = a
+        .join(da, Seq("__d"))
+        .join(wa, Seq("__w"))
+        .crossJoin(broadcast(nz))
+        .select((col("__d") +: col("__w") +: col("__cnt") +: scores): _*)
+        .withColumn("__ms", ms)
+        .select(col("__d"), col("__w"), col("__cnt"),
+          argmax.as("__z"))
         .localCheckpoint(true)
     }
     (vocab, a)

@@ -1,0 +1,101 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.functions._
+
+/** r16 optimization scratch: phase-level timing with a deterministic
+  * listener drain (ADVICE r15: atomic counters + waitUntilEmpty, not
+  * volatile += and sleeps).
+  * Usage: Test/runMain graft.tools.ScratchR16 <sfDir> <what>
+  */
+object ScratchR16 {
+  final class Meter extends SparkListener {
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskMs = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration); ()
+    }
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = args.lift(1).getOrElse("ldaem")
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scratch-r16")
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+    import graft.io.Tables.table
+
+    def time[T](label: String)(body: => T): T = {
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+      println(f"[scr16] $label%-36s ${wall}%6.3f s  " +
+        f"jobs=${meter.jobs.get}%3d stages=${meter.stages.get}%3d " +
+        f"tasks=${meter.tasks.get}%4d taskTime=${meter.taskMs.get / 1000.0}%6.2f s")
+      r
+    }
+
+    // generic JVM/session warm-up
+    graft.io.Tables.names.foreach { t =>
+      try table(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+    spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").count().count()
+
+    what match {
+      case "ldaem" =>
+        val toks = graft.text.TextFunctions.tokens(col("text"))
+        val docs = table(spark, sfDir, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+        val dw0 = docs
+          .select(col("doc_id").as("__d"), explode(col("toks")).as("__t"))
+          .filter(length(col("__t")) > 0)
+          .groupBy(col("__d"), col("__t"))
+          .agg(count(lit(1)).as("__cnt"))
+        time("dw0 count") { dw0.count() }
+        time("full fit (k=4 v=100 it=3)") {
+          val (v, a) = graft.topic.LdaEm.fit(docs, "doc_id", "toks",
+            k = 4, vocabSize = 100, iters = 3)
+          a.count()
+          Seq(v, a).foreach(_.unpersist(blocking = false))
+        }
+        time("full fit again") {
+          val (v, a) = graft.topic.LdaEm.fit(docs, "doc_id", "toks",
+            k = 4, vocabSize = 100, iters = 3)
+          a.count()
+          Seq(v, a).foreach(_.unpersist(blocking = false))
+        }
+      case "ppmi" =>
+        val toks = graft.text.TextFunctions.tokens(col("text"))
+        val docs = table(spark, sfDir, "documents").select(toks.as("toks"))
+        time("embed (w=2 s=1)") {
+          graft.topic.Ppmi.embed(docs, "toks", window = 2, shift = 1).count()
+        }
+        time("embed again") {
+          graft.topic.Ppmi.embed(docs, "toks", window = 2, shift = 1).count()
+        }
+        val emb = graft.topic.Ppmi.embed(docs, "toks", window = 2, shift = 1)
+          .persist()
+        emb.count()
+        time("similarPairs") {
+          graft.topic.Ppmi.similarPairs(emb, 20).count()
+        }
+      case other => System.err.println(s"unknown: $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}
