@@ -30,6 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object Ppmi {
 
+  /** Compiled skip-gram pair walk: kept tokens (non-null, non-empty
+    * — the expression form's `filter(length(t) > 0)`) paired with
+    * each neighbor at offsets 1..window, both directions, exactly
+    * the multiset the old transform/concat/split expression built.
+    */
+  private def pairsUdf(window: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null) Array.empty[(String, String)]
+    else {
+      val ts = toks.iterator
+        .filter(t => t != null && t.nonEmpty).toArray
+      val n = ts.length
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+        if (n > 0) math.min(2 * window * n, 2 * window * 1024) else 0)
+      var off = 1
+      while (off <= window) {
+        var i = 0
+        while (i + off < n) {
+          out += ((ts(i), ts(i + off)))
+          out += ((ts(i + off), ts(i)))
+          i += 1
+        }
+        off += 1
+      }
+      out.toArray
+    }
+  }
+
   /** Sparse embedding rows (w, c, v): v = SPPMI(w,c) in integer
     * millionths, zero entries dropped (they add nothing to any dot
     * product). `window` context positions each side, `shift` = the
@@ -37,26 +64,20 @@ object Ppmi {
     */
   def embed(docs: DataFrame, tokensCol: String, window: Int,
       shift: Int): DataFrame = {
-    // sequence(1, 0) DESCENDS (the Bpe-documented hazard) — docs
-    // shorter than off+1 tokens must emit an empty list, not index
-    // element 0
-    val dirs = (1 to window).flatMap { off =>
-      Seq(
-        s"case when size(__ts) > $off then" +
-          s" transform(sequence(1, size(__ts) - $off)," +
-          s" i -> concat(element_at(__ts, i), ' ', element_at(__ts, i + $off)))" +
-          " else cast(array() as array<string>) end",
-        s"case when size(__ts) > $off then" +
-          s" transform(sequence(1, size(__ts) - $off)," +
-          s" i -> concat(element_at(__ts, i + $off), ' ', element_at(__ts, i)))" +
-          " else cast(array() as array<string>) end")
-    }.mkString("concat(", ", ", ")")
+    // Pair generation is a COMPILED kernel (r16): the original
+    // expression form — filter + per-direction transform/sequence/
+    // element_at + concat + re-split after the explode — runs
+    // interpreted (higher-order functions have no codegen; the
+    // ngramsFast precedent) and serialized the corpus pass through
+    // per-pair string building. The kernel is one JIT pass per doc
+    // emitting the identical (w, c) multiset: empty tokens dropped
+    // first (the old filter), then both directions at offsets
+    // 1..window — docs shorter than off+1 kept tokens emit nothing
+    // at that offset (the sequence(1,0)-descends hazard the old CASE
+    // guarded).
     val pairs = docs
-      .select(expr(s"filter($tokensCol, t -> length(t) > 0)").as("__ts"))
-      .select(explode(expr(dirs)).as("__pair"))
-      .select(
-        expr("split(__pair, ' ')[0]").as("w"),
-        expr("split(__pair, ' ')[1]").as("c"))
+      .select(explode(pairsUdf(window)(col(tokensCol))).as("__pair"))
+      .select(col("__pair._1").as("w"), col("__pair._2").as("c"))
       .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n"))
     val mw = pairs.groupBy(col("w")).agg(sum(col("n")).as("nw"))
     val mc = pairs.groupBy(col("c")).agg(sum(col("n")).as("nc"))
