@@ -837,9 +837,22 @@ object Registry {
       maxHamming: Int = 20): DataFrame = {
     val loc = tableLocation(spark, name)
     withLock(spark, registryRoot(loc).toString) { lease =>
+      // reps PINNED (r16): it feeds both the probe explode and the
+      // kept anti-join — un-materialized, the batch's simhash
+      // subtree re-ran per reference, and any AQE join-strategy
+      // flip on the anti-join could re-run it again (the r15
+      // regression). One checkpoint of the batch-bounded
+      // (simhash, doc_id) rows makes both harmless, and licenses
+      // dropping the pre-anti-join distinct: the left_anti tests
+      // key existence, so duplicate matched ids (bounded by
+      // candidates-per-probe, the documented bucket-collision
+      // bound) change nothing — the distinct was a full exchange +
+      // aggregate per ingest (metered r15: near-lane ingest summed
+      // task time 7.1 s → ~1.2 s without it).
       val reps = sims
         .groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("doc_id"))
+        .localCheckpoint()
       val probes = windowKeys(reps, tables)
       val others = spark.table(name)
         .filter(!(col("batch_no") <=> lit(batchNo)))
@@ -849,7 +862,7 @@ object Registry {
           Seq("w", "bucket"))
         .filter(Dedup.hammingDist(col("simhash"), col("__rs"))
           <= maxHamming)
-        .select(col("doc_id")).distinct()
+        .select(col("doc_id"))
       // pinned before the append — same refresh-by-path hazard as
       // [[ingest]], same localCheckpoint cure
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
@@ -937,17 +950,40 @@ object Registry {
       info.flatMap(_.extras.get("w")).map(_.toInt).getOrElse(3))
   }
 
+  /** Widen a narrow batch to the session's parallelism before an
+    * expensive per-row kernel: the sf test tables are single-row-
+    * group parquet files Spark cannot split, so a kernel downstream
+    * of such a scan runs on 1-2 cores while the rest idle (guide
+    * §2.5 input-skew rule). Deterministic — hash-partitioned on
+    * `keyCol`, never round-robin, so task retries reproduce the
+    * same row placement — and pass-through for any batch already at
+    * ≥ defaultParallelism partitions: a well-partitioned production
+    * ingest pays nothing.
+    */
+  private def widen(spark: SparkSession, df: DataFrame,
+      keyCol: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(keyCol))
+  }
+
   /** Shingle width comes FROM THE MARKER (never a caller default) —
-    * see [[MinhashParams]].
+    * see [[MinhashParams]]. The batch is [[widen]]ed before the
+    * k·MD5 signature kernel — the one registry kernel expensive
+    * enough to pay for the exchange (metered r15/r16: sig pass 1.2 s
+    * as-scanned → ~0.5 s repartitioned; the simhash/md5 kernels of
+    * the near/exact lanes cost ~0.1 s serial and stay un-widened).
     */
   def minhashIngest(spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, batchNo: Int,
       minMatches: Int = 6): DataFrame = {
     val p = minhashParams(spark, name)
     minhashIngestSigs(spark, name,
-      batch.select(col(idCol).cast("long").as("doc_id"),
-        Dedup.minhashSignatureFast(
-          Dedup.shingles(col(textCol), p.shingleW), p.k).as("sig")),
+      widen(spark, batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("__mh_text")), "doc_id")
+        .select(col("doc_id"),
+          Dedup.minhashSignatureFast(
+            Dedup.shingles(col("__mh_text"), p.shingleW), p.k).as("sig")),
       batchNo, minMatches)
   }
 
@@ -972,11 +1008,20 @@ object Registry {
       // input) and an array of k NULLS (empty shingle set — array_min
       // of nothing is null per position), so the guard requires at
       // least one non-null position.
+      // reps is PINNED (r16, the r15 "attempt 2" note): it feeds both
+      // the probe side and the kept anti-join, and un-materialized
+      // the signature kernel + collapse aggregate re-ran once per
+      // reference (exchange reuse does not survive AQE's replanning
+      // here — metered: the kept-pin job's summed task time carried
+      // the kernel twice). One cheap checkpoint of the batch-bounded
+      // (sig, doc_id) rows runs the kernel exactly once and makes
+      // every downstream join-strategy flip harmless.
       val reps = sigs
         .filter(col("sig").isNotNull &&
           size(filter(col("sig"), x => x.isNotNull)) > 0)
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("doc_id"))
+        .localCheckpoint()
       val probes = reps.select(col("doc_id"), col("sig"),
           posexplode(Dedup.bandKeys(col("sig"), bands, k / bands)))
         .select(col("pos").cast("int").as("b"), col("col").as("bucket"),
@@ -988,7 +1033,9 @@ object Registry {
           Seq("bucket"))
         .filter(size(filter(zip_with(col("sig"), col("__rsig"),
           (x, y) => x === y), m => m)) >= minMatches)
-        .select(col("doc_id")).distinct()
+        // no distinct: the left_anti below tests key existence, and
+        // reps is pinned so a join flip cannot re-run the kernel
+        .select(col("doc_id"))
       val kept = reps.join(matched, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sig"))
         .localCheckpoint()
@@ -1077,11 +1124,17 @@ object Registry {
       // they carry no signature — the RHP kernel has nothing to hash —
       // and a null signature key would dodge every probe join forever
       // (the ingestDigests null-h hazard in vector form)
+      // reps PINNED + no matched distinct — the same r16 probe-lane
+      // shape as nearIngestSims/minhashIngestSigs: the RHP signature
+      // + embedding collapse runs exactly once, and the kept
+      // anti-join tolerates duplicate matched ids by key-existence
+      // semantics (bounded by candidates-per-signature-bucket).
       val reps = batch.filter(col(vecCol).isNotNull)
         .groupBy(col(vecCol).as("embedding"))
         .agg(min(col(idCol).cast("long")).as("vec_id"))
         .select(col("vec_id"), col("embedding"),
           Ann.rhpSignature(col("embedding"), planes).as("sig"))
+        .localCheckpoint()
       val others = spark.table(name)
         .filter(!(col("batch_no") <=> lit(batchNo)))
       val matched = reps
@@ -1090,7 +1143,7 @@ object Registry {
         .filter(round(Ann.dot(col("embedding"), col("__rv")) /
           (Ann.norm(col("embedding")) * Ann.norm(col("__rv"))), roundTo)
           >= threshold)
-        .select(col("vec_id")).distinct()
+        .select(col("vec_id"))
       // same refresh-by-path hazard, same localCheckpoint cure
       val kept = reps.join(matched, Seq("vec_id"), "left_anti")
         .select(col("sig"), col("vec_id"), col("embedding"))

@@ -94,6 +94,87 @@ object ScratchR16 {
         time("similarPairs") {
           graft.topic.Ppmi.similarPairs(emb, 20).count()
         }
+      case "registry" =>
+        // per-job wall clock inside one ingest (the q244/q249 shape)
+        val jobT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val verbose = new java.util.concurrent.atomic.AtomicBoolean(false)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit = {
+            jobT.put(j.jobId, System.nanoTime()); ()
+          }
+          override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+            val t0 = jobT.remove(j.jobId)
+            if (verbose.get && t0 != null)
+              println(f"[job] ${(System.nanoTime() - t0) / 1e6}%7.1f ms")
+          }
+        })
+        import graft.dedup.Registry
+        val d = table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.unionByName(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 300001L).as("doc_id"),
+            concat(col("text"), lit(" zz yy")).as("text")))
+          .localCheckpoint()
+        val tag = "r16_" + java.lang.Integer.toHexString(
+          (sfDir + System.nanoTime()).hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_scr16/$tag"
+        Registry.createMinhash(spark, s"mh_$tag", s"$base/mh", buckets = 8)
+        Registry.create(spark, s"ex_$tag", s"$base/ex", buckets = 8)
+        Registry.createNear(spark, s"nr_$tag", s"$base/nr", buckets = 8)
+        (0 until 3).foreach { b =>
+          val batch = corpus.filter(col("doc_id") % 3 === b)
+          verbose.set(b == 2)
+          time(s"minhashIngest batch $b") {
+            Registry.minhashIngest(spark, s"mh_$tag", batch, "doc_id",
+              "text", b).count()
+          }
+          verbose.set(false)
+        }
+        (0 until 3).foreach { b =>
+          val batch = corpus.filter(col("doc_id") % 3 === b)
+          verbose.set(b == 2)
+          time(s"exact ingest batch $b") {
+            Registry.ingest(spark, s"ex_$tag", batch, "doc_id", "text", b)
+              .count()
+          }
+          verbose.set(false)
+        }
+        (0 until 3).foreach { b =>
+          val batch = corpus.filter(col("doc_id") % 3 === b)
+          verbose.set(b == 2)
+          time(s"nearIngest batch $b") {
+            Registry.nearIngest(spark, s"nr_$tag", batch, "doc_id",
+              "text", b).count()
+          }
+          verbose.set(false)
+        }
+      case "mhsig" =>
+        import graft.dedup.Dedup
+        val d = table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val sigsNarrow = d.select(col("doc_id"),
+          Dedup.minhashSignatureFast(
+            Dedup.shingles(col("text"), 3), 8).as("sig"))
+        val sigsWide = d.repartition(32, col("doc_id"))
+          .select(col("doc_id"),
+            Dedup.minhashSignatureFast(
+              Dedup.shingles(col("text"), 3), 8).as("sig"))
+        (1 to 2).foreach { i =>
+          time(s"sig narrow #$i") {
+            sigsNarrow.write.format("noop").mode("overwrite").save()
+          }
+          time(s"sig wide #$i") {
+            sigsWide.write.format("noop").mode("overwrite").save()
+          }
+          time(s"sig narrow groupBy #$i") {
+            sigsNarrow.groupBy(col("sig"))
+              .agg(min(col("doc_id")).as("doc_id")).count()
+          }
+          time(s"sig wide groupBy #$i") {
+            sigsWide.groupBy(col("sig"))
+              .agg(min(col("doc_id")).as("doc_id")).count()
+          }
+        }
       case other => System.err.println(s"unknown: $other"); sys.exit(2)
     }
     spark.stop()
