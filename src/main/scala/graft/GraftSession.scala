@@ -32,6 +32,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE re-optimize the plans that FILL caches (off by
+      // default upstream only to keep a cached plan's output
+      // partitioning stable for downstream reuse): without it every
+      // persisted intermediate — model count tables, memoized edge
+      // lists, LSH signatures — materializes at the raw shuffle
+      // partition count and each cached READ fans out into that many
+      // tiny tasks. Metered r16 (same host hour, sf0.1): NB classify
+      // 7.8 s → 5.7, k-core 5.6 → 5.0 cold / 2.3 → 1.6 warm, video
+      // near-dup 3.5 → 1.8; no regressions. At cluster scale the
+      // same setting right-sizes cached partitions to the advisory
+      // size instead of the shuffle width — the bytes-proportional
+      // choice everywhere.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // native expressions (graft_dot, graft_simhash60,

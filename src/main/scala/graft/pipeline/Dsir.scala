@@ -87,9 +87,14 @@ object Dsir {
     */
   def importanceScores(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = DefaultBuckets): DataFrame = {
+    // widened (r16): both corpus passes run the tokenize + tagged-
+    // ngram + md5-bucket kernel; off an unsplittable single-row-group
+    // scan that work serialized onto 1-2 cores (pass-through for
+    // well-partitioned input — see Parallelism.widen)
+    val wide = graft.ops.Parallelism.widen(docs, idCol)
     val toks = TextFunctions.tokens(col(textCol))
-    val w = logRatioWeights(docs, idCol, toks, targetPred, buckets)
-    gramStream(docs, idCol, toks, targetPred, buckets)
+    val w = logRatioWeights(wide, idCol, toks, targetPred, buckets)
+    gramStream(wide, idCol, toks, targetPred, buckets)
       .join(broadcast(w), col("__b") === col("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("l_e6")).as("score_e6"))

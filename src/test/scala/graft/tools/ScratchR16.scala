@@ -175,6 +175,49 @@ object ScratchR16 {
               .agg(min(col("doc_id")).as("doc_id")).count()
           }
         }
+      case "nb" =>
+        val toks = graft.text.TextFunctions.tokens(col("text"))
+        val d = table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("toks"))
+        val train = d.filter(col("doc_id") % 2 === 0)
+        val test = d.filter(col("doc_id") % 2 === 1)
+        val tl = train
+          .select(col("lang").as("__l"), explode(col("toks")).as("__t"))
+          .groupBy(col("__l"), col("__t")).agg(count(lit(1)).as("__c"))
+        time("tl (train counts) noop") {
+          tl.write.format("noop").mode("overwrite").save()
+        }
+        val dt = test.select(col("doc_id"), explode(col("toks")).as("__t"))
+          .groupBy(col("doc_id"), col("__t")).agg(count(lit(1)).as("__c"))
+        time("dt (test counts) noop") {
+          dt.write.format("noop").mode("overwrite").save()
+        }
+        time("full classify") {
+          graft.feature.NaiveBayes.classify(train, test, "doc_id",
+            "toks", "lang").count()
+        }
+        time("full classify again") {
+          graft.feature.NaiveBayes.classify(train, test, "doc_id",
+            "toks", "lang").count()
+        }
+      case "dsir" =>
+        val docs = table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val toksC = graft.text.TextFunctions.tokens(col("text"))
+        val gs = docs.select(col("doc_id"), (col("lang") === "en").as("__t"),
+          explode(graft.text.TextFunctions.taggedNgramsFast(toksC, 1, 2))
+            .as("__g"))
+        time("gram stream noop") {
+          gs.write.format("noop").mode("overwrite").save()
+        }
+        time("importanceScores") {
+          graft.pipeline.Dsir.importanceScores(docs, "doc_id", "text",
+            col("lang") === "en").count()
+        }
+        time("importanceScores again") {
+          graft.pipeline.Dsir.importanceScores(docs, "doc_id", "text",
+            col("lang") === "en").count()
+        }
       case other => System.err.println(s"unknown: $other"); sys.exit(2)
     }
     spark.stop()
