@@ -50,8 +50,12 @@ object NaiveBayes {
   def classify(train: DataFrame, test: DataFrame, idCol: String,
       toksCol: String, labelCol: String): DataFrame = {
     // sparse (label, term) counts — persisted: V, per-label totals
-    // and the contribution deltas are all derived from it
-    val tl = train
+    // and the contribution deltas are all derived from it. The train
+    // pass widens on a token-array hash (labels are few — hashing on
+    // the label would collapse parallelism; the array hash is
+    // deterministic): off an unsplittable single-row-group scan the
+    // explode + partial aggregate ran on one core (r16).
+    val tl = graft.ops.Parallelism.widen(train, col(toksCol))
       .select(col(labelCol).as("__l"), explode(col(toksCol)).as("__t"))
       .groupBy(col("__l"), col("__t")).agg(count(lit(1)).as("__c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -79,7 +83,8 @@ object NaiveBayes {
     // test term counts, restricted to the train vocabulary —
     // persisted: the in-vocab token total m_d and the sparse score
     // join both read it. Bounded by test (doc,term) pairs.
-    val dt = test.select(col(idCol), explode(col(toksCol)).as("__t"))
+    val dt = graft.ops.Parallelism.widen(test, idCol)
+      .select(col(idCol), explode(col(toksCol)).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__cnt"))
       .join(tl.select(col("__t")).distinct(), Seq("__t"), "leftsemi")
       .persist(StorageLevel.MEMORY_AND_DISK)

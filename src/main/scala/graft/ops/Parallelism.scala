@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** Scan-parallelism repair for expensive per-row kernels (guide §2.5
@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions.col
   */
 object Parallelism {
 
-  def widen(df: DataFrame, keyCol: String): DataFrame = {
+  def widen(df: DataFrame, keyCol: String): DataFrame =
+    widen(df, col(keyCol))
+
+  /** Column form — for inputs without a natural id column the key
+    * may be any deterministic expression of the row (hash
+    * partitioning supports arrays and structs).
+    */
+  def widen(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col(keyCol))
+    else df.repartition(target, key)
   }
 }

@@ -61,7 +61,11 @@ object LdaEm {
     */
   def fit(docs: DataFrame, idCol: String, tokensCol: String,
       k: Int, vocabSize: Int, iters: Int): (DataFrame, DataFrame) = {
-    val dw0 = docs
+    // widened (r16): the tokenize + explode + (d,t) partial aggregate
+    // is the fit's whole corpus pass; off an unsplittable single-
+    // row-group scan it ran on one core (pass-through for
+    // well-partitioned input — ops.Parallelism.widen)
+    val dw0 = graft.ops.Parallelism.widen(docs, idCol)
       .select(col(idCol).as("__d"), explode(col(tokensCol)).as("__t"))
       .filter(length(col("__t")) > 0)
       .groupBy(col("__d"), col("__t"))
@@ -101,10 +105,14 @@ object LdaEm {
             sum(when(col("__z") === z, col("__cnt"))).as(s"$out$z")): _*)
       val da = pivot("__d", "__cdz")
       val wa = pivot("__w", "__cwz")
-      val nz = a.groupBy().agg(
-        sum(when(col("__z") === 0, col("__cnt"))).as("__cz0"),
+      // n_k derives from the da pivot (sum of the per-doc columns)
+      // instead of a third scan of `a` — the da exchange is shared
+      // (sum of sums equals the direct sum; null pivot cells are
+      // absent-in-both)
+      val nz = da.groupBy().agg(
+        sum(col("__cdz0")).as("__cz0"),
         (1 until k).map(z =>
-          sum(when(col("__z") === z, col("__cnt"))).as(s"__cz$z")): _*)
+          sum(col(s"__cdz$z")).as(s"__cz$z")): _*)
       val scores = (0 until k).map(z =>
         expr(score(z, s"__cdz$z", s"__cwz$z", s"__cz$z")).as(s"__s$z"))
       val ms =
