@@ -90,15 +90,19 @@ object Clustering {
       while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("__id"))
-        .orderBy(col("__dist"), col("__cid"))
+    // argmin as a partial-aggregatable min(struct) instead of a
+    // row_number window (r16, guide §2.3 — the Pq.assign rationale):
+    // map-side collapse of the k candidates per point before the
+    // exchange, no sort; (dist, cid) struct order replays the
+    // window's (dist asc, cid asc) tie rule exactly.
+    def assign(c: DataFrame): DataFrame =
       pts.crossJoin(broadcast(c))
         .withColumn("__dist", sqDist(col("__qv"), col("__cq")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("__id"), col("__cid").as("cluster"), col("__qv"))
-    }
+        .groupBy(col("__id"))
+        .agg(min(struct(col("__dist"), col("__cid"), col("__qv")))
+          .as("__w"))
+        .select(col("__id"), col("__w.__cid").as("cluster"),
+          col("__w.__qv").as("__qv"))
     var cents = init
     for (_ <- 1 to iters) {
       cents = assign(cents)
@@ -154,17 +158,21 @@ object Clustering {
     require(centRows.count() == nCentroids,
       s"IVF-convention centroids need ids 0..${nCentroids - 1} present")
     val cents = broadcast(centRows)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
+    // argmax as a partial-aggregatable max(struct) instead of a
+    // row_number window (r16, the Pq.assign rationale): the struct
+    // compares (__ccos, −cent_id) first — exactly the window's
+    // (cos desc, cent_id asc) order; cent_id is unique per point so
+    // the payload fields never decide.
     val assigned = embeddings
       .select(col(idCol), col(vecCol).as("v"), A.norm(col(vecCol)).as("vn"))
       .crossJoin(cents)
       .withColumn("__ccos",
         round(A.dot(col("v"), col("cv")) / (col("vn") * col("cn")), roundTo))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col("cent_id").as("cluster"),
-        col("v"), col("vn"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__ccos"), (-col("cent_id")).as("__nc"),
+        col("cent_id"), col("v"), col("vn"))).as("__w"))
+      .select(col(idCol), col("__w.cent_id").as("cluster"),
+        col("__w.v").as("v"), col("__w.vn").as("vn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count() // materialize once; both self-join sides read it
     val a = assigned.select(col("cluster"), col(idCol).as("__ida"),

@@ -54,15 +54,21 @@ object Pq {
     * argmin tie-broken by (dist, cid). `cents` is tiny (m·k rows) and
     * broadcast; the join is an equi-join on the subspace id.
     */
-  private def assign(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__id"), col("__s"))
-      .orderBy(col("__dist"), col("__cid"))
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
+    // argmin as a partial-aggregatable min(struct) instead of a
+    // row_number window (r16, guide §2.3): the map side collapses
+    // the k candidates per (vector, subspace) BEFORE the exchange,
+    // so the shuffle carries 1/k of the rows and no sort runs. The
+    // struct compares (dist, cid) first — exactly the window's
+    // (dist asc, cid asc) tie rule; cid is unique per group so the
+    // trailing payload never decides.
     sub.join(broadcast(cents), "__s")
       .withColumn("__dist", sqDist(col("__qv"), col("__cq")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .drop("__r")
-  }
+      .groupBy(col("__id"), col("__s"))
+      .agg(min(struct(col("__dist"), col("__cid"), col("__qv")))
+        .as("__w"))
+      .select(col("__id"), col("__s"), col("__w.__cid").as("__cid"),
+        col("__w.__qv").as("__qv"))
 
   /** Compiled exact-integer squared distance (the HOF expression form
     * runs interpreted per pair — PERF r7's q140 lesson).
