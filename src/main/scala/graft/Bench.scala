@@ -73,6 +73,15 @@ object Bench {
     println(renderLine(results, sentinels.toSeq, sfDir))
   }
 
+  /** The multi-ingest registry DEMOS (write-path by design): their
+    * seconds measure demo count, not engine speed, so the bench line
+    * carries `value_demo` / `value_readpath` subtotals beside the
+    * unchanged raw `value` (r14 verdict #8 — cross-round continuity
+    * keeps `value` the graded number).
+    */
+  private[graft] val DemoQueries: Set[String] =
+    Set("q237", "q241", "q242", "q244", "q247", "q248", "q249")
+
   /** The one-line JSON the driver captures, with the char-budget
     * ladder applied. Pure — BenchLineSpec drives it to 300 synthetic
     * keys and asserts every rung's output parses and fits.
@@ -155,7 +164,15 @@ object Bench {
       val keyNote = (if (dropQ) ""","keys":"qNN sans q"""" else "") +
         (if (minQ > 0) s""","minq":$minQ""" else "") +
         (if (qUnit.nonEmpty) s""","q_unit":"$qUnit"""" else "")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec"${normNote(total)},"queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
+      // demo/read-path split (see DemoQueries): positive-time sums so
+      // a failed (-1) entry never skews a subtotal
+      val demo = results.collect {
+        case (k, v) if DemoQueries.contains(shortKey(k)) && v > 0 => v
+      }.sum
+      val readpath = results.values.filter(_ > 0).sum - demo
+      val split =
+        s""","value_readpath":${f2(readpath)},"value_demo":${f2(demo)}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"${normNote(total)}$split,"queries":$qs$keyNote$sentCs,"sf":"$sfShort"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Budget: the driver keeps the LAST 2000 chars of stdout; sbt

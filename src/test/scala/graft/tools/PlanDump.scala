@@ -2,12 +2,17 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-/** Dump `explain("formatted")` of named queries to files — the r15
-  * plan-evidence writer (plans/r15/<q>_{before,after}.txt).
+/** Dump `explain("formatted")` of named queries to
+  * `<outDir>/<q>_<suffix>.txt` — the per-round plan-evidence writer.
   * Usage: Test/runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q...>
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> <suffix> [queryName...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names @ _*) = args: @unchecked
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
