@@ -33,11 +33,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   * join-strategy choices read file statistics.
   *
   * Usage:
-  *   Test/runMain graft.tools.PlanAudit <sfDir> [--write] [q...]
+  *   Test/runMain graft.tools.PlanAudit <sfDir> [--write]
+  *     [--budget <file>] [q...]
   * `--write` regenerates the budget file from the current plans
   * (review the diff like any other code change); without it the run
   * is the CHECK, exiting 1 on any regression. Passing query names
   * audits the subset (the fast loop while iterating on one query).
+  * `--budget <file>` selects a budget file other than the default —
+  * the expensive-tier sf0.1 budget (`PLAN_BUDGET.sf0.1.json`, r14
+  * verdict #5) lives beside the full sf0.01 one because join-strategy
+  * choices read file statistics and can differ between SFs.
   *
   * Cost note: building a query's DataFrame runs its eager stages
   * (fits, registry demo ingests) — a full audit costs about one
@@ -88,9 +93,16 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val write = args.contains("--write")
-    val positional = args.filterNot(_.startsWith("--"))
+    val budgetIdx = args.indexOf("--budget")
+    val budgetFile =
+      if (budgetIdx >= 0 && budgetIdx + 1 < args.length) args(budgetIdx + 1)
+      else BudgetFile
+    val positional = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--")
+        && (budgetIdx < 0 || i != budgetIdx + 1) => a
+    }
     require(positional.nonEmpty,
-      "usage: PlanAudit <sfDir> [--write] [queryName...]")
+      "usage: PlanAudit <sfDir> [--write] [--budget <file>] [queryName...]")
     val sfDir = positional.head
     val only = positional.drop(1).toSet
     val sfTag = sfDir.split("/").last
@@ -130,14 +142,14 @@ object PlanAudit {
       val body = audited.toSeq.sortBy(_._1)
         .map { case (n, c) => s"""    "$n": ${c.json}""" }
         .mkString(",\n")
-      Files.writeString(Paths.get(BudgetFile),
+      Files.writeString(Paths.get(budgetFile),
         s"""{\n  "sf": "$sfTag",\n  "metrics": {"ex": "shuffle exchanges", "cj": "cartesian/bnlj joins", "uw": "unpartitioned windows", "sc": "file scans"},\n  "queries": {\n$body\n  }\n}\n""")
-      println(s"[plan-audit] wrote ${audited.size} budgets to $BudgetFile")
+      println(s"[plan-audit] wrote ${audited.size} budgets to $budgetFile")
       spark.stop()
       return
     }
 
-    val (budgetSf, budget) = readBudget(BudgetFile)
+    val (budgetSf, budget) = readBudget(budgetFile)
     if (only.isEmpty) {
       val missing = audited.keySet.diff(budget.keySet)
       require(missing.isEmpty,
@@ -152,7 +164,7 @@ object PlanAudit {
     }
     regressed.foreach(r => System.err.println(s"[plan-audit] REGRESSED $r"))
     println(s"[plan-audit] ${audited.size} audited, " +
-      s"${regressed.size} regressions vs $BudgetFile ($budgetSf)")
+      s"${regressed.size} regressions vs $budgetFile ($budgetSf)")
     spark.stop()
     if (regressed.nonEmpty) sys.exit(1)
   }
